@@ -1,0 +1,666 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query with
+a DuckDB-runnable oracle.
+
+Each entry maps ``name -> QueryDef(spark_fn, oracle_sql)`` and is exported
+through the repo-root ``__spark_entry__.py`` driver contract. Conventions
+that make the Spark result hash-match the DuckDB oracle exactly:
+
+* **Exact aggregation:** float SUM/AVG go through ``DECIMAL(18,6)``
+  (associative, order-independent) and cast back to double — identical
+  in both engines regardless of partial-aggregation order.
+* **Integer-valued doubles** (e.g. ``l_quantity``) have exact power sums
+  below 2^53, so statistical moments computed from raw power sums are
+  bit-deterministic without decimals.
+* **Per-row double arithmetic** (add/sub/mul/div) is IEEE-deterministic
+  given identical inputs, so derived-column queries compare exactly.
+* **Shared SQL text:** queries whose determinism depends on the exact
+  expression tree (moments, correlation, histograms) run the *same* SQL
+  string on Spark and DuckDB (common dialect subset).
+* **Total orders everywhere:** every rank/row_number uses a deterministic
+  tie-break on the table's canonical key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.relational import group_count, group_sum, nominalize, rid_concat, top_k
+from .operators.steps import RID, Step, apply_tpath
+from .sources.readers import load_table, with_rid
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, rid: bool = False) -> DataFrame:
+    return load_table(spark, sf_dir, name, rid=rid)
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,6)")
+
+
+def _sql_both(name: str, sql: str, tables: tuple[str, ...], tags: tuple[str, ...] = ()):
+    """Register a query whose Spark implementation runs the exact same SQL
+    text as the DuckDB oracle (common dialect subset)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir, *tables)
+        return spark.sql(sql)
+
+    REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=sql, tags=tags)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 basic relational ops (Tbasic interpreter semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basic_select_like",
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+              l_quantity, l_extendedprice, l_discount, l_tax
+       FROM lineitem""",
+    tags=("basic", "selector"),
+)
+def q_select_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input selector `like ["int","float"]` (reference Tengine.py:82-83):
+    schema-driven numeric projection — column pruning reaches the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return apply_tpath(li, [Step(t="select", i_type="like", i=["int", "float"])])
+
+
+@register(
+    "basic_astype",
+    """SELECT l_orderkey,
+              CAST(l_linenumber AS BIGINT) AS linenumber_big,
+              CAST(FLOOR(l_quantity) AS BIGINT) AS quantity_int,
+              CAST(l_orderkey AS DOUBLE) AS orderkey_dbl
+       FROM lineitem""",
+    tags=("basic", "cast"),
+)
+def q_astype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`astype` cast op (reference Tengine.py:95-96). Double→int goes
+    through FLOOR because SQL CAST rounds while pandas/Spark truncate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("linenumber_big"),
+        F.floor("l_quantity").cast("bigint").alias("quantity_int"),
+        F.col("l_orderkey").cast("double").alias("orderkey_dbl"),
+    )
+
+
+@register(
+    "basic_hsum",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice + l_discount + l_tax AS hsum
+       FROM lineitem""",
+    tags=("basic", "arithmetic"),
+)
+def q_hsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal per-row sum across columns (reference Tengine.py:97-98 —
+    pandas apply(sum, axis=1); NOT a group-by)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = apply_tpath(
+        li,
+        [Step(t="sum", i_type="==", i=["l_extendedprice", "l_discount", "l_tax"], index=["hsum"], o_type="append")],
+    )
+    return out.select("l_orderkey", "l_linenumber", "hsum")
+
+
+@register(
+    "basic_hmul",
+    """SELECT l_orderkey, l_linenumber,
+              l_quantity * l_discount * l_tax AS hmul
+       FROM lineitem""",
+    tags=("basic", "arithmetic"),
+)
+def q_hmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal product (reference Tengine.py:99-100)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = apply_tpath(
+        li,
+        [Step(t="mul", i_type="==", i=["l_quantity", "l_discount", "l_tax"], index=["hmul"], o_type="append")],
+    )
+    return out.select("l_orderkey", "l_linenumber", "hmul")
+
+
+@register(
+    "basic_sub",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice - l_discount AS sub_val
+       FROM lineitem""",
+    tags=("basic", "arithmetic"),
+)
+def q_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column subtraction (reference Tengine.py:101-102)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = apply_tpath(
+        li,
+        [Step(t="sub", i_type="==", i=["l_extendedprice", "l_discount"], index=["sub_val"], o_type="append")],
+    )
+    return out.select("l_orderkey", "l_linenumber", "sub_val")
+
+
+@register(
+    "basic_div",
+    """SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_tax = 0 THEN 0.0 ELSE l_discount / l_tax END AS div_val
+       FROM lineitem""",
+    tags=("basic", "arithmetic"),
+)
+def q_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Division with the reference's NaN→0 policy (Tengine.py:103-104):
+    x/0 and 0/0 yield 0 (3799 zero-tax rows at sf0.01 exercise it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = apply_tpath(
+        li,
+        [Step(t="div", i_type="==", i=["l_discount", "l_tax"], index=["div_val"], o_type="append")],
+    )
+    return out.select("l_orderkey", "l_linenumber", "div_val")
+
+
+@register(
+    "basic_rank",
+    """SELECT l_orderkey, l_linenumber,
+              ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS rank_qty
+       FROM lineitem""",
+    tags=("basic", "rank"),
+)
+def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas rank(method="first") (reference Tengine.py:107-108,
+    searchthread.py:505-520): row_number by (value, canonical row id)."""
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    out = apply_tpath(li, [Step(t="rank", i_type="==", i=["l_quantity"], index=["rank_qty"], o_type="append")])
+    return out.select("l_orderkey", "l_linenumber", "rank_qty")
+
+
+@register(
+    "basic_nominalize",
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+              DENSE_RANK() OVER (ORDER BY l_returnflag) - 1 AS returnflag_code
+       FROM lineitem""",
+    tags=("basic", "encode"),
+)
+def q_nominalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.unique-sorted dense integer codes (reference Tengine.py:109-114).
+    Implemented as a broadcast join against the sorted distinct domain
+    (scales where a global dense_rank window would not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = nominalize(li, "l_returnflag", out="returnflag_code")
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "returnflag_code")
+
+
+@register(
+    "basic_filter",
+    """SELECT o_orderkey, o_totalprice
+       FROM orders
+       WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0""",
+    tags=("basic", "filter"),
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate filtering — pushed to the parquet scan by Catalyst."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000.0)).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "basic_rid_concat",
+    """WITH ridded AS (
+         SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax,
+                ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid
+         FROM lineitem
+       ),
+       left_side AS (SELECT rid, l_orderkey, l_linenumber FROM ridded),
+       right_side AS (SELECT rid, l_extendedprice + l_discount + l_tax AS hsum FROM ridded)
+       SELECT l.l_orderkey, l.l_linenumber, r.hsum
+       FROM left_side l JOIN right_side r ON l.rid = r.rid""",
+    tags=("basic", "join"),
+)
+def q_rid_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional concat (pd.concat(axis=1), reference Tengine.py:114,131)
+    as an explicit __rid equi-join between independently derived frames."""
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    left = li.select(RID, "l_orderkey", "l_linenumber")
+    right = apply_tpath(
+        li,
+        [Step(t="sum", i_type="==", i=["l_extendedprice", "l_discount", "l_tax"], index=["hsum"], o_type="new_table")],
+    )
+    return rid_concat(left, right).select("l_orderkey", "l_linenumber", "hsum")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 aggregation / sort / top-k / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_group_sum",
+    """SELECT l_returnflag,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS "SUM(l_quantity)",
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS "SUM(l_extendedprice)"
+       FROM lineitem GROUP BY l_returnflag""",
+    tags=("agg",),
+)
+def q_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum_bar aggregation: groupBy + SUM, outputs named SUM(col)
+    (reference search.py:949-965). Decimal-exact, order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    pre = li.select(
+        "l_returnflag",
+        _dec("l_quantity").alias("l_quantity"),
+        _dec("l_extendedprice").alias("l_extendedprice"),
+    )
+    agg = group_sum(pre, "l_returnflag", ["l_quantity", "l_extendedprice"])
+    return agg.select(
+        "l_returnflag",
+        F.col("SUM(l_quantity)").cast("double").alias("SUM(l_quantity)"),
+        F.col("SUM(l_extendedprice)").cast("double").alias("SUM(l_extendedprice)"),
+    )
+
+
+@register(
+    "agg_group_count",
+    """SELECT o_orderpriority, COUNT(*) AS "COUNT" FROM orders GROUP BY o_orderpriority""",
+    tags=("agg",),
+)
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_bar aggregation (reference search.py:966-971)."""
+    return group_count(_t(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+@register(
+    "sort_with_position",
+    """SELECT o_orderkey, o_orderdate,
+              ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS pos
+       FROM orders""",
+    tags=("sort",),
+)
+def q_sort_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart x-axis sort + rank-for-provenance (reference
+    search.py:1195-1198): sorted position with deterministic ties."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.select("o_orderkey", "o_orderdate").withColumn("pos", F.row_number().over(w))
+
+
+@register(
+    "topk_by_value",
+    """SELECT c_custkey, c_acctbal FROM customer
+       ORDER BY c_acctbal DESC, c_custkey LIMIT 10""",
+    tags=("sort", "topk"),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k (reference search.py:1262-1278) — Spark plans
+    this as TakeOrderedAndProject, no global sort materialization."""
+    c = _t(spark, sf_dir, "customer")
+    return top_k(c.select("c_custkey", "c_acctbal"), "c_acctbal", 10, tie_cols=["c_custkey"])
+
+
+@register(
+    "distinct_domain",
+    """SELECT DISTINCT c_mktsegment FROM customer""",
+    tags=("distinct",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column domain (reference np.unique/set uses, spreadsheet.py:86,105)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "set_union_all",
+    """SELECT o_orderkey, 'open' AS src FROM orders WHERE o_orderstatus = 'O'
+       UNION ALL
+       SELECT o_orderkey, 'done' AS src FROM orders WHERE o_orderstatus = 'F'""",
+    tags=("set",),
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical union of per-group frames (reference search.py:544-553)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", F.lit("open").alias("src"))
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", F.lit("done").alias("src"))
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# multi-table joins (beyond-reference relational surface; SURVEY §2.3 notes
+# the reference has only positional concat — a real engine needs real joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_3way_topk",
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY l_orderkey
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    tags=("join", "agg", "topk"),
+)
+def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + agg + top-k. Filter on the customer dim
+    is pushed down; customer side broadcasts (small after filter)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    rev = j.select("l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)").alias("r"))
+    agg = rev.groupBy("l_orderkey").agg(F.sum("r").cast("double").alias("revenue"))
+    return top_k(agg, "revenue", 10, tie_cols=["l_orderkey"])
+
+
+@register(
+    "join_broadcast_dims",
+    """SELECT r_name,
+              COUNT(*) AS n_customers,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+    tags=("join", "agg"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: fact joined to two broadcast dims — zero
+    shuffle on the dim side at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+    )
+
+
+@register(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+    tags=("agg", "flagship"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship scan+agg pattern: one
+    shuffle, map-side partial aggregation, decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast("decimal(18,6)")
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: time-window aggregation + JSON extraction
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and rebuild a microsecond
+    timestamp with integer division (ns epoch ≈ 1.7e18 would lose
+    precision in a double)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = _t(spark, sf_dir, "events")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return e
+
+
+@register(
+    "events_hourly_rollup",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2""",
+    tags=("events", "window-agg"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form; the streaming twin lives in
+    streaming/ with watermarks over the same expression). Hour emitted
+    as a formatted string so both engines agree on precision."""
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).cast("double").alias("sum_value"))
+
+
+@register(
+    "events_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events""",
+    tags=("events", "json"),
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from a JSON string column."""
+    e = _events(spark, sf_dir)
+    return e.select("event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# profiler primitives as queries (SURVEY §1.2-1.3 semantics, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"]
+
+_profile_oracle = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n, COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_val, CAST(MAX({c}) AS DOUBLE) AS max_val
+        FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_column_stats", _profile_oracle, tags=("profile",))
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling pass (reference spreadsheet.py:102-150): count,
+    distinct, min, max per column — ONE scan via struct-stack unpivot,
+    not one job per column."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, n, n_distinct, min_val, max_val)"
+    )
+
+
+_KEY_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+
+_key_oracle = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, COUNT(DISTINCT {c}) AS n_distinct,
+               COUNT(DISTINCT {c}) = COUNT(*) AS is_key
+        FROM customer"""
+    for c in _KEY_COLS
+)
+
+
+@register("profile_key_detection", _key_oracle, tags=("profile",))
+def q_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key election predicate (reference spreadsheet.py:89-127):
+    a column is key-eligible iff distinct == rowcount."""
+    c = _t(spark, sf_dir, "customer")
+    aggs = []
+    for col in _KEY_COLS:
+        aggs += [
+            F.countDistinct(F.col(col)).alias(f"{col}__nd"),
+            (F.countDistinct(F.col(col)) == F.count(F.lit(1))).alias(f"{col}__k"),
+        ]
+    row = c.agg(*aggs)
+    stack_args = ", ".join(f"'{col}', `{col}__nd`, `{col}__k`" for col in _KEY_COLS)
+    return row.selectExpr(f"stack({len(_KEY_COLS)}, {stack_args}) AS (col_name, n_distinct, is_key)")
+
+
+@register(
+    "dates_multi_format_parse",
+    """WITH formatted AS (
+         SELECT o_orderkey,
+                CASE CAST(o_orderkey % 3 AS INTEGER)
+                  WHEN 0 THEN strftime(o_orderdate, '%m/%d/%Y')
+                  WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE strftime(o_orderdate, '%d-%b-%Y')
+                END AS datestr
+         FROM orders
+       )
+       SELECT o_orderkey, datestr,
+              strftime(COALESCE(try_strptime(datestr, '%m/%d/%Y'),
+                                try_strptime(datestr, '%Y-%m-%d'),
+                                try_strptime(datestr, '%d-%b-%Y')), '%Y-%m-%d') AS parsed
+       FROM formatted""",
+    tags=("dates",),
+)
+def q_dates_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-family date parsing (reference utils.py:44-129, 8 regex
+    families): try each format, coalesce first hit — pure column
+    expressions, no UDF."""
+    o = _t(spark, sf_dir, "orders")
+    formatted = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.date_format("o_orderdate", "dd-MMM-yyyy"))
+        .alias("datestr"),
+    )
+    parsed = F.expr(
+        "date_format(coalesce(try_to_date(datestr, 'MM/dd/yyyy'),"
+        " try_to_date(datestr, 'yyyy-MM-dd'),"
+        " try_to_date(datestr, 'dd-MMM-yyyy')), 'yyyy-MM-dd')"
+    )
+    return formatted.select("o_orderkey", "datestr", parsed.alias("parsed"))
+
+
+# ---------------------------------------------------------------------------
+# scoring primitives (SURVEY §2.4) — identical SQL text on both engines
+# (their determinism rides on the exact expression tree)
+# ---------------------------------------------------------------------------
+
+_sql_both(
+    "scoring_hist2d",
+    """WITH pts AS (SELECT l_extendedprice AS x, l_quantity AS y FROM lineitem),
+            m AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax FROM pts)
+       SELECT LEAST(CAST(FLOOR((x - xmin) / (xmax - xmin) * 10) AS BIGINT), 9) AS bin_x,
+              LEAST(CAST(FLOOR((y - ymin) / (ymax - ymin) * 10) AS BIGINT), 9) AS bin_y,
+              COUNT(*) AS n
+       FROM pts, m
+       GROUP BY 1, 2""",
+    ("lineitem",),
+    tags=("scoring",),
+)
+
+# Moments from raw power sums: l_quantity is integer-valued so s1..s4 are
+# exact in doubles (< 2^53) → downstream arithmetic is bit-deterministic.
+_sql_both(
+    "scoring_moments",
+    """WITH s AS (
+         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                SUM(l_quantity) AS s1,
+                SUM(l_quantity * l_quantity) AS s2,
+                SUM(l_quantity * l_quantity * l_quantity) AS s3,
+                SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+         FROM lineitem
+       )
+       SELECT n,
+              s1 / n AS mean,
+              s2 / n - (s1 / n) * (s1 / n) AS var_pop,
+              (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                / SQRT((s2 / n - (s1 / n) * (s1 / n))
+                     * (s2 / n - (s1 / n) * (s1 / n))
+                     * (s2 / n - (s1 / n) * (s1 / n))) AS skew_pop,
+              (s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                 - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS kurt_pop
+       FROM s""",
+    ("lineitem",),
+    tags=("scoring",),
+)
+
+# Pearson correlation from exact integer power sums (quantity × linenumber).
+_sql_both(
+    "scoring_correlation",
+    """WITH s AS (
+         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                SUM(l_quantity) AS sx, SUM(l_linenumber) AS sy,
+                SUM(l_quantity * l_quantity) AS sxx,
+                SUM(l_linenumber * l_linenumber) AS syy,
+                SUM(l_quantity * l_linenumber) AS sxy
+         FROM lineitem
+       )
+       SELECT (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r
+       FROM s""",
+    ("lineitem",),
+    tags=("scoring",),
+)
+
+
+# ---------------------------------------------------------------------------
+# registry accessors for __spark_entry__
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.spark for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
