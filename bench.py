@@ -1,0 +1,97 @@
+"""Benchmark harness: runs the registry's queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is forced end-to-end with the "noop" sink (computes every
+output column and row, no driver collect) so timings reflect the full
+plan, not a pruned count(*).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from __spark_entry__ import queries  # noqa: E402
+
+from data_transformation_2022_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator class (scan/project, arithmetic, rank,
+# group-agg, sort/top-k, join, events, profiling, scoring) plus extension
+# queries when present. Names absent from the registry are skipped so the
+# bench never breaks as coverage grows round over round.
+HEADLINE = [
+    "basic_select_like",
+    "basic_hmul",
+    "basic_div",
+    "basic_rank",
+    "basic_nominalize",
+    "basic_rid_concat",
+    "agg_group_sum",
+    "agg_group_count",
+    "sort_with_position",
+    "topk_by_value",
+    "set_union_all",
+    "join_3way_topk",
+    "join_broadcast_dims",
+    "tpch_q1",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "profile_column_stats",
+    "dates_multi_format_parse",
+    "scoring_hist2d",
+    "scoring_moments",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "sim_cosine_topk",
+    "emb_neardup_pairs",
+    "coret_pca",
+    "coret_kmeans",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM/codegen path once so per-query timings are steady-state.
+    qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_query_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
