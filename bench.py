@@ -54,7 +54,9 @@ HEADLINE = [
     "text_langid",
     "text_fingerprint",
     "sim_cosine_topk",
-    "emb_neardup_pairs",
+    "sim_ann_topk_fast",
+    "sim_lsh_neardup",
+    "dedup_ngram_jaccard",
     "coret_pca",
     "coret_kmeans",
 ]

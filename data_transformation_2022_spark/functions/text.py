@@ -1,0 +1,90 @@
+"""Text-analysis column functions for large-scale corpus pipelines:
+tokenization, quality features, language-ID heuristic, fingerprinting.
+
+All pure Spark SQL expressions (JVM-side, whole-stage codegen) — no
+Python UDFs in the hot path. Deterministic by construction so results
+are reproducible across engines and runs; hashes go through MD5 (stable
+everywhere) rather than engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fixed stopword list (order matters nowhere; membership only).
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+# Language marker words for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def tokens_ws(text: Column) -> Column:
+    """Whitespace tokenization with empty-token filtering."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def tokens_bpeish(text: Column) -> Column:
+    """BPE-ish pre-tokenization: runs of letters, runs of digits, or a
+    single non-alnum-non-space char each count as one token (the classic
+    GPT-2-style pre-tokenizer shape, regex-only)."""
+    return F.regexp_extract_all(text, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+
+
+def stopword_count(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring features (length / punctuation / stopword ratios).
+    Deterministic ratio arithmetic; combine downstream into any score."""
+    toks = tokens_ws(F.lower(text))
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "avg_token_len": F.when(
+            n_tokens > 0,
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)) / n_tokens,
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def langid_heuristic(text: Column) -> Column:
+    """Marker-word language ID: count hits per language's marker set,
+    argmax with fixed tie-break order (en > de > es > fr > unknown)."""
+    toks = tokens_ws(F.lower(text))
+
+    def _in(words: tuple[str, ...]):
+        return lambda t: t.isin(*words)
+
+    hits = {lang: F.size(F.filter(toks, _in(words))) for lang, words in LANG_MARKERS.items()}
+    top = F.greatest(*hits.values())
+    out = F.when(top == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # declaration order is the tie-break order
+        out = out.when(hits[lang] == top, F.lit(lang))
+    return out
+
+
+def md5_prefix_long(col: Column, hex_digits: int = 15) -> Column:
+    """First ``hex_digits`` hex chars of md5 as a non-negative BIGINT.
+    15 hex digits = 60 bits, safely inside int64 — and reproducible in
+    any engine with an md5 function."""
+    return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("bigint")
+
+
+def fingerprint64(text: Column) -> Column:
+    """Content fingerprint of whitespace-normalized lowercase text."""
+    norm = F.concat_ws(" ", tokens_ws(F.lower(text)))
+    return md5_prefix_long(norm, 15)

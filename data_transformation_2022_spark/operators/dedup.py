@@ -1,0 +1,146 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Five strategies, all shuffle-conscious:
+
+* **exact** — group by normalized-content fingerprint; one shuffle on a
+  64-bit key (never on the full text), keep the min-id representative.
+* **MinHash + LSH** — word-shingle → k MinHash values → banded signature
+  → bucket-join candidates. Candidate generation touches only
+  (bands × docs) rows; no all-pairs comparison ever materializes, which
+  is the property that survives 100 TB.
+* **SimHash** — frequency-weighted 32-bit fingerprint; near-dups share
+  close fingerprints (bucket by prefix at scale).
+* **n-gram Jaccard** — exact set overlap via a shingle equi-join
+  (output-bounded: only pairs sharing ≥1 shingle are generated).
+* **embedding cosine** — see similarity.py; near-dup = cosine ≥ τ.
+
+Hashes are MD5-based (stable across engines/runs); signatures are plain
+columns so every stage is checkable against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint64, md5_prefix_long, tokens_ws
+
+DEFAULT_SHINGLE = 3
+DEFAULT_K = 16  # minhash functions
+DEFAULT_BANDS = 4  # LSH bands (rows per band = K / BANDS)
+
+
+def word_shingles(text: F.Column, n: int = DEFAULT_SHINGLE) -> F.Column:
+    """Distinct n-word shingles of lowercase whitespace tokens."""
+    toks = tokens_ws(F.lower(text))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
+    return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(F.array()))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized content: fingerprint → groupBy(hash).
+    Shuffles 8-byte keys, not documents. Returns one row per distinct
+    content with the minimum id as representative and the duplicate count.
+    """
+    fp = df.select(F.col(id_col), fingerprint64(F.col(text_col)).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, shingle: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """Per-document MinHash signature: sig_i = min over shingles of
+    md5('i:' + shingle) (first 8 hex chars as int). Computed with an
+    explode + single groupBy — one shuffle keyed by doc id."""
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle)).alias("sh"))
+    aggs = [
+        F.min(md5_prefix_long(F.concat(F.lit(f"{i}:"), F.col("sh")), 8)).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band the signature (bands × (k/bands) rows), bucket by band hash,
+    self-join within buckets → distinct candidate pairs (id_a < id_b).
+    The join key is (band index, band hash): collisions are rare, so the
+    join output is near-linear in true near-duplicates."""
+    r = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * r + j}").cast("string") for j in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("bh"))
+        )
+    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Frequency-weighted SimHash: per token hash h = md5 first 8 hex;
+    bit j of the fingerprint is 1 iff Σ_tokens (2·bit_j(h) − 1) > 0.
+    Explode + one groupBy with ``bits`` integer sums — exact integer
+    arithmetic, engine-portable."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok")
+    ).withColumn("h", md5_prefix_long(F.col("tok"), 8))
+    aggs = [
+        F.sum(
+            (F.floor(F.col("h") / F.lit(2**j)) % 2) * 2 - 1
+        ).alias(f"w{j}")
+        for j in range(bits)
+    ]
+    weights = toks.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"w{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return weights.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    shingle equi-join → per-pair intersection count → Jaccard via
+    |A∩B| / (|A| + |B| − |A∩B|). Output-bounded: pairs with zero overlap
+    never exist. At extreme scale, run after LSH candidate filtering.
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three paths:
+
+* **Brute-force cosine top-k (exact, oracle-checkable)** — query-set ×
+  corpus join with a DECIMAL-accumulator cosine: bit-identical across
+  engines and evaluation orders. Per-vector norms are computed once and
+  joined in (same values as per-pair computation, 3× less fold work).
+* **Brute-force top-k (fast path)** — Arrow-batched ``mapInPandas``
+  with numpy/BLAS matmul against a broadcast query matrix: the
+  throughput path; ~100× the HOF fold. Distributed: each partition
+  scores its own corpus slice, then a global top-k per query.
+* **Random-hyperplane LSH buckets (scale path)** — Pandas-UDF signature
+  over seeded hyperplanes; candidates only within equal buckets, so the
+  all-pairs blowup disappears. Recall < 1 by design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot_exact, norm_exact
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
+    return df.select(F.col(id_col), F.col(vec_col), norm_exact(F.col(vec_col)).alias(out))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine similarity.
+
+    Rounded before ranking (with id tie-break) so the top-k set is
+    deterministic under float noise. Query side broadcasts; the corpus
+    never shuffles before the final (tiny) top-k exchange."""
+    q = _with_norm(queries, id_col, vec_col, "qn").withColumnsRenamed(
+        {id_col: "query_id", vec_col: "qv"}
+    )
+    c = _with_norm(corpus, id_col, vec_col, "cn").withColumnsRenamed(
+        {id_col: "cand_id", vec_col: "cv"}
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                dot_exact(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, round_digits: int = 6
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — exact all-pairs
+    form for bounded corpora; compose with LSH buckets at scale."""
+    a = _with_norm(df, id_col, vec_col, "na").withColumnsRenamed({id_col: "id_a", vec_col: "va"})
+    b = _with_norm(df, id_col, vec_col, "nb").withColumnsRenamed({id_col: "id_b", vec_col: "vb"})
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sims = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(dot_exact(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits).alias(
+            "cosine"
+        ),
+    )
+    return sims.filter(F.col("cosine") >= threshold)
+
+
+def ann_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Throughput-path brute-force top-k: numpy matmul per Arrow batch
+    against a driver-broadcast query matrix, then a global per-query
+    top-k. Exact same neighbors as the decimal path up to float noise
+    (rows-only checked; the decimal path is the cross-engine oracle)."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, mat = bq.value
+        for pdf in batches:
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ mat.T  # (batch, nq)
+            for qi, qid in enumerate(ids):
+                col = sims[:, qi]
+                n = min(k + 1, len(col))
+                top = np.argpartition(-col, n - 1)[:n]
+                out = pd.DataFrame(
+                    {
+                        "query_id": int(qid),
+                        "cand_id": pdf[id_col].iloc[top].to_numpy(),
+                        "cosine": col[top],
+                    }
+                )
+                yield out[out.cand_id != qid]
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, cand_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def lsh_bucket_signatures(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """B-bit random-hyperplane signature per vector via a vectorized
+    Pandas UDF (one matmul per Arrow batch). Seeded → reproducible."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(dim_row[0]["d"]) if dim_row else 0
+    planes = np.random.RandomState(seed).normal(size=(dim, n_planes))
+    sc = df.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+    powers = np.power(2.0, np.arange(n_planes))
+
+    @F.pandas_udf("bigint")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (mat @ bp.value) > 0
+        return pd.Series((bits @ powers).astype("int64"))
+
+    return df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket"))
+
+
+def lsh_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, n_planes: int = 8
+) -> DataFrame:
+    """Approximate near-dup pairs: bucket by hyperplane signature, then
+    exact cosine only within buckets — the 100 TB path (the bucket join
+    replaces the all-pairs cross join)."""
+    sigs = lsh_bucket_signatures(df, id_col, vec_col, n_planes)
+    a = sigs.withColumnsRenamed({id_col: "id_a", vec_col: "va"})
+    b = sigs.withColumnsRenamed({id_col: "id_b", vec_col: "vb"})
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    sims = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(dot_exact(F.col("va"), F.col("vb")) / (norm_exact(F.col("va")) * norm_exact(F.col("vb"))), 6).alias("cosine"),
+    )
+    return sims.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine").distinct()

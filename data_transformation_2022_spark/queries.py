@@ -654,6 +654,336 @@ _sql_both(
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline extensions: text analysis / dedup / similarity
+# (north-star operators beyond the reference surface)
+# ---------------------------------------------------------------------------
+
+# DuckDB fragments mirroring functions/text.py exactly.
+_DD_TOKS = "list_filter(string_split_regex(trim(lower({t})), '\\s+'), t -> t <> '')"
+_DD_SHINGLES = (
+    "list_distinct(list_transform(range(1, len({w}) - 1),"
+    " i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+)
+
+
+def _dd_md5_long(expr: str, hex_digits: int) -> str:
+    return f"('0x' || substr(md5({expr}), 1, {hex_digits}))::BIGINT"
+
+
+@register(
+    "text_quality_score",
+    f"""SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               LEN({_DD_TOKS.format(t='text')}) AS n_tokens,
+               CASE WHEN LEN({_DD_TOKS.format(t='text')}) > 0
+                    THEN CAST(LEN(list_filter({_DD_TOKS.format(t='text')},
+                              t -> t IN ('the','a','an','of','to','and','in','is','on','for'))) AS DOUBLE)
+                         / LEN({_DD_TOKS.format(t='text')})
+                    ELSE 0.0 END AS stopword_ratio
+        FROM documents""",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: char length, token count, stopword ratio —
+    pure codegen'd expressions, no UDF."""
+    from .functions.text import STOPWORDS, tokens_ws
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_ws(F.lower(F.col("text")))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+@register(
+    "text_token_counts",
+    f"""SELECT doc_id,
+               LEN({_DD_TOKS.format(t='text')}) AS n_ws_tokens,
+               LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish_tokens
+        FROM documents""",
+    tags=("text",),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace and BPE-ish regex pre-tokenization."""
+    from .functions.text import tokens_bpeish, tokens_ws
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens_ws(F.lower(F.col("text")))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_bpeish_tokens"
+        ),
+    )
+
+
+_LANG_CASES = {
+    "en": "('the','and','of','is','to')",
+    "de": "('der','die','und','das','ist')",
+    "es": "('el','la','de','que','los')",
+    "fr": "('le','la','et','les','des')",
+}
+_lang_hits = {
+    lang: f"LEN(list_filter({_DD_TOKS.format(t='text')}, t -> t IN {words}))"
+    for lang, words in _LANG_CASES.items()
+}
+_lang_top = f"GREATEST({', '.join(_lang_hits.values())})"
+_lang_case = "CASE WHEN " + _lang_top + " = 0 THEN 'und' " + " ".join(
+    f"WHEN {_lang_hits[lang]} = {_lang_top} THEN '{lang}'" for lang in _LANG_CASES
+) + " END"
+
+
+@register(
+    "text_langid",
+    f"""SELECT doc_id, {_lang_case} AS lang_pred FROM documents""",
+    tags=("text",),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (argmax hits, fixed tie-break)."""
+    from .functions.text import langid_heuristic
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", langid_heuristic(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    f"""SELECT doc_id,
+               {_dd_md5_long(f"array_to_string({_DD_TOKS.format(t='text')}, ' ')", 15)} AS fp
+        FROM documents""",
+    tags=("text", "dedup"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit-safe content fingerprint of normalized text (md5-based,
+    engine-portable)."""
+    from .functions.text import fingerprint64
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint64(F.col("text")).alias("fp"))
+
+
+@register(
+    "dedup_exact_text",
+    f"""WITH fp AS (
+          SELECT doc_id,
+                 {_dd_md5_long(f"array_to_string({_DD_TOKS.format(t='text')}, ' ')", 15)} AS fp
+          FROM documents)
+        SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM fp GROUP BY fp""",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, min-id representative.
+    Shuffles 8-byte keys, never documents."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_MINHASH_K = 16
+_mh_sig_cols = ",\n".join(
+    "  MIN({h}) AS sig_{i}".format(h=_dd_md5_long("'%d:' || sh" % i, 8), i=i)
+    for i in range(_MINHASH_K)
+)
+_MH_SIG_SQL = f"""WITH toks AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, UNNEST({_DD_SHINGLES.format(w='w')}) AS sh FROM toks
+)
+SELECT doc_id,
+{_mh_sig_cols}
+FROM sh GROUP BY doc_id"""
+
+
+@register("dedup_minhash_signatures", _MH_SIG_SQL, tags=("dedup",))
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16) over distinct 3-word shingles — the
+    full shingle→hash→min pipeline checked value-for-value."""
+    from .operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", k=_MINHASH_K)
+
+
+_mh_bands = []
+for _b in range(4):
+    _parts = " || '_' || ".join(f"sig_{_b * 4 + _j}::VARCHAR" for _j in range(4))
+    _mh_bands.append(
+        f"SELECT doc_id, {_b} AS band, md5({_parts}) AS bh FROM sigs"
+    )
+_MH_PAIRS_SQL = f"""WITH toks AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, UNNEST({_DD_SHINGLES.format(w='w')}) AS sh FROM toks
+), sigs AS (
+  SELECT doc_id,
+{_mh_sig_cols}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  {' UNION ALL '.join(_mh_bands)}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
+
+
+@register("dedup_minhash_lsh", _MH_PAIRS_SQL, tags=("dedup",))
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: banded MinHash signatures (4 bands × 4 rows),
+    bucket-join — candidate generation without any all-pairs comparison."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", k=_MINHASH_K)
+    return lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
+
+
+_SIMHASH_BITS = 32
+_sh_weights = ",\n".join(
+    f"  SUM((h // {2**j}) % 2 * 2 - 1) AS w{j}" for j in range(_SIMHASH_BITS)
+)
+_sh_terms = " + ".join(
+    f"CASE WHEN w{j} > 0 THEN {2**j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+)
+_SIMHASH_SQL = f"""WITH t AS (
+  SELECT doc_id, UNNEST({_DD_TOKS.format(t='text')}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, {_dd_md5_long('tok', 8)} AS h FROM t
+), w AS (
+  SELECT doc_id,
+{_sh_weights}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_sh_terms} AS BIGINT) AS simhash FROM w"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL, tags=("dedup",))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted 32-bit SimHash per document — exact integer
+    arithmetic end to end."""
+    from .operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+_JACCARD_SQL = f"""WITH toks AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, UNNEST({_DD_SHINGLES.format(w='w')}) AS sh FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.005"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL, tags=("dedup",))
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for every pair sharing ≥1 shingle —
+    output-bounded shingle equi-join, no all-pairs blowup."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.005
+    )
+
+
+_COS_ELEMS = """pairs AS (
+  SELECT query_id, cand_id, qv, cv FROM c, q WHERE cand_id <> query_id
+), elem AS (
+  SELECT query_id, cand_id, UNNEST(qv) AS qe, UNNEST(cv) AS ce FROM pairs
+), sums AS (
+  SELECT query_id, cand_id,
+    CAST(SUM(CAST(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS qq,
+    CAST(SUM(CAST(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS cc
+  FROM elem GROUP BY 1, 2
+)"""
+
+_SIM_TOPK_SQL = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+), {_COS_ELEMS},
+sims AS (
+  SELECT query_id, cand_id, ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) AS cosine FROM sums
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM sims
+) WHERE rank <= 5"""
+
+
+@register("sim_cosine_topk", _SIM_TOPK_SQL, tags=("similarity",))
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors. Decimal-exact
+    dot/norm folds → bit-identical cosines across engines; rounded
+    before ranking with id tie-break for a deterministic top-k set."""
+    from .operators.similarity import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+_NEARDUP_SQL = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+), {_COS_ELEMS},
+sims AS (
+  SELECT query_id AS id_a, cand_id AS id_b,
+         ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) AS cosine
+  FROM sums WHERE query_id < cand_id
+)
+SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.4"""
+
+
+@register("emb_neardup_pairs", _NEARDUP_SQL, tags=("similarity", "dedup"))
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs exact form; the
+    LSH-bucketed variant is the scale path, see similarity.py)."""
+    from .operators.similarity import cosine_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+@register("sim_ann_topk_fast", None, tags=("similarity", "approx"))
+def q_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput-path brute-force top-k (numpy/BLAS per Arrow batch,
+    broadcast query matrix). Same neighbors as sim_cosine_topk up to
+    float noise → rows-only check; the decimal path is the oracle."""
+    from .operators.similarity import ann_topk_fast
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk_fast(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
+
+
+@register("sim_lsh_neardup", None, tags=("similarity", "approx"))
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup via random-hyperplane LSH buckets (recall<1
+    by design → rows-only check; exactness is covered by emb_neardup_pairs)."""
+    from .operators.similarity import lsh_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(e, "vec_id", "embedding", threshold=0.4, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
 # registry accessors for __spark_entry__
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,130 @@
+"""Unit tests for the LLM-pipeline extension operators (text analysis,
+dedup, similarity) on small hand-built frames with known answers."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_transformation_2022_spark.functions.text import (
+    fingerprint64,
+    langid_heuristic,
+    tokens_ws,
+)
+from data_transformation_2022_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from data_transformation_2022_spark.operators.similarity import (
+    ann_topk_fast,
+    cosine_neardup_pairs,
+    cosine_topk_bruteforce,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+                    "the quick brown fox jumps over a sleepy dog",  # near dup
+                    "completely different words entirely here now",
+                ],
+            }
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_tokens_and_fingerprint(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["  Hello   World ", "hello world"]}))
+    out = df.select(
+        F.size(tokens_ws(F.col("t"))).alias("n"), fingerprint64(F.col("t")).alias("fp")
+    ).collect()
+    assert [r["n"] for r in out] == [2, 2]
+    # same normalized content → same fingerprint
+    assert out[0]["fp"] == out[1]["fp"] and out[0]["fp"] >= 0
+
+
+def test_langid_marker_words(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "t": [
+                    "the cat and the hat is here",
+                    "der hund und die katze ist da",
+                    "xyzzy plugh",
+                ]
+            }
+        )
+    )
+    out = [r[0] for r in df.select(langid_heuristic(F.col("t"))).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_exact_dedup_groups(docs):
+    out = exact_dedup(docs, "doc_id", "text").orderBy("keep_id").collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    assert by_keep == {1: 2, 3: 1, 4: 1}  # docs 1+2 collapse
+
+
+def test_minhash_near_dup_similarity(docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", k=16)
+    rows = {r["doc_id"]: [r[f"sig_{i}"] for i in range(16)] for r in sigs.collect()}
+    same = sum(a == b for a, b in zip(rows[1], rows[2]))
+    near = sum(a == b for a, b in zip(rows[1], rows[3]))
+    far = sum(a == b for a, b in zip(rows[1], rows[4]))
+    assert same == 16  # identical docs → identical signature
+    assert near > far  # near dup agrees on more minhashes than unrelated
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in pairs
+
+
+def test_simhash_distance(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])
+
+
+def test_ngram_jaccard_values(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.0 < out[(1, 3)] < 1.0
+    assert (1, 4) not in out
+
+
+def test_cosine_topk_and_neardup(vecs):
+    top = cosine_topk_bruteforce(vecs, vecs.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=1).collect()
+    assert len(top) == 1 and top[0]["cand_id"] == 2
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(vecs, "vec_id", "embedding", 0.9).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_ann_fast_matches_exact(vecs):
+    exact = cosine_topk_bruteforce(vecs, vecs, "vec_id", "embedding", k=2)
+    fast = ann_topk_fast(vecs, vecs, "vec_id", "embedding", k=2)
+    e = {(r["query_id"], r["rank"]): r["cand_id"] for r in exact.collect()}
+    f = {(r["query_id"], r["rank"]): r["cand_id"] for r in fast.collect()}
+    assert e == f
