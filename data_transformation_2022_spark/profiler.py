@@ -1,0 +1,335 @@
+"""Table profiler: semantic column typing, key election, and column
+clustering — the Spark re-expression of the reference's
+``spreadsheet.parsedata`` (reference ``spreadsheet.py:46-274``).
+
+Design for scale:
+
+* **One aggregate pass** computes count / distinct / min / max for every
+  column simultaneously (the reference iterates per column over pandas).
+  Distinct counts use ``approx_count_distinct`` first; only columns whose
+  approximate count is near the row count get an exact confirmation pass
+  (key election must be exact).
+* **Date inference** trial-parses the reference's format families
+  (``utils.py:44-129``) with ``try_to_date`` over a bounded sample.
+* **Column clustering** (the metadata the path enumerator consumes) runs
+  driver-side over O(cols²) statistics: Wasserstein distances from
+  ``approxQuantile`` sketches (W1 = mean |q_a − q_b| on a quantile grid),
+  a small hand-rolled DBSCAN (sklearn-free), unit-suffix groups from
+  ``name(unit)`` headers, and shared-substring name groups. The word2vec
+  name-semantics clustering of the reference (``utils.py:13``) needs an
+  external model and is intentionally optional — substring+unit groups
+  cover the same enumeration role.
+
+Differences from the reference, on purpose (SURVEY §1.2): nominal columns
+keep their native Spark type plus a ``semantic`` tag instead of being
+destructively cast to object; no 400-row truncation — the nominal
+threshold applies to the true row count.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NOMINAL_STD = 0.05  # reference NOMINALSTD (config.py:2)
+POTENTIAL_IDX = ("idx", "index", "epoch", "no", "no.")  # reference config.py:4
+FLOAT_CAN_BE_KEY = False  # reference config.py:14
+
+# The reference's 8 date regex families (utils.py:44-129) expressed as
+# Spark datetime patterns for try_to_date trial parsing.
+DATE_FORMATS = (
+    "M/d/yyyy",
+    "M/d/yy",
+    "yyyy/M/d",
+    "yyyy-M-d",
+    "M-d-yyyy",
+    "d-MMM-yyyy",
+    "MMM d, yyyy",
+    "yyyy",
+)
+_YEAR_RE = re.compile(r"^(18|19|20)\d\d$")
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+@dataclass
+class ColumnProfile:
+    name: str
+    spark_type: str
+    semantic: str  # date | str | nominal | int | real | other
+    n_distinct: int
+    min_val: object = None
+    max_val: object = None
+    is_key: bool = False
+    date_format: str | None = None
+    domain: list | None = None  # populated only for small domains
+
+
+@dataclass
+class TableProfile:
+    n_rows: int
+    columns: dict[str, ColumnProfile]
+    key: str | None
+    num_col_names: list[str] = field(default_factory=list)
+    dim_clusters: list[list[str]] = field(default_factory=list)  # distribution-based
+    name_clusters: list[list[str]] = field(default_factory=list)  # header-text-based
+
+    def column(self, name: str) -> ColumnProfile:
+        return self.columns[name]
+
+    def nominal_cols(self) -> list[str]:
+        return [c for c, p in self.columns.items() if p.semantic == "nominal"]
+
+
+def _base_type(t: str) -> str:
+    return t.split("(")[0]
+
+
+def profile_table(
+    df: DataFrame,
+    nominal_std: float = NOMINAL_STD,
+    nominal_abs_cap: int = 20,
+    max_domain: int = 64,
+    date_sample: int = 1000,
+    cluster: bool = True,
+) -> TableProfile:
+    """Profile a table in O(1) aggregate passes (reference: per-column
+    pandas loops over a 400-row frame).
+
+    Nominal rule: distinct ≤ min(nominal_std·rows, nominal_abs_cap).
+    The reference uses the pure percentage (config.py:2) on ≤400 rows;
+    at scale 5% of the row count stops meaning "category-coded", so an
+    absolute cap carries the intended semantics."""
+    cols = [c for c, _ in df.dtypes if c != "__rid"]
+    dtypes = dict(df.dtypes)
+
+    # ---- pass 1: count + approx distinct + min/max for all columns ----
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__ad"))
+        aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+    row = df.agg(*aggs).collect()[0]
+    n_rows = row["__n"]
+
+    # ---- exact distinct confirmation where key election needs it ----
+    # approx_count_distinct error ≤ ~5%; anything within 10% of n_rows or
+    # under the nominal threshold gets an exact count in one extra pass.
+    nominal_cap = min(nominal_std * n_rows, float(nominal_abs_cap))
+    need_exact = [
+        c
+        for c in cols
+        if row[f"{c}__ad"] >= 0.9 * n_rows or row[f"{c}__ad"] <= nominal_cap * 1.5
+    ]
+    exact: dict[str, int] = {}
+    if need_exact:
+        erow = df.agg(
+            *[F.countDistinct(F.col(c)).alias(c) for c in need_exact]
+        ).collect()[0]
+        exact = {c: erow[c] for c in need_exact}
+
+    # ---- date-format detection for string columns (bounded sample) ----
+    date_fmt: dict[str, str] = {}
+    str_cols = [c for c in cols if _base_type(dtypes[c]) == "string"]
+    if str_cols:
+        sample = df.select(*[F.col(c) for c in str_cols]).limit(date_sample)
+        fmt_aggs = []
+        for c in str_cols:
+            fmt_aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+            for i, fmt in enumerate(DATE_FORMATS):
+                if fmt == "yyyy":
+                    ok = F.col(c).rlike(r"^(18|19|20)\d\d$")
+                else:
+                    ok = F.expr(f"try_to_date(`{c}`, '{fmt}')").isNotNull()
+                fmt_aggs.append(F.sum(ok.cast("int")).alias(f"{c}__f{i}"))
+        frow = sample.agg(*fmt_aggs).collect()[0]
+        for c in str_cols:
+            nn = frow[f"{c}__nn"] or 0
+            if nn == 0:
+                continue
+            for i, fmt in enumerate(DATE_FORMATS):
+                if (frow[f"{c}__f{i}"] or 0) == nn:
+                    date_fmt[c] = fmt
+                    break
+
+    # ---- semantic typing + key election (reference spreadsheet.py:60-177) --
+    profiles: dict[str, ColumnProfile] = {}
+    key: str | None = None
+    key_kind: str | None = None  # 'str' beats 'int' beats none (ref :89-127)
+    for c in cols:
+        t = _base_type(dtypes[c])
+        nd = exact.get(c, row[f"{c}__ad"])
+        semantic: str
+        if t == "string":
+            semantic = "date" if c in date_fmt else "str"
+            if semantic == "str" and nd <= nominal_cap:
+                semantic = "nominal"
+            if semantic == "str" and nd == n_rows and key_kind != "str":
+                key, key_kind = c, "str"
+        elif t in ("tinyint", "smallint", "int", "bigint"):
+            semantic = "int"
+            if nd == n_rows and key_kind is None:
+                key, key_kind = c, "int"
+            elif nd <= nominal_cap:
+                semantic = "nominal"
+        elif t in ("float", "double", "decimal"):
+            semantic = "real"
+            if nd <= nominal_cap:
+                semantic = "nominal"
+            elif FLOAT_CAN_BE_KEY and nd == n_rows and key_kind is None:
+                key, key_kind = c, "float"
+        elif t in ("timestamp", "timestamp_ntz", "date"):
+            semantic = "date"
+        else:
+            semantic = "other"
+        profiles[c] = ColumnProfile(
+            name=c,
+            spark_type=dtypes[c],
+            semantic=semantic,
+            n_distinct=int(nd),
+            min_val=row[f"{c}__min"],
+            max_val=row[f"{c}__max"],
+            date_format=date_fmt.get(c),
+        )
+    if key:
+        profiles[key].is_key = True
+
+    # ---- small-domain materialization for nominal columns ----
+    nominal_small = [c for c, p in profiles.items() if p.semantic == "nominal" and p.n_distinct <= max_domain]
+    for c in nominal_small:
+        vals = [r[0] for r in df.select(c).distinct().orderBy(c).collect()]
+        profiles[c].domain = vals
+
+    num_cols = [
+        c
+        for c, p in profiles.items()
+        if p.semantic in ("int", "real") and not p.is_key and c.lower() not in POTENTIAL_IDX
+    ]
+
+    tp = TableProfile(
+        n_rows=int(n_rows),
+        columns=profiles,
+        key=key,
+        num_col_names=num_cols,
+    )
+    if cluster and len(num_cols) >= 2:
+        tp.dim_clusters = _dim_clusters(df, num_cols)
+    tp.name_clusters = _name_clusters(num_cols)
+    # keep only clusters of ≥2 (reference clearclusters, spreadsheet.py:277-282)
+    tp.dim_clusters = [g for g in tp.dim_clusters if len(g) >= 2]
+    tp.name_clusters = [g for g in tp.name_clusters if len(g) >= 2]
+    return tp
+
+
+# ---------------------------------------------------------------------------
+# distribution clustering: quantile-sketch Wasserstein + mini DBSCAN
+# ---------------------------------------------------------------------------
+
+
+def wasserstein_matrix(df: DataFrame, cols: list[str], n_q: int = 33) -> np.ndarray:
+    """Pairwise W1 distance between min-max-normalized column
+    distributions, from approxQuantile sketches — one sketch pass, then
+    driver-side O(cols²·n_q) numpy (reference: exact scipy Wasserstein
+    over raw 400-row columns, spreadsheet.py:187-190)."""
+    probs = list(np.linspace(0.0, 1.0, n_q))
+    qs = df.stat.approxQuantile(cols, probs, 0.01)
+    mat = np.zeros((len(cols), len(cols)))
+    norm_qs = []
+    for q in qs:
+        arr = np.array(q, dtype=float)
+        lo, hi = arr.min(), arr.max()
+        norm_qs.append((arr - lo) / (hi - lo) if hi > lo else arr * 0.0)
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            d = float(np.mean(np.abs(norm_qs[i] - norm_qs[j])))
+            mat[i, j] = mat[j, i] = d
+    return mat
+
+
+def dbscan_labels(dist: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """Minimal DBSCAN over a precomputed distance matrix (sklearn-free;
+    the matrix is #columns², i.e. metadata-sized)."""
+    n = dist.shape[0]
+    labels = np.full(n, -1)
+    visited = np.zeros(n, dtype=bool)
+    cluster = 0
+    for p in range(n):
+        if visited[p]:
+            continue
+        visited[p] = True
+        neigh = list(np.where(dist[p] <= eps)[0])
+        if len(neigh) < min_samples:
+            continue
+        labels[p] = cluster
+        queue = [q for q in neigh if q != p]
+        while queue:
+            q = queue.pop()
+            if not visited[q]:
+                visited[q] = True
+                q_neigh = list(np.where(dist[q] <= eps)[0])
+                if len(q_neigh) >= min_samples:
+                    queue.extend(x for x in q_neigh if labels[x] == -1)
+            if labels[q] == -1:
+                labels[q] = cluster
+        cluster += 1
+    return labels
+
+
+def _dim_clusters(df: DataFrame, num_cols: list[str], eps: float = 0.05, min_samples: int = 2) -> list[list[str]]:
+    """Distribution-matching groups (reference dim_match.clusters,
+    spreadsheet.py:197-213): DBSCAN over columns with Wasserstein metric,
+    plus the all-numeric group and unit-suffix groups."""
+    clusters: list[list[str]] = []
+    if len(num_cols) >= 2:
+        mat = wasserstein_matrix(df, num_cols)
+        labels = dbscan_labels(mat, eps=eps, min_samples=min_samples)
+        for lab in sorted(set(labels) - {-1}):
+            clusters.append([num_cols[i] for i in np.where(labels == lab)[0]])
+    if len(num_cols) >= 2 and num_cols not in clusters:
+        clusters.append(list(num_cols))  # all-numeric group (ref :212-213)
+    clusters.extend(_unit_clusters(num_cols))
+    return _dedup_groups(clusters)
+
+
+def _unit_clusters(cols: list[str]) -> list[list[str]]:
+    """Columns sharing a trailing "(unit)" in the header text
+    (reference spreadsheet.py:217-228)."""
+    by_unit: dict[str, list[str]] = {}
+    for c in cols:
+        m = re.search(r"\(([^)]*)\)\s*$", c)
+        if m:
+            by_unit.setdefault(m.group(1).strip().lower(), []).append(c)
+    return [g for g in by_unit.values() if len(g) >= 2]
+
+
+def _name_clusters(cols: list[str]) -> list[list[str]]:
+    """Shared-substring header groups (reference spreadsheet.py:256-262):
+    columns grouped by a common alphabetic substring of ≥3 chars
+    (pairwise longest-common-substring, driver-side O(cols²·len²) over
+    metadata)."""
+    from difflib import SequenceMatcher
+
+    groups: dict[str, set[str]] = {}
+    lowers = {c: re.sub(r"[^a-z]", " ", c.lower()) for c in cols}
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            m = SequenceMatcher(None, lowers[a], lowers[b]).find_longest_match()
+            sub = lowers[a][m.a : m.a + m.size].strip()
+            if len(sub) >= 3:
+                groups.setdefault(sub, set()).update((a, b))
+    return _dedup_groups([sorted(g) for g in groups.values() if len(g) >= 2])
+
+
+def _dedup_groups(groups: list[list[str]]) -> list[list[str]]:
+    seen: set[tuple[str, ...]] = set()
+    out = []
+    for g in groups:
+        t = tuple(sorted(g))
+        if t not in seen:
+            seen.add(t)
+            out.append(sorted(g))
+    return out

@@ -447,15 +447,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and rebuild a microsecond
-    timestamp with integer division (ns epoch ≈ 1.7e18 would lose
-    precision in a double)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = _t(spark, sf_dir, "events")
-    if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return e
+    """events table (TIMESTAMP(NANOS) handling lives in load_table)."""
+    return _t(spark, sf_dir, "events")
 
 
 @register(

@@ -103,7 +103,14 @@ def with_rid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, rid: bool = False) -> DataFrame:
+    """Load one test table. Handles TIMESTAMP(NANOS) parquet columns
+    (rejected by Spark's reader): reads nanos as long and rebuilds a
+    microsecond timestamp with integer division — a double would lose
+    precision on ns-epoch values (~1.7e18 > 2^53)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if rid:
         df = with_rid(df, _CANONICAL_KEYS.get(name))
     return df

@@ -1,0 +1,93 @@
+"""Profiler tests: semantic typing, key election, clustering — the
+reference's parsedata semantics (SURVEY §1.2-1.3) on known inputs."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_transformation_2022_spark.profiler import (
+    dbscan_labels,
+    profile_table,
+)
+from data_transformation_2022_spark.sources.readers import load_table
+
+import numpy as np
+
+
+def test_semantic_types_and_key(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [f"row{i}" for i in range(100)],  # str key (distinct == rows)
+            "cat": ["a", "b"] * 50,  # nominal (2 ≤ 5% of 100... no, 2 > 5 → nominal via ≤5)
+            "x": [float(i) for i in range(100)],  # real
+            "n": list(range(100)),  # int, distinct==rows but str key wins
+            "d": ["01/02/2020"] * 100,  # date (M/d/yyyy family)
+        }
+    )
+    tp = profile_table(spark.createDataFrame(pdf), cluster=False)
+    assert tp.columns["id"].semantic == "str" and tp.columns["id"].is_key
+    assert tp.key == "id"
+    assert tp.columns["cat"].semantic == "nominal"
+    assert tp.columns["cat"].domain == ["a", "b"]
+    assert tp.columns["x"].semantic == "real"
+    assert tp.columns["n"].semantic == "int" and not tp.columns["n"].is_key
+    assert tp.columns["d"].semantic == "date"
+    assert tp.columns["d"].date_format == "M/d/yyyy"
+
+
+def test_int_key_when_no_str_key(spark):
+    pdf = pd.DataFrame({"k": list(range(50)), "v": [1.5] * 50})
+    tp = profile_table(spark.createDataFrame(pdf), cluster=False)
+    assert tp.key == "k" and tp.columns["k"].is_key
+    # key and index-ish columns are excluded from numeric inputs
+    assert "k" not in tp.num_col_names
+
+
+def test_profile_tpch_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    tp = profile_table(li)
+    assert tp.n_rows == li.count()
+    assert tp.columns["l_returnflag"].semantic == "nominal"
+    assert sorted(tp.columns["l_returnflag"].domain) == ["A", "N", "R"]
+    assert tp.columns["l_quantity"].semantic == "real"
+    assert tp.columns["l_shipdate"].semantic == "date"
+    # quantity/extendedprice are numeric inputs; discount/tax have ~10
+    # distinct values → float-coded nominals (reference spreadsheet.py:159-161)
+    assert set(["l_quantity", "l_extendedprice"]) <= set(tp.num_col_names)
+    assert tp.columns["l_discount"].semantic == "nominal"
+    assert tp.columns["l_tax"].semantic == "nominal"
+    # all-numeric dim cluster exists
+    assert any(set(g) >= {"l_quantity", "l_extendedprice"} for g in tp.dim_clusters)
+
+
+def test_name_clusters_prefix_families(spark):
+    pdf = pd.DataFrame({f"exp{i}": [float(i), i + 1.0] for i in range(3)}
+                       | {f"imp{i}": [float(i), i + 2.0] for i in range(3)}
+                       | {"id": ["a", "b"]})
+    tp = profile_table(spark.createDataFrame(pdf), cluster=False)
+    assert ["exp0", "exp1", "exp2"] in tp.name_clusters
+    assert ["imp0", "imp1", "imp2"] in tp.name_clusters
+
+
+def test_unit_clusters(spark):
+    pdf = pd.DataFrame(
+        {
+            "speed (km/h)": [1.0, 2.0, 3.0],
+            "limit (km/h)": [2.0, 3.0, 4.0],
+            "mass (kg)": [5.0, 6.0, 7.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    tp = profile_table(sdf, cluster=True)
+    assert ["limit (km/h)", "speed (km/h)"] in tp.dim_clusters
+
+
+def test_mini_dbscan_two_blobs():
+    # two tight groups + one outlier, distance matrix hand-built
+    pts = np.array([0.0, 0.01, 0.02, 1.0, 1.01, 5.0])
+    dist = np.abs(pts[:, None] - pts[None, :])
+    labels = dbscan_labels(dist, eps=0.05, min_samples=2)
+    assert labels[0] == labels[1] == labels[2] != -1
+    assert labels[3] == labels[4] != -1 and labels[3] != labels[0]
+    assert labels[5] == -1
