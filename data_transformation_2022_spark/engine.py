@@ -1,0 +1,437 @@
+"""End-to-end recommendation engine: profile → enumerate → execute →
+assemble charts → score → rank/dedup → provenance DAG.
+
+The Spark re-architecture of the reference's ``searchobj`` lifecycle
+(search.py EP2, SURVEY §3):
+
+  * the *search* runs on metadata (plans.search, no data touched);
+  * each unique transformation path executes ONCE on Spark and is
+    memoized (reference resdatabuffer, search.py:293-298) — scatter/line
+    channel data on a bounded sample (the reference caps all data at 400
+    rows; we cap only what feeds ML/scoring), bar aggregations on the
+    FULL table distributed (groupBy over a nominal key is output-bounded
+    by the domain, so it scales);
+  * chart assembly joins channel frames positionally on ``__rid``
+    (reference pd.concat(axis=1));
+  * scoring runs per chart on the small assembled frames (parallel
+    across charts at scale via a thread pool — each chart's job is a
+    collected pandas frame).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ml.coret import CORE_T_RUNNERS
+from .operators.steps import RID, Step, apply_tpath
+from .plans.catalog import CORE_T, VLIST
+from .plans.search import Candidate, enumerate_tpaths
+from .profiler import TableProfile, profile_table
+from .scoring.insight import (
+    SLIST_DEFAULT,
+    cdm_score,
+    scagnostics,
+    sig_correlation,
+    sig_linearness,
+    sig_outstanding1,
+)
+from .sources.readers import with_rid
+
+# Recommendation caps per chart type (reference config.py:27-31).
+MAX_PER_TYPE = {
+    "num_scatter": 10,
+    "cat_scatter": 10,
+    "rel_line": 3,
+    "ord_line": 3,
+    "rel_cat_line": 2,
+    "ord_cat_line": 2,
+    "count_bar": 1,
+    "sum_bar": 3,
+}
+MAX_SERIES = 3  # lines/bars per chart (reference config.py:33-34)
+NOT_CALCU_DMT = True  # skip DM core-Ts on arithmetic paths (config.py:19)
+
+
+@dataclass
+class ChartCandidate:
+    chart_type: str
+    channels: dict[str, dict[str, Any]]  # channel → {t, steps, cols}
+    scores: dict[str, float] = field(default_factory=dict)
+    score: float = 0.0
+    data: pd.DataFrame | None = None
+
+    def signature(self) -> tuple:
+        """Dedup identity: chart type + per-channel op-name sequence
+        (reference duplicationremoval, search.py:1280-1299)."""
+        return (
+            self.chart_type,
+            tuple(
+                (ch, info["t"], tuple(s["t"] for s in info["steps"]))
+                for ch, info in sorted(self.channels.items())
+            ),
+        )
+
+
+@dataclass
+class RecommendResult:
+    charts: list[ChartCandidate]
+    profile: TableProfile
+    provenance: dict[str, Any]
+
+    def to_json(self) -> str:
+        payload = []
+        for c in self.charts:
+            payload.append(
+                {
+                    "chart_type": c.chart_type,
+                    "score": c.score,
+                    "scores": c.scores,
+                    "channels": {
+                        ch: {"t": info["t"], "cols": info["cols"], "steps": info["steps"]}
+                        for ch, info in c.channels.items()
+                    },
+                }
+            )
+        return json.dumps({"charts": payload, "provenance": self.provenance}, default=str)
+
+
+class Executor:
+    """Memoized pipeline executor (reference resdatabuffer)."""
+
+    def __init__(self, df: DataFrame, sample_cap: int):
+        if RID not in df.columns:
+            df = with_rid(df)
+        self.df = df
+        # deterministic sample: limit over the stable row order
+        self.sample = df.orderBy(RID).limit(sample_cap).cache()
+        self._frames: dict[tuple, pd.DataFrame | None] = {}
+
+    def channel_frame(self, cand: Candidate, coret: str | None) -> pd.DataFrame | None:
+        """Execute (tpath, core-T) once on the bounded sample; return the
+        collected channel frame keyed by __rid."""
+        key = (cand.signature(), coret)
+        if key in self._frames:
+            return self._frames[key]
+        out: pd.DataFrame | None
+        try:
+            derived = apply_tpath(self.sample, cand.steps)
+            if coret is None:
+                out = derived.select(RID, *cand.out_cols).toPandas()
+            else:
+                if NOT_CALCU_DMT and any(
+                    s.t in ("sum", "sub", "mul", "div") for s in cand.steps
+                ):
+                    out = None  # reference Tengine.py:58-64
+                else:
+                    res = CORE_T_RUNNERS[coret](derived)
+                    out = res.toPandas() if res is not None else None
+        except Exception:
+            out = None
+        self._frames[key] = out
+        return out
+
+    def bar_aggregate(
+        self, x_col: str, y_cand: Candidate | None, agg: str
+    ) -> pd.DataFrame | None:
+        """sum_bar / count_bar on the FULL table (distributed groupBy —
+        output bounded by the nominal domain)."""
+        try:
+            if agg == "count":
+                return (
+                    self.df.groupBy(x_col)
+                    .agg(F.count(F.lit(1)).alias("COUNT"))
+                    .toPandas()
+                )
+            derive = [s for s in (y_cand.steps if y_cand else []) if s.o_type == "append"]
+            base = apply_tpath(self.df, derive) if derive else self.df
+            ys = _prefer_derived(y_cand)[:MAX_SERIES] if y_cand else []
+            aggs = [F.sum(F.col(c)).alias(f"SUM({c})") for c in ys]
+            return base.groupBy(x_col).agg(*aggs).toPandas()
+        except Exception:
+            return None
+
+
+def _prefer_derived(cand: Candidate) -> list[str]:
+    """Series-limiting order: derived (non-source) columns first
+    (reference search.py:940-947,1049-1055)."""
+    derived = [c for c in cand.out_cols if c in cand.derived]
+    source = [c for c in cand.out_cols if c not in cand.derived]
+    return derived + source
+
+
+def _dim_ok(cand: Candidate, t: str, want_dim: int | None) -> bool:
+    sig = CORE_T.get(t)
+    if sig is not None:
+        return want_dim is None or sig.out_dim == want_dim
+    return want_dim is None or len(cand.out_cols) == want_dim
+
+
+def recommend(
+    df: DataFrame,
+    profile: TableProfile | None = None,
+    chart_types: list[str] | None = None,
+    dm_ts: list[str] | None = None,
+    sample_cap: int = 1000,
+    slist: dict[str, bool] | None = None,
+    max_channel_candidates: int = 12,
+    max_depth: int = 2,
+) -> RecommendResult:
+    """Run the full recommendation pipeline and return ranked charts +
+    provenance. ``max_depth`` defaults lower than the reference's 5:
+    Pareto-surviving depth>2 chains add cost quadratically and the
+    reference itself prunes most of them."""
+    chart_types = chart_types or list(VLIST)
+    dm_ts = dm_ts or ["pca", "kmeans", "mds", "dbscan"]
+    slist = {**SLIST_DEFAULT, **(slist or {})}
+
+    if profile is None:
+        profile = profile_table(df)
+    pools = enumerate_tpaths(profile, max_depth=max_depth)
+    ex = Executor(df, sample_cap)
+
+    # channel candidate lists: (t-name, Candidate, coret-or-None)
+    def num2() -> list[tuple[str, Candidate, str | None]]:
+        out = []
+        for t in dm_ts:
+            if CORE_T[t].out_type != "num":
+                continue
+            for cand in pools["dm"]:
+                out.append((t, cand, t))
+        return out[:max_channel_candidates]
+
+    def cat1() -> list[tuple[str, Candidate, str | None]]:
+        out = []
+        for t in dm_ts:
+            if CORE_T[t].out_type != "cat":
+                continue
+            for cand in pools["dm"]:
+                out.append((t, cand, t))
+        for cand in pools["null_nom1"]:
+            out.append(("null_nom1", cand, None))
+        return out[:max_channel_candidates]
+
+    def num1() -> list[tuple[str, Candidate, str | None]]:
+        return [("null_num1", c, None) for c in pools["null_num1"]][:max_channel_candidates]
+
+    def numN() -> list[tuple[str, Candidate, str | None]]:
+        return [("null_num", c, None) for c in pools["null_num"]][:max_channel_candidates]
+
+    def nom1() -> list[tuple[str, Candidate, str | None]]:
+        return [("null_nom1", c, None) for c in pools["null_nom1"]][:max_channel_candidates]
+
+    charts: list[ChartCandidate] = []
+
+    def ch_info(t: str, cand: Candidate, cols: list[str]) -> dict[str, Any]:
+        return {"t": t, "steps": [s.to_dict() for s in cand.steps], "cols": cols}
+
+    # ---- scatters: xy (dim2 num) × color (num or cat) ----
+    if "num_scatter" in chart_types or "cat_scatter" in chart_types:
+        for t, cand, coret in num2():
+            xy = ex.channel_frame(cand, coret)
+            if xy is None or len(xy.columns) != 3:
+                continue
+            cx, cy = [c for c in xy.columns if c != RID]
+            if "num_scatter" in chart_types:
+                for ct, ccand, ccoret in num1():
+                    col_f = ex.channel_frame(ccand, ccoret)
+                    if col_f is None:
+                        continue
+                    merged = xy.merge(col_f, on=RID)
+                    ccol = [c for c in col_f.columns if c != RID][0]
+                    charts.append(
+                        _score_scatter(
+                            "num_scatter", merged, cx, cy, ccol, False, slist,
+                            {"xy": ch_info(t, cand, [cx, cy]), "color": ch_info(ct, ccand, [ccol])},
+                        )
+                    )
+            if "cat_scatter" in chart_types:
+                for ct, ccand, ccoret in cat1():
+                    col_f = ex.channel_frame(ccand, ccoret)
+                    if col_f is None:
+                        continue
+                    merged = xy.merge(col_f, on=RID)
+                    ccol = [c for c in col_f.columns if c != RID][0]
+                    charts.append(
+                        _score_scatter(
+                            "cat_scatter", merged, cx, cy, ccol, True, slist,
+                            {"xy": ch_info(t, cand, [cx, cy]), "color": ch_info(ct, ccand, [ccol])},
+                        )
+                    )
+
+    # ---- lines ----
+    if "rel_line" in chart_types:
+        for xt, xc, _ in num1():
+            xf = ex.channel_frame(xc, None)
+            if xf is None:
+                continue
+            xcol = [c for c in xf.columns if c != RID][0]
+            for yt, yc, _ in numN():
+                yf = ex.channel_frame(yc, None)
+                if yf is None:
+                    continue
+                ycols = [c for c in _prefer_derived(yc) if c in yf.columns and c != xcol][:MAX_SERIES]
+                if not ycols:
+                    continue
+                merged = xf.merge(yf[[RID] + ycols], on=RID).sort_values(xcol)
+                sc = {}
+                if slist.get("linearness"):
+                    sc["linearness"] = float(
+                        np.mean([sig_linearness(merged[c].to_numpy(), merged[xcol].to_numpy()) for c in ycols])
+                    )
+                if slist.get("correlation") and len(ycols) >= 2:
+                    sc["correlation"] = sig_correlation(merged[ycols].to_numpy())
+                charts.append(
+                    ChartCandidate(
+                        "rel_line",
+                        {"x": ch_info(xt, xc, [xcol]), "y": ch_info(yt, yc, ycols)},
+                        sc,
+                        float(np.mean(list(sc.values()))) if sc else 0.0,
+                        merged[[xcol] + ycols],
+                    )
+                )
+
+    if "ord_line" in chart_types:
+        for yt, yc, _ in numN():
+            yf = ex.channel_frame(yc, None)
+            if yf is None:
+                continue
+            ycols = [c for c in _prefer_derived(yc) if c in yf.columns][:MAX_SERIES]
+            merged = yf.sort_values(RID)
+            sc = {}
+            if slist.get("linearness"):
+                sc["linearness"] = float(np.mean([sig_linearness(merged[c].to_numpy()) for c in ycols]))
+            if slist.get("correlation") and len(ycols) >= 2:
+                sc["correlation"] = sig_correlation(merged[ycols].to_numpy())
+            charts.append(
+                ChartCandidate(
+                    "ord_line",
+                    {"y": ch_info(yt, yc, ycols)},
+                    sc,
+                    float(np.mean(list(sc.values()))) if sc else 0.0,
+                    merged[ycols],
+                )
+            )
+
+    # ---- bars (full-table distributed aggregation) ----
+    if "sum_bar" in chart_types:
+        for xt, xc, _ in nom1():
+            xcol = xc.out_cols[0]
+            for yt, yc, _ in numN():
+                agg = ex.bar_aggregate(xcol, yc, "sum")
+                if agg is None or agg.empty:
+                    continue
+                ys = [c for c in agg.columns if c != xcol]
+                sc = {}
+                if slist.get("outstanding1"):
+                    sc["outstanding1"] = float(
+                        np.mean([sig_outstanding1(agg[c].to_numpy()) for c in ys])
+                    )
+                charts.append(
+                    ChartCandidate(
+                        "sum_bar",
+                        {"x": ch_info(xt, xc, [xcol]), "y": ch_info(yt, yc, ys)},
+                        sc,
+                        float(np.mean(list(sc.values()))) if sc else 0.0,
+                        agg,
+                    )
+                )
+
+    if "count_bar" in chart_types:
+        for xt, xc, _ in nom1():
+            xcol = xc.out_cols[0]
+            agg = ex.bar_aggregate(xcol, None, "count")
+            if agg is None or agg.empty:
+                continue
+            sc = {}
+            if slist.get("outstanding1"):
+                sc["outstanding1"] = sig_outstanding1(agg["COUNT"].to_numpy())
+            charts.append(
+                ChartCandidate(
+                    "count_bar",
+                    {"x": ch_info(xt, xc, [xcol])},
+                    sc,
+                    float(np.mean(list(sc.values()))) if sc else 0.0,
+                    agg,
+                )
+            )
+
+    ranked = _rank_dedup(charts)
+    return RecommendResult(ranked, profile, _provenance(ranked))
+
+
+def _score_scatter(
+    ctype: str,
+    merged: pd.DataFrame,
+    cx: str,
+    cy: str,
+    ccol: str,
+    cat_color: bool,
+    slist: dict[str, bool],
+    channels: dict[str, dict[str, Any]],
+) -> ChartCandidate:
+    x = merged[cx].to_numpy(dtype=float)
+    y = merged[cy].to_numpy(dtype=float)
+    sc: dict[str, float] = {}
+    sg = scagnostics(x, y)
+    for k, v in sg.items():
+        if slist.get(k):
+            sc[k] = v * 100.0
+    if cat_color and slist.get("cdm"):
+        sc["cdm"] = cdm_score(x, y, merged[ccol].to_numpy())
+    score = float(np.mean(list(sc.values()))) if sc else 0.0
+    return ChartCandidate(ctype, channels, sc, score, merged[[cx, cy, ccol]])
+
+
+def _rank_dedup(charts: list[ChartCandidate]) -> list[ChartCandidate]:
+    """Per-type rank + top-k caps + duplicate removal (reference
+    search.py:1261-1299)."""
+    out: list[ChartCandidate] = []
+    for ctype in MAX_PER_TYPE:
+        group = [c for c in charts if c.chart_type == ctype]
+        group.sort(key=lambda c: -c.score)
+        seen: set[tuple] = set()
+        kept = []
+        for c in group:
+            sig = c.signature()
+            if sig in seen:
+                continue
+            seen.add(sig)
+            kept.append(c)
+            if len(kept) >= MAX_PER_TYPE[ctype]:
+                break
+        out.extend(kept)
+    out.sort(key=lambda c: -c.score)
+    return out
+
+
+def _provenance(charts: list[ChartCandidate]) -> dict[str, Any]:
+    """Provenance DAG (reference assembleTtree, search.py:1301-1443):
+    D-nodes are data states keyed by canonical step-path JSON (replacing
+    the reference's eval-able str(dict) ids — SURVEY watch-list 5),
+    V-nodes are charts; edges carry step/T labels."""
+    nodes: dict[str, dict[str, Any]] = {"root": {"id": "root", "node_type": "D", "label": "source"}}
+    edges: list[dict[str, str]] = []
+    vis_list = []
+    for i, c in enumerate(charts):
+        vid = f"V{i}:{c.chart_type}"
+        nodes[vid] = {"id": vid, "node_type": "V", "label": c.chart_type, "score": c.score}
+        for ch, info in c.channels.items():
+            prev = "root"
+            path: list[str] = []
+            for s in info["steps"]:
+                path.append(f"{s['t']}({','.join(s['i'])})")
+                nid = "D:" + ">".join(path)
+                if nid not in nodes:
+                    nodes[nid] = {"id": nid, "node_type": "D", "label": path[-1]}
+                    edges.append({"source": prev, "target": nid, "label": s["t"]})
+                prev = nid
+            edges.append({"source": prev, "target": vid, "label": f"{ch}:{info['t']}"})
+        vis_list.append({"id": vid, "chart_type": c.chart_type, "score": c.score})
+    return {"nodes": list(nodes.values()), "edges": edges, "vis_list": vis_list}

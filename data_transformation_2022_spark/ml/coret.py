@@ -1,0 +1,258 @@
+"""Core transforms ("T"s): the ML table→columns operators.
+
+Reference behavior (Tengine.py:24-39, Tfunctions.py): numeric-project
+the input, min-max normalize, require >2 numeric columns (else skip —
+``errorinputforcoreT`` Tengine.py:217-220), emit either 2 numeric
+components (pca/tsne/mds/umap) or 1 category column (dbscan/kmeans/lda).
+
+Spark-first mapping:
+  * **pca / kmeans / lda** — exact distributed ``pyspark.ml`` pipelines
+    (VectorAssembler → MinMaxScaler → model), seeds pinned (kmeans k=3
+    seed=9 matches the reference Tfunctions.py:98). Correct at any scale.
+  * **mds** — classical (Torgerson) MDS: double-centered Gram eigen-
+    decomposition in numpy on a bounded sample. The reference is
+    sample-bound by design (400-row cap), so a driver-side sample is
+    faithful; at scale the engine samples before calling.
+  * **dbscan** — numpy DBSCAN (eps=0.25, min_samples=5 like
+    Tfunctions.py:90-94) on the sample; sklearn-free.
+  * **tsne / umap** — sklearn/umap-learn are not in this environment:
+    gated behind import-try with a documented deterministic fallback
+    (classical MDS), column names kept per family so chart signatures
+    still match.
+
+All runners take a DataFrame WITH a ``__rid`` column and return
+``__rid`` + output columns, so results positional-join back to any
+channel frame (SURVEY §1.5 rid discipline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.steps import RID, numeric_columns
+
+KMEANS_SEED = 9  # reference Tfunctions.py:98
+LDA_K = 3
+KMEANS_K = 3
+DBSCAN_EPS = 0.25
+DBSCAN_MIN_SAMPLES = 5
+MIN_NUMERIC_COLS = 3  # reference guard: >2 numeric columns (Tengine.py:217-220)
+
+
+def _prep_features(df: DataFrame, cols: list[str]):
+    """VectorAssembler → MinMaxScaler (reference min-max normalization,
+    Tfunctions.py:13,19,...)."""
+    from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+
+    asm = VectorAssembler(inputCols=cols, outputCol="__features_raw", handleInvalid="keep")
+    scaler = MinMaxScaler(inputCol="__features_raw", outputCol="__features")
+    out = asm.transform(df)
+    model = scaler.fit(out)
+    return model.transform(out)
+
+
+def _guard_cols(df: DataFrame) -> list[str] | None:
+    cols = numeric_columns(df)
+    if len(cols) < MIN_NUMERIC_COLS:
+        return None
+    return cols
+
+
+def run_pca(df: DataFrame) -> DataFrame | None:
+    """Distributed exact PCA → (PC1, PC2)."""
+    from pyspark.ml.feature import PCA as MLPca
+    from pyspark.ml.functions import vector_to_array
+
+    cols = _guard_cols(df)
+    if cols is None:
+        return None
+    feats = _prep_features(df, cols)
+    model = MLPca(k=2, inputCol="__features", outputCol="__pc").fit(feats)
+    out = model.transform(feats).withColumn("__pca", vector_to_array(F.col("__pc")))
+    return out.select(
+        F.col(RID),
+        F.element_at(F.col("__pca"), 1).cast("double").alias("PC1"),
+        F.element_at(F.col("__pca"), 2).cast("double").alias("PC2"),
+    )
+
+
+def run_kmeans(df: DataFrame) -> DataFrame | None:
+    """Distributed KMeans (k=3, seed=9) → 1 category column."""
+    from pyspark.ml.clustering import KMeans
+
+    cols = _guard_cols(df)
+    if cols is None:
+        return None
+    feats = _prep_features(df, cols)
+    model = KMeans(k=KMEANS_K, seed=KMEANS_SEED, featuresCol="__features").fit(feats)
+    out = model.transform(feats)
+    return out.select(
+        F.col(RID), F.col("prediction").cast("string").alias("Category by KMeans")
+    )
+
+
+def run_lda(df: DataFrame) -> DataFrame | None:
+    """Topic-model category (reference Tfunctions.py:46-77): rank-encode
+    each numeric column, emit each column name repeated rank-times as
+    tokens, CountVectorizer → LDA, argmax topic per row; topic label =
+    top-3 weighted column names. Rank+explode is all DataFrame ops;
+    CountVectorizer/LDA are distributed MLlib."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+    from pyspark.sql import Window
+
+    cols = _guard_cols(df)
+    if cols is None:
+        return None
+    # token construction: repeat sanitized column-name token by the
+    # column's per-row rank (searchthread-style rank → term frequency)
+    toks = df.select(RID)
+    rank_cols = []
+    for c in cols:
+        w = Window.orderBy(F.col(c), F.col(RID))
+        rc = f"__rk_{c}"
+        rank_cols.append(rc)
+        toks = toks.join(df.select(RID, c), RID).withColumn(rc, F.row_number().over(w))
+    tok_arrays = [
+        F.array_repeat(F.lit(c.replace(" ", "_")), F.col(rc).cast("int")) for c, rc in zip(cols, rank_cols)
+    ]
+    docs = toks.select(F.col(RID), F.flatten(F.array(*tok_arrays)).alias("__tokens"))
+    cv = CountVectorizer(inputCol="__tokens", outputCol="__tf").fit(docs)
+    tf = cv.transform(docs)
+    lda = LDA(k=LDA_K, seed=KMEANS_SEED, featuresCol="__tf", maxIter=20).fit(tf)
+    # topic labels: top-3 weighted column names per topic
+    topics = lda.describeTopics(3).collect()
+    vocab = cv.vocabulary
+    labels = {}
+    for row in topics:
+        parts = [
+            f"{w:.3f}*{vocab[t]}" for t, w in zip(row["termIndices"], row["termWeights"])
+        ]
+        labels[row["topic"]] = " + ".join(parts)
+    from pyspark.ml.functions import vector_to_array
+
+    out = lda.transform(tf).withColumn("__td", vector_to_array(F.col("topicDistribution")))
+    argmax = F.expr("array_position(__td, array_max(__td)) - 1")
+    mapping = F.create_map(
+        *[x for k, v in labels.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return out.select(
+        F.col(RID), mapping[argmax.cast("int")].alias("Category by LDA")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample-bound numpy transforms (the reference is 400-row-bound anyway)
+# ---------------------------------------------------------------------------
+
+
+def _collect_sample(df: DataFrame, cols: list[str], cap: int = 2000) -> pd.DataFrame:
+    pdf = df.select(RID, *cols).limit(cap).toPandas()
+    x = pdf[cols].to_numpy(dtype=float)
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    pdf[cols] = (x - lo) / span
+    return pdf
+
+
+def classical_mds(x: np.ndarray, k: int = 2) -> np.ndarray:
+    """Torgerson classical MDS: eigendecomposition of the double-centered
+    squared-distance Gram matrix (pure numpy; deterministic)."""
+    sq = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    n = sq.shape[0]
+    j = np.eye(n) - np.ones((n, n)) / n
+    b = -0.5 * j @ sq @ j
+    vals, vecs = np.linalg.eigh(b)
+    idx = np.argsort(vals)[::-1][:k]
+    comp = vecs[:, idx] * np.sqrt(np.maximum(vals[idx], 0.0))
+    # deterministic sign convention: largest-|coordinate| positive
+    for d in range(comp.shape[1]):
+        i = np.argmax(np.abs(comp[:, d]))
+        if comp[i, d] < 0:
+            comp[:, d] = -comp[:, d]
+    return comp
+
+
+def numpy_dbscan(x: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """DBSCAN over points (vectorized distance matrix) — the profiler's
+    matrix DBSCAN reused on data points."""
+    from ..profiler import dbscan_labels
+
+    dist = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    return dbscan_labels(dist, eps=eps, min_samples=min_samples)
+
+
+def _sample_transform(df: DataFrame, out_cols: list[str], fn) -> DataFrame | None:
+    cols = _guard_cols(df)
+    if cols is None:
+        return None
+    pdf = _collect_sample(df, cols)
+    res = fn(pdf[cols].to_numpy(dtype=float))
+    out = pd.DataFrame({RID: pdf[RID]})
+    for i, c in enumerate(out_cols):
+        out[c] = res[:, i] if res.ndim == 2 else res
+    spark = df.sparkSession
+    return spark.createDataFrame(out)
+
+
+def run_mds(df: DataFrame) -> DataFrame | None:
+    return _sample_transform(df, ["MDS-1", "MDS-2"], classical_mds)
+
+
+def run_tsne(df: DataFrame) -> DataFrame | None:
+    """t-SNE when sklearn is available (reference perplexity=5); else a
+    documented deterministic fallback to classical MDS under the t-SNE
+    column names so downstream signatures hold."""
+    try:
+        from sklearn.manifold import TSNE  # gated: not in this environment
+
+        def fn(x: np.ndarray) -> np.ndarray:
+            init = "pca" if len(x) < 100 else "random"
+            return TSNE(
+                n_components=2, perplexity=5, init=init, random_state=0, method="exact"
+            ).fit_transform(x)
+
+    except ImportError:
+        fn = classical_mds
+    return _sample_transform(df, ["tSNE-1", "tSNE-2"], fn)
+
+
+def run_umap(df: DataFrame) -> DataFrame | None:
+    """UMAP when umap-learn is available; else classical-MDS fallback."""
+    try:
+        import umap  # gated: not in this environment
+
+        def fn(x: np.ndarray) -> np.ndarray:
+            return umap.UMAP(n_components=2, random_state=0).fit_transform(x)
+
+    except ImportError:
+        fn = classical_mds
+    return _sample_transform(df, ["UMAP-1", "UMAP-2"], fn)
+
+
+def run_dbscan(df: DataFrame) -> DataFrame | None:
+    def fn(x: np.ndarray) -> np.ndarray:
+        return numpy_dbscan(x, DBSCAN_EPS, DBSCAN_MIN_SAMPLES).astype(str)
+
+    out = _sample_transform(df, ["Category by DBSCAN"], fn)
+    return out
+
+
+CORE_T_RUNNERS = {
+    "pca": run_pca,
+    "kmeans": run_kmeans,
+    "lda": run_lda,
+    "mds": run_mds,
+    "tsne": run_tsne,
+    "umap": run_umap,
+    "dbscan": run_dbscan,
+}
+
+
+def run_core_t(name: str, df: DataFrame) -> DataFrame | None:
+    """Dispatch (reference Tengine.py:24-39). Returns None when the
+    input guard fails — callers skip the candidate, like the reference."""
+    return CORE_T_RUNNERS[name](df)

@@ -77,6 +77,7 @@ class TableProfile:
     num_col_names: list[str] = field(default_factory=list)
     dim_clusters: list[list[str]] = field(default_factory=list)  # distribution-based
     name_clusters: list[list[str]] = field(default_factory=list)  # header-text-based
+    col_dists: dict[frozenset, float] = field(default_factory=dict)  # pairwise Wasserstein
 
     def column(self, name: str) -> ColumnProfile:
         return self.columns[name]
@@ -217,7 +218,7 @@ def profile_table(
         num_col_names=num_cols,
     )
     if cluster and len(num_cols) >= 2:
-        tp.dim_clusters = _dim_clusters(df, num_cols)
+        tp.dim_clusters, tp.col_dists = _dim_clusters(df, num_cols)
     tp.name_clusters = _name_clusters(num_cols)
     # keep only clusters of ≥2 (reference clearclusters, spreadsheet.py:277-282)
     tp.dim_clusters = [g for g in tp.dim_clusters if len(g) >= 2]
@@ -279,20 +280,27 @@ def dbscan_labels(dist: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
     return labels
 
 
-def _dim_clusters(df: DataFrame, num_cols: list[str], eps: float = 0.05, min_samples: int = 2) -> list[list[str]]:
+def _dim_clusters(
+    df: DataFrame, num_cols: list[str], eps: float = 0.05, min_samples: int = 2
+) -> tuple[list[list[str]], dict[frozenset, float]]:
     """Distribution-matching groups (reference dim_match.clusters,
     spreadsheet.py:197-213): DBSCAN over columns with Wasserstein metric,
-    plus the all-numeric group and unit-suffix groups."""
+    plus the all-numeric group and unit-suffix groups. Also returns the
+    pairwise distance dict (consumed by the Pareto cost model)."""
     clusters: list[list[str]] = []
+    dists: dict[frozenset, float] = {}
     if len(num_cols) >= 2:
         mat = wasserstein_matrix(df, num_cols)
+        for i, a in enumerate(num_cols):
+            for j in range(i + 1, len(num_cols)):
+                dists[frozenset((a, num_cols[j]))] = float(mat[i, j])
         labels = dbscan_labels(mat, eps=eps, min_samples=min_samples)
         for lab in sorted(set(labels) - {-1}):
             clusters.append([num_cols[i] for i in np.where(labels == lab)[0]])
     if len(num_cols) >= 2 and num_cols not in clusters:
         clusters.append(list(num_cols))  # all-numeric group (ref :212-213)
     clusters.extend(_unit_clusters(num_cols))
-    return _dedup_groups(clusters)
+    return _dedup_groups(clusters), dists
 
 
 def _unit_clusters(cols: list[str]) -> list[list[str]]:

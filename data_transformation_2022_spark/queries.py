@@ -955,6 +955,60 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
 
 
+# ---------------------------------------------------------------------------
+# core-T ML operators + the full recommendation engine (rows-only checks:
+# ML outputs are seed-pinned but not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@register("coret_pca", None, tags=("ml",))
+def q_coret_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA core-T (VectorAssembler → MinMaxScaler → PCA k=2)
+    on lineitem's numeric block."""
+    from .ml.coret import run_pca
+    from .operators.steps import RID
+
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    out = run_pca(li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    return out
+
+
+@register("coret_kmeans", None, tags=("ml",))
+def q_coret_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KMeans core-T (k=3, seed=9): cluster sizes."""
+    from .ml.coret import run_kmeans
+    from .operators.steps import RID
+
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    out = run_kmeans(li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    return out.groupBy("Category by KMeans").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("engine_recommend", None, tags=("engine",))
+def q_engine_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline: profile → enumerate (Pareto-pruned)
+    → execute → assemble charts → score → rank/dedup. Returns the ranked
+    chart summary (the reference's /vis/search response surface)."""
+    import json as _json
+
+    from .engine import recommend
+
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    res = recommend(li, dm_ts=["pca", "kmeans"], sample_cap=500)
+    rows = [
+        (
+            c.chart_type,
+            float(round(c.score, 4)),
+            _json.dumps(
+                {ch: {"t": i["t"], "cols": i["cols"]} for ch, i in sorted(c.channels.items())},
+                sort_keys=True,
+            ),
+        )
+        for c in res.charts
+    ]
+    return spark.createDataFrame(rows, "chart_type string, score double, channels string")
+
+
 @register("sim_ann_topk_fast", None, tags=("similarity", "approx"))
 def q_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput-path brute-force top-k (numpy/BLAS per Arrow batch,

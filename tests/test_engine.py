@@ -1,0 +1,77 @@
+"""End-to-end engine tests: enumerate → execute → score → rank on real
+testdata, plus planner unit checks (Pareto pruning, signature matching)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_transformation_2022_spark.engine import MAX_PER_TYPE, recommend
+from data_transformation_2022_spark.plans.catalog import channel_candidates
+from data_transformation_2022_spark.plans.load import Load, prune_dominated
+from data_transformation_2022_spark.plans.search import enumerate_tpaths
+from data_transformation_2022_spark.profiler import profile_table
+from data_transformation_2022_spark.sources.readers import load_table
+
+
+def test_load_partial_order():
+    a, b = Load(1, 1, 1), Load(2, 2, 2)
+    c = Load(0.5, 3, 1)
+    assert a.dominates(b) and not b.dominates(a)
+    assert not a.dominates(c) and not c.dominates(a)  # incomparable
+    kept = prune_dominated([(a, "a"), (b, "b"), (c, "c")])
+    assert {p for _, p in kept} == {"a", "c"}  # no dominated survivor
+
+
+def test_channel_signature_matching():
+    cands = channel_candidates("num_scatter")
+    assert set(cands["xy"]) >= {"pca", "tsne", "mds", "umap"}
+    assert "kmeans" not in cands["xy"]
+    assert cands["color"] == ["null_num1"] or "null_num1" in cands["color"]
+    bar = channel_candidates("sum_bar")
+    assert "null_nom1" in bar["x"] and "kmeans" in bar["x"]
+
+
+def test_enumeration_pools(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    tp = profile_table(li)
+    pools = enumerate_tpaths(tp, max_depth=2)
+    assert pools["null_nom1"], "nominal columns must enumerate"
+    assert pools["null_num"], "numeric select must enumerate"
+    assert pools["dm"], "dm cluster selects must enumerate"
+    # no dominated survivor within a dm depth layer is enforced by
+    # construction; check candidates are unique
+    sigs = [c.signature() for c in pools["dm"]]
+    assert len(sigs) == len(set(sigs))
+
+
+def test_recommend_end_to_end(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem", rid=True)
+    res = recommend(li, dm_ts=["pca", "kmeans"], sample_cap=500)
+    assert res.charts, "must produce recommendations"
+    # caps respected
+    by_type: dict[str, int] = {}
+    for c in res.charts:
+        by_type[c.chart_type] = by_type.get(c.chart_type, 0) + 1
+    for t, n in by_type.items():
+        assert n <= MAX_PER_TYPE[t]
+    # scores are finite and sorted desc
+    scores = [c.score for c in res.charts]
+    assert scores == sorted(scores, reverse=True)
+    # no duplicate signatures
+    sigs = [c.signature() for c in res.charts]
+    assert len(sigs) == len(set(sigs))
+    # provenance serializes to JSON and references every chart
+    payload = json.loads(res.to_json())
+    assert len(payload["provenance"]["vis_list"]) == len(res.charts)
+    assert any(n["node_type"] == "D" for n in payload["provenance"]["nodes"])
+
+
+def test_recommend_empty_numeric_table(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"c": ["a", "b", "a", "b"]}))
+    res = recommend(df, dm_ts=["pca"], sample_cap=100)
+    # count_bar on the nominal column is still producible; no crash
+    assert all(ch.chart_type in MAX_PER_TYPE for ch in res.charts)
