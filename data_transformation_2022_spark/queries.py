@@ -955,6 +955,43 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
 
 
+@register(
+    "events_sessionize",
+    """WITH marked AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+       ), sess AS (
+         SELECT user_id, value, ts,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM marked
+       )
+       SELECT user_id, session_seq,
+              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM sess GROUP BY 1, 2""",
+    tags=("events", "sessionize"),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min inactivity): the batch twin of
+    streaming/pipelines.stream_sessionize (session_window + watermark)."""
+    from .streaming.pipelines import sessionize_batch
+
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value"))  # exact sums
+    s = sessionize_batch(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # core-T ML operators + the full recommendation engine (rows-only checks:
 # ML outputs are seed-pinned but not SQL-expressible)

@@ -1,0 +1,132 @@
+"""Structured Streaming pipelines over the events stream.
+
+The reference has no streaming at all (SURVEY §2.6) — its /vis/addT
+incremental refinement is lazy-DAG recomposition, which Spark gives us
+natively. This module adds the genuinely streaming surface a production
+engine needs: watermarked event-time rollups and sessionization, written
+so the SAME aggregation expressions back both the batch queries
+(queries.events_hourly_rollup) and the streaming twin — one semantics,
+two execution modes.
+
+Local smoke strategy (no Kafka in this environment): read the events
+parquet as a file stream, aggregate with a watermark, sink to memory,
+``processAllAvailable()`` — batch-equivalent results, real streaming
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("path", sf_dir)
+        .load()
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_rollup_agg(events: DataFrame, with_watermark: bool) -> DataFrame:
+    """The shared aggregation: tumbling 1h event-time window per
+    event_type — identical semantics to queries.events_hourly_rollup."""
+    e = events.withWatermark("ts", "2 hours") if with_watermark else events
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_hourly_rollup(
+    spark: SparkSession, sf_dir: str, query_name: str = "hourly_rollup"
+) -> DataFrame:
+    """Run the watermarked rollup as a real streaming query against the
+    events files, drain it, and return the materialized result."""
+    agg = hourly_rollup_agg(_event_stream(spark, sf_dir), with_watermark=True)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def sessionize_batch(
+    events: DataFrame, gap_minutes: int = 30, tie_col: str = "event_id"
+) -> DataFrame:
+    """Sessionization, batch form: per-user sessions split on inactivity
+    gaps — lag + cumulative-sum-over-gap-markers, the classic windowed
+    formulation (partitioned by user: fully parallel, one shuffle).
+    Gap arithmetic uses fractional epoch seconds and a deterministic
+    tie-break so results are engine-portable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", tie_col)
+    secs = F.col("ts").cast("double")
+    gap = secs - F.lag(secs).over(w)
+    marked = events.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > gap_minutes * 60.0), 1).otherwise(0)
+    )
+    sessioned = marked.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, query_name: str = "sessions"
+) -> DataFrame:
+    """Streaming sessionization via the native session_window (state
+    managed by Spark; watermark bounds the state)."""
+    e = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        e.groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "n_events", "sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
