@@ -47,9 +47,13 @@ def _prep_features(df: DataFrame, cols: list[str]):
     Tfunctions.py:13,19,...)."""
     from pyspark.ml.feature import MinMaxScaler, VectorAssembler
 
+    from ..sources.readers import fan_out
+
     asm = VectorAssembler(inputCols=cols, outputCol="__features_raw", handleInvalid="keep")
     scaler = MinMaxScaler(inputCol="__features_raw", outputCol="__features")
-    out = asm.transform(df)
+    # persist: scaler.fit + model.fit + transform are 3+ passes — cache
+    # the assembled vectors once instead of recomputing the scan lineage
+    out = asm.transform(fan_out(df)).persist()
     model = scaler.fit(out)
     return model.transform(out)
 

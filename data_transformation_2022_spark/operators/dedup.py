@@ -24,10 +24,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64, md5_prefix_long, tokens_ws
+from ..sources.readers import fan_out
 
 DEFAULT_SHINGLE = 3
 DEFAULT_K = 16  # minhash functions
 DEFAULT_BANDS = 4  # LSH bands (rows per band = K / BANDS)
+
+# Universal-hash family for MinHash: sig_i = min((A_i*h + B_i) mod P) with
+# h = 32-bit md5 prefix of the shingle. One md5 per shingle total (the k
+# derived hashes are pure int64 arithmetic, whole-stage-codegen'd) instead
+# of k md5s; 31-bit A/B × 32-bit h stays exact in int64 for any engine.
+MERSENNE_P = (1 << 61) - 1
+
+
+def _uh_constants(k: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return (
+        [int(a) for a in rs.randint(1, 1 << 30, size=k)],
+        [int(b) for b in rs.randint(0, 1 << 30, size=k)],
+    )
 
 
 def word_shingles(text: F.Column, n: int = DEFAULT_SHINGLE) -> F.Column:
@@ -43,7 +60,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Shuffles 8-byte keys, not documents. Returns one row per distinct
     content with the minimum id as representative and the duplicate count.
     """
-    fp = df.select(F.col(id_col), fingerprint64(F.col(text_col)).alias("fp"))
+    fp = fan_out(df).select(F.col(id_col), fingerprint64(F.col(text_col)).alias("fp"))
     return fp.groupBy("fp").agg(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_dups"),
@@ -53,12 +70,16 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, shingle: int = DEFAULT_SHINGLE
 ) -> DataFrame:
-    """Per-document MinHash signature: sig_i = min over shingles of
-    md5('i:' + shingle) (first 8 hex chars as int). Computed with an
-    explode + single groupBy — one shuffle keyed by doc id."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle)).alias("sh"))
+    """Per-document MinHash signature via a universal hash family:
+    h = md5-prefix32(shingle) once, then sig_i = min((A_i*h+B_i) mod P).
+    Explode + single groupBy — one shuffle keyed by doc id; the k hash
+    derivations are codegen'd integer arithmetic, not k md5 passes."""
+    A, B = _uh_constants(k)
+    sh = fan_out(df).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle)).alias("sh")
+    ).withColumn("h", md5_prefix_long(F.col("sh"), 8))
     aggs = [
-        F.min(md5_prefix_long(F.concat(F.lit(f"{i}:"), F.col("sh")), 8)).alias(f"sig_{i}")
+        F.min((F.lit(A[i]) * F.col("h") + F.lit(B[i])) % F.lit(MERSENNE_P)).alias(f"sig_{i}")
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -97,7 +118,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     bit j of the fingerprint is 1 iff Σ_tokens (2·bit_j(h) − 1) > 0.
     Explode + one groupBy with ``bits`` integer sums — exact integer
     arithmetic, engine-portable."""
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col), F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok")
     ).withColumn("h", md5_prefix_long(F.col("tok"), 8))
     aggs = [
@@ -126,8 +147,14 @@ def ngram_jaccard_pairs(
     shingle equi-join → per-pair intersection count → Jaccard via
     |A∩B| / (|A| + |B| − |A∩B|). Output-bounded: pairs with zero overlap
     never exist. At extreme scale, run after LSH candidate filtering.
+    The join keys are 64-bit shingle hashes, not strings — an 8-byte
+    shuffle/compare instead of ~25-byte text (collision odds ~n²/2⁶⁴).
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    sh = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh_raw"))
+        .select(F.col(id_col), F.xxhash64("sh_raw").alias("sh"))
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot_exact, norm_exact
+from ..sources.readers import fan_out
 
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
@@ -45,7 +46,7 @@ def cosine_topk_bruteforce(
     q = _with_norm(queries, id_col, vec_col, "qn").withColumnsRenamed(
         {id_col: "query_id", vec_col: "qv"}
     )
-    c = _with_norm(corpus, id_col, vec_col, "cn").withColumnsRenamed(
+    c = _with_norm(fan_out(corpus), id_col, vec_col, "cn").withColumnsRenamed(
         {id_col: "cand_id", vec_col: "cv"}
     )
     sims = (
@@ -68,7 +69,7 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — exact all-pairs
     form for bounded corpora; compose with LSH buckets at scale."""
-    a = _with_norm(df, id_col, vec_col, "na").withColumnsRenamed({id_col: "id_a", vec_col: "va"})
+    a = _with_norm(fan_out(df), id_col, vec_col, "na").withColumnsRenamed({id_col: "id_a", vec_col: "va"})
     b = _with_norm(df, id_col, vec_col, "nb").withColumnsRenamed({id_col: "id_b", vec_col: "vb"})
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     sims = pairs.select(
@@ -118,6 +119,9 @@ def ann_topk_fast(
                 )
                 yield out[out.cand_id != qid]
 
+    # no fan_out here: the numpy matmul is ~free per row, so extra
+    # partitions just multiply Arrow/worker overhead on small corpora;
+    # big corpora arrive pre-partitioned and parallelize naturally
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score, schema="query_id long, cand_id long, cosine double"
     )

@@ -174,9 +174,35 @@ def _op_exprs(df: DataFrame, step: Step, cols: list[str]) -> tuple[list[Any], li
     raise ValueError(f"unknown basic op t={step.t!r}")
 
 
+def _apply_rank_join(df: DataFrame, step: Step, cols: list[str]) -> DataFrame:
+    """Scalable rank/nominalize: per column, a bucket-partitioned global
+    rank appended in place (functions.order) — one parallel exchange per
+    column, no single-reducer window and no join-back. Same values as
+    the window form (tie-break by __rid / dense np.unique codes)."""
+    from ..functions.order import global_row_number
+
+    dense = step.t == "nominalize"
+    defaults = [f"nominal({c})" if dense else f"rank {c}" for c in cols]
+    names = _out_names(step, defaults)
+    joined = df
+    for c, name in zip(cols, names):
+        order = [c] if dense else [c, RID]
+        joined = global_row_number(joined, order, name, dense=dense, zero_based=dense)
+    if step.o_type == "new_table":
+        return joined.select(RID, *names)
+    if step.o_type == "append":
+        return joined.select(*df.columns, *names)
+    if step.o_type == "replace":
+        remaining = [c for c in df.columns if c not in cols]
+        return joined.select(*remaining, *names)
+    raise ValueError(f"unknown output mode o_type={step.o_type!r}")
+
+
 def apply_step(df: DataFrame, step: Step) -> DataFrame:
     """Apply one Step: selector → op → rename → output mode."""
     cols = select_input(df, step)
+    if step.t in ("rank", "nominalize") and RID in df.columns and cols:
+        return _apply_rank_join(df, step, cols)
     exprs, default_names = _op_exprs(df, step, cols)
     names = _out_names(step, default_names)
     named = [e.alias(n) for e, n in zip(exprs, names)]

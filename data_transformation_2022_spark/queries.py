@@ -781,18 +781,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_K = 16
-_mh_sig_cols = ",\n".join(
-    "  MIN({h}) AS sig_{i}".format(h=_dd_md5_long("'%d:' || sh" % i, 8), i=i)
-    for i in range(_MINHASH_K)
-)
+
+
+def _mh_sig_cols() -> str:
+    """MIN((A_i*h + B_i) % P) columns from the same universal-hash
+    constants the Spark operator uses — single source of truth."""
+    from .operators.dedup import MERSENNE_P, _uh_constants
+
+    A, B = _uh_constants(_MINHASH_K)
+    return ",\n".join(
+        f"  MIN(({A[i]} * h + {B[i]}) % {MERSENNE_P}) AS sig_{i}" for i in range(_MINHASH_K)
+    )
+
+
 _MH_SIG_SQL = f"""WITH toks AS (
   SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
 ), sh AS (
   SELECT doc_id, UNNEST({_DD_SHINGLES.format(w='w')}) AS sh FROM toks
+), hashed AS (
+  SELECT doc_id, {_dd_md5_long('sh', 8)} AS h FROM sh
 )
 SELECT doc_id,
-{_mh_sig_cols}
-FROM sh GROUP BY doc_id"""
+{_mh_sig_cols()}
+FROM hashed GROUP BY doc_id"""
 
 
 @register("dedup_minhash_signatures", _MH_SIG_SQL, tags=("dedup",))
@@ -814,10 +825,12 @@ _MH_PAIRS_SQL = f"""WITH toks AS (
   SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
 ), sh AS (
   SELECT doc_id, UNNEST({_DD_SHINGLES.format(w='w')}) AS sh FROM toks
+), hashed AS (
+  SELECT doc_id, {_dd_md5_long('sh', 8)} AS h FROM sh
 ), sigs AS (
   SELECT doc_id,
-{_mh_sig_cols}
-  FROM sh GROUP BY doc_id
+{_mh_sig_cols()}
+  FROM hashed GROUP BY doc_id
 ), banded AS (
   {' UNION ALL '.join(_mh_bands)}
 )

@@ -86,20 +86,38 @@ def read_json(spark: SparkSession, path: str, multiline: bool = True) -> DataFra
 def with_rid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     """Attach a stable ``__rid`` row-id column.
 
-    With ``order_by``: dense 0-based ids by that total order (deterministic,
-    engine-independent). Spark executes the unpartitioned window with a
-    range-partitioned global sort, so it scales; rid assignment itself is
-    the only single-pass stage and is O(rows) with AQE-coalesced output.
+    With ``order_by``: dense 0-based ids by that total order
+    (deterministic, engine-independent), computed scalably — range
+    repartition + per-partition offsets (functions.order), never a
+    single-reducer global window.
 
     Without ``order_by``: ``monotonically_increasing_id`` — stable within
     a plan, cheap at any scale, but not dense and not engine-portable.
     """
+    from ..functions.order import global_row_number
+
     if RID in df.columns:
         return df
     if order_by:
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        return df.withColumn(RID, F.row_number().over(w) - F.lit(1))
+        return global_row_number(df, order_by, RID, zero_based=True)
     return df.withColumn(RID, F.monotonically_increasing_id())
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition a narrow input so downstream row-multiplying work
+    (shingle explode, pair joins, per-row hashing) uses every core.
+
+    Single-file parquet with one row group scans as ONE partition no
+    matter how many executors exist — file-split knobs can't split
+    inside a row group. On a real cluster inputs arrive in thousands of
+    partitions and this is a no-op (gated on the current partition
+    count); on small scans it costs one tiny round-robin shuffle and
+    buys full parallelism for the expensive stage above it."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, rid: bool = False) -> DataFrame:
