@@ -319,6 +319,72 @@ def recommend(
                 )
             )
 
+    # ---- category-split lines (reference rel_cat_line/ord_cat_line,
+    # search.py:1588-1719): one numeric y per nominal category series ----
+    if "rel_cat_line" in chart_types or "ord_cat_line" in chart_types:
+        for gt, gc, _ in nom1():
+            gf = ex.channel_frame(gc, None)
+            if gf is None:
+                continue
+            gcol = [c for c in gf.columns if c != RID][0]
+            cats = pd.unique(gf[gcol])
+            if not (2 <= len(cats) <= MAX_SERIES):
+                continue  # series cap (reference MAXLINENUMINCHART)
+            for yt, yc, _ in num1():
+                yf = ex.channel_frame(yc, None)
+                if yf is None:
+                    continue
+                ycol = [c for c in yf.columns if c != RID][0]
+                if "rel_cat_line" in chart_types:
+                    for xt, xc, _ in num1():
+                        if xc is yc:
+                            continue
+                        xf = ex.channel_frame(xc, None)
+                        if xf is None:
+                            continue
+                        xcol = [c for c in xf.columns if c != RID][0]
+                        if xcol == ycol:
+                            continue
+                        merged = xf.merge(yf, on=RID).merge(gf, on=RID).sort_values(xcol)
+                        series = [
+                            merged.loc[merged[gcol] == cat, ycol].to_numpy() for cat in cats
+                        ]
+                        sc = {}
+                        if slist.get("linearness"):
+                            sc["linearness"] = float(
+                                np.mean([sig_linearness(s) for s in series if len(s) >= 3] or [0.0])
+                            )
+                        charts.append(
+                            ChartCandidate(
+                                "rel_cat_line",
+                                {
+                                    "x": ch_info(xt, xc, [xcol]),
+                                    "y": ch_info(yt, yc, [ycol]),
+                                    "color": ch_info(gt, gc, [gcol]),
+                                },
+                                sc,
+                                float(np.mean(list(sc.values()))) if sc else 0.0,
+                                merged[[xcol, ycol, gcol]],
+                            )
+                        )
+                if "ord_cat_line" in chart_types:
+                    merged = yf.merge(gf, on=RID).sort_values(RID)
+                    series = [merged.loc[merged[gcol] == cat, ycol].to_numpy() for cat in cats]
+                    sc = {}
+                    if slist.get("linearness"):
+                        sc["linearness"] = float(
+                            np.mean([sig_linearness(s) for s in series if len(s) >= 3] or [0.0])
+                        )
+                    charts.append(
+                        ChartCandidate(
+                            "ord_cat_line",
+                            {"y": ch_info(yt, yc, [ycol]), "color": ch_info(gt, gc, [gcol])},
+                            sc,
+                            float(np.mean(list(sc.values()))) if sc else 0.0,
+                            merged[[ycol, gcol]],
+                        )
+                    )
+
     # ---- bars (full-table distributed aggregation) ----
     if "sum_bar" in chart_types:
         for xt, xc, _ in nom1():
