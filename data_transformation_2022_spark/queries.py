@@ -1034,6 +1034,44 @@ def q_coret_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("Category by KMeans").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register("coret_lda", None, tags=("ml",))
+def q_coret_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA topic core-T (rank→token-repeat→CountVectorizer→LDA, reference
+    Tfunctions.py:46-77): per-topic row counts with readable labels."""
+    from .ml.coret import run_lda
+    from .operators.steps import RID
+
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    sample = li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax").orderBy(RID).limit(500)
+    out = run_lda(sample)
+    return out.groupBy("Category by LDA").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("coret_mds", None, tags=("ml",))
+def q_coret_mds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical-MDS core-T on a bounded sample (the reference is
+    sample-bound by MAXSOURCEDATAROWS anyway): 2-d embedding per row."""
+    from .ml.coret import run_mds
+    from .operators.steps import RID
+
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    sample = li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax").orderBy(RID).limit(400)
+    return run_mds(sample)
+
+
+@register("coret_dbscan", None, tags=("ml",))
+def q_coret_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-T (eps=.25, min_samples=5 on min-max-scaled features,
+    reference Tfunctions.py:90-94): cluster label histogram."""
+    from .ml.coret import run_dbscan
+    from .operators.steps import RID
+
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    sample = li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax").orderBy(RID).limit(400)
+    out = run_dbscan(sample)
+    return out.groupBy("Category by DBSCAN").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register("engine_recommend", None, tags=("engine",))
 def q_engine_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full reference pipeline: profile → enumerate (Pareto-pruned)

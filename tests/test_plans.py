@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: the properties that keep queries viable
+at 100 TB, asserted on the actual Catalyst output so regressions that
+silently de-optimize a plan (lost pushdown, dropped broadcast, missing
+map-side combine) fail CI rather than a production run.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from __spark_entry__ import queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def read_schema_width(plan: str) -> int:
+    widths = [
+        len(m.split(",")) for m in re.findall(r"ReadSchema: struct<([^>]+)>", plan)
+    ]
+    return max(widths) if widths else 0
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, qs):
+    plan = plan_of(qs["basic_filter"](spark, sf_dir))
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir, qs):
+    # lineitem has 16 columns; the grouped sum needs 3
+    plan = plan_of(qs["agg_group_sum"](spark, sf_dir))
+    assert 0 < read_schema_width(plan) <= 4
+
+
+def test_small_dims_broadcast(spark, sf_dir, qs):
+    plan = plan_of(qs["join_broadcast_dims"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    plan3 = plan_of(qs["join_3way_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan3
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir, qs):
+    # map-side combine: partial_sum before the exchange, final after
+    plan = plan_of(qs["tpch_q1"](spark, sf_dir))
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange") or "Exchange" in plan
+
+
+def test_no_single_reducer_window_in_rank(spark, sf_dir, qs):
+    # the scalable rank partitions its window by bucket — the plan must
+    # not contain an unpartitioned (global) Sort covering all rows in
+    # one partition: every Exchange is hash/range, none SinglePartition
+    plan = plan_of(qs["basic_rank"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_dedup_shuffles_hashes_not_documents(spark, sf_dir, qs):
+    # exact dedup groups by the 64-bit fingerprint: the aggregation
+    # exchange partitions on fp, and no exchange carries the text column
+    plan = plan_of(qs["dedup_exact_text"](spark, sf_dir))
+    assert "hashpartitioning(fp" in plan
+    # ENSURE_REQUIREMENTS exchanges are the real (aggregation) shuffles;
+    # the explicit fan_out REPARTITION of the tiny scan is exempt
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: [^\n]*ENSURE_REQUIREMENTS",
+        plan,
+    ):
+        assert "text#" not in m.group(1)

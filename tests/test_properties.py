@@ -1,0 +1,135 @@
+"""Property-based tests (SURVEY §5d): the invariants the reference never
+checked — Pareto-pruner soundness, profiler type inference and key
+election, scalable-rank/rid equivalence with the naive global window.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_transformation_2022_spark.plans.load import Load, cal_load, prune_dominated
+
+loads = st.builds(
+    Load,
+    st.floats(0, 100, allow_nan=False),
+    st.floats(0, 10, allow_nan=False),
+    st.floats(0, 10, allow_nan=False),
+)
+
+
+@given(st.lists(loads, min_size=1, max_size=30))
+def test_prune_keeps_no_dominated_survivor(ls):
+    items = [(l, i) for i, l in enumerate(ls)]
+    kept = prune_dominated(items)
+    # soundness: no survivor is dominated by any original candidate
+    for load, _ in kept:
+        assert not any(o.dominates(load) for o, _ in items)
+    # non-triviality: at least one minimal element always survives
+    assert kept
+
+
+@given(loads, loads)
+def test_dominates_is_strict_partial_order(a, b):
+    assert not a.dominates(a)  # irreflexive
+    assert not (a.dominates(b) and b.dominates(a))  # asymmetric
+
+
+@given(loads, loads)
+def test_load_addition_monotone(a, b):
+    s = a + b
+    assert s.compute >= a.compute and s.dim_dist >= a.dim_dist and s.sem_dist >= a.sem_dist
+
+
+def test_cal_load_matches_reference_table():
+    # reference L.py:1-12 unit costs, scaled by column count
+    assert cal_load("sum", 3) == 30.0
+    assert cal_load("mul", 2) == 100.0
+    assert cal_load("aggr") == 100.0
+    assert cal_load("unknown_op", 5) == 5.0
+
+
+# ---- profiler properties (Spark-backed: few, fat examples) ----
+
+
+@pytest.mark.usefixtures("spark")
+class TestProfilerProperties:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        n=st.integers(30, 80),
+        dup=st.booleans(),
+    )
+    def test_key_election_iff_all_distinct(self, spark, n, dup):
+        from data_transformation_2022_spark.profiler import profile_table
+
+        ids = list(range(n))
+        if dup:
+            ids[1] = ids[0]  # one duplicate kills keyness
+        pdf = pd.DataFrame({"id": ids, "val": [float(i) * 0.5 for i in range(n)]})
+        prof = profile_table(spark.createDataFrame(pdf), cluster=False)
+        assert prof.columns["id"].is_key == (not dup)
+        # a key must never be nominal-ized away
+        if not dup:
+            assert prof.key == "id"
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(n_cat=st.integers(2, 4))
+    def test_nominal_iff_small_domain(self, spark, n_cat):
+        from data_transformation_2022_spark.profiler import profile_table
+
+        n = 200
+        pdf = pd.DataFrame(
+            {
+                "cat": [f"c{i % n_cat}" for i in range(n)],
+                "num": [float(i) for i in range(n)],
+            }
+        )
+        prof = profile_table(spark.createDataFrame(pdf), cluster=False)
+        assert prof.columns["cat"].semantic == "nominal"  # n_cat ≤ 5% of 200 … ≤ cap
+        assert prof.columns["num"].semantic == "real"
+
+
+# ---- scalable rank ≡ naive global window ----
+
+
+@pytest.mark.usefixtures("spark")
+class TestScalableRankEquivalence:
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        vals=st.lists(
+            st.integers(-50, 50), min_size=5, max_size=60
+        )
+    )
+    def test_global_row_number_matches_sorted_enumeration(self, spark, vals):
+        from pyspark.sql import functions as F
+
+        from data_transformation_2022_spark.functions.order import global_row_number
+
+        pdf = pd.DataFrame({"rid": range(len(vals)), "v": vals})
+        df = spark.createDataFrame(pdf)
+        out = (
+            global_row_number(df, ["v", "rid"], "rk", num_partitions=4)
+            .orderBy("rid")
+            .toPandas()
+        )
+        expected = pdf["v"].rank(method="first").astype(int)  # pandas oracle
+        assert list(out.sort_values("rid")["rk"]) == list(expected)
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(vals=st.lists(st.integers(0, 9), min_size=5, max_size=60))
+    def test_dense_codes_match_np_unique(self, spark, vals):
+        import numpy as np
+
+        from data_transformation_2022_spark.functions.order import global_row_number
+
+        pdf = pd.DataFrame({"rid": range(len(vals)), "v": vals})
+        df = spark.createDataFrame(pdf)
+        out = (
+            global_row_number(df, ["v"], "code", dense=True, zero_based=True, num_partitions=4)
+            .orderBy("rid")
+            .toPandas()
+        )
+        uniq = {v: i for i, v in enumerate(np.unique(vals))}
+        assert list(out.sort_values("rid")["code"]) == [uniq[v] for v in vals]
