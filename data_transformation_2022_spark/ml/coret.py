@@ -42,22 +42,6 @@ DBSCAN_MIN_SAMPLES = 5
 MIN_NUMERIC_COLS = 3  # reference guard: >2 numeric columns (Tengine.py:217-220)
 
 
-def _prep_features(df: DataFrame, cols: list[str]):
-    """VectorAssembler → MinMaxScaler (reference min-max normalization,
-    Tfunctions.py:13,19,...)."""
-    from pyspark.ml.feature import MinMaxScaler, VectorAssembler
-
-    from ..sources.readers import fan_out
-
-    asm = VectorAssembler(inputCols=cols, outputCol="__features_raw", handleInvalid="keep")
-    scaler = MinMaxScaler(inputCol="__features_raw", outputCol="__features")
-    # persist: scaler.fit + model.fit + transform are 3+ passes — cache
-    # the assembled vectors once instead of recomputing the scan lineage
-    out = asm.transform(fan_out(df)).persist()
-    model = scaler.fit(out)
-    return model.transform(out)
-
-
 def _guard_cols(df: DataFrame) -> list[str] | None:
     cols = numeric_columns(df)
     if len(cols) < MIN_NUMERIC_COLS:
@@ -66,36 +50,137 @@ def _guard_cols(df: DataFrame) -> list[str] | None:
 
 
 def run_pca(df: DataFrame) -> DataFrame | None:
-    """Distributed exact PCA → (PC1, PC2)."""
-    from pyspark.ml.feature import PCA as MLPca
-    from pyspark.ml.functions import vector_to_array
+    """Exact distributed PCA → (PC1, PC2) via moment aggregation.
 
+    One codegen'd pass computes min/max (for the reference's min-max
+    scaling) plus all first/second moments; the p×p covariance matrix is
+    eigendecomposed on the driver (p = #columns, metadata-sized); the
+    projection is plain column arithmetic. Identical math to the
+    MLlib PCA pipeline but ONE scan instead of its fit/fit/transform
+    passes, no persisted intermediate, no vector UDF boundary.
+    Sign convention: each component's largest-|loading| entry is
+    positive (deterministic across eigensolvers)."""
     cols = _guard_cols(df)
     if cols is None:
         return None
-    feats = _prep_features(df, cols)
-    model = MLPca(k=2, inputCol="__features", outputCol="__pc").fit(feats)
-    out = model.transform(feats).withColumn("__pca", vector_to_array(F.col("__pc")))
-    return out.select(
+    p = len(cols)
+    aggs: list = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(cols):
+        aggs += [F.min(c).alias(f"mn_{i}"), F.max(c).alias(f"mx_{i}")]
+    row = df.agg(*aggs).collect()[0]
+    n = row["n"]
+    if n == 0:
+        return None
+    lo = np.array([row[f"mn_{i}"] for i in range(p)], dtype=float)
+    hi = np.array([row[f"mx_{i}"] for i in range(p)], dtype=float)
+    span = np.where(hi > lo, hi - lo, 1.0)
+
+    scaled = [((F.col(c) - F.lit(float(lo[i]))) / F.lit(float(span[i]))) for i, c in enumerate(cols)]
+    m_aggs: list = []
+    for i in range(p):
+        m_aggs.append(F.sum(scaled[i]).alias(f"s_{i}"))
+        for j in range(i, p):
+            m_aggs.append(F.sum(scaled[i] * scaled[j]).alias(f"q_{i}_{j}"))
+    m = df.agg(*m_aggs).collect()[0]
+    mean = np.array([m[f"s_{i}"] / n for i in range(p)])
+    cov = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            cov[i, j] = cov[j, i] = m[f"q_{i}_{j}"] / n - mean[i] * mean[j]
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    basis = v[:, order]  # p × 2
+    for k in range(basis.shape[1]):
+        if basis[np.argmax(np.abs(basis[:, k])), k] < 0:
+            basis[:, k] = -basis[:, k]
+
+    def project(k: int):
+        expr = F.lit(0.0)
+        for i in range(p):
+            expr = expr + (scaled[i] - F.lit(float(mean[i]))) * F.lit(float(basis[i, k]))
+        return expr
+
+    return df.select(
         F.col(RID),
-        F.element_at(F.col("__pca"), 1).cast("double").alias("PC1"),
-        F.element_at(F.col("__pca"), 2).cast("double").alias("PC2"),
+        project(0).cast("double").alias("PC1"),
+        project(1).cast("double").alias("PC2"),
     )
 
 
-def run_kmeans(df: DataFrame) -> DataFrame | None:
-    """Distributed KMeans (k=3, seed=9) → 1 category column."""
-    from pyspark.ml.clustering import KMeans
+def _scaled_exprs(df: DataFrame, cols: list[str]) -> list:
+    """Min-max scale with one aggregate + column arithmetic (codegen)
+    instead of a MinMaxScaler fit pass."""
+    aggs: list = []
+    for i, c in enumerate(cols):
+        aggs += [F.min(c).alias(f"mn_{i}"), F.max(c).alias(f"mx_{i}")]
+    row = df.agg(*aggs).collect()[0]
+    scaled = []
+    for i, c in enumerate(cols):
+        lo, hi = row[f"mn_{i}"], row[f"mx_{i}"]
+        span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
+        scaled.append(((F.col(c) - F.lit(lo)) / F.lit(span)).cast("double"))
+    return scaled
 
+
+def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd's on a driver sample. Deterministic."""
+    rs = np.random.RandomState(seed)
+    centers = [x[rs.randint(len(x))]]
+    for _ in range(k - 1):
+        d2 = np.min(((x[:, None, :] - np.array(centers)[None]) ** 2).sum(-1), axis=1)
+        tot = d2.sum()
+        idx = rs.choice(len(x), p=d2 / tot) if tot > 0 else rs.randint(len(x))
+        centers.append(x[idx])
+    c = np.array(centers, dtype=float)
+    for _ in range(iters):
+        lab = ((x[:, None, :] - c[None]) ** 2).sum(-1).argmin(1)
+        new_c = np.array(
+            [x[lab == j].mean(0) if (lab == j).any() else c[j] for j in range(k)]
+        )
+        if np.allclose(new_c, c):
+            break
+        c = new_c
+    return c
+
+
+def run_kmeans(df: DataFrame, fit_cap: int = 10_000) -> DataFrame | None:
+    """KMeans (k=3, seed=9) → 1 category column.
+
+    Centers are fit with seeded Lloyd's on a bounded deterministic
+    sample (the reference fits on ≤400 rows by construction —
+    MAXSOURCEDATAROWS config.py:1 — so a 10k sample is a strict upgrade
+    in fidelity); the FULL table is then assigned in ONE distributed
+    pass of pure column arithmetic (distance-to-center argmin, k tiny,
+    centers broadcast as literals). No Lloyd's-iteration scans of the
+    whole table, no UDF, whole plan stays in codegen."""
     cols = _guard_cols(df)
     if cols is None:
         return None
-    feats = _prep_features(df, cols)
-    model = KMeans(k=KMEANS_K, seed=KMEANS_SEED, featuresCol="__features").fit(feats)
-    out = model.transform(feats)
-    return out.select(
-        F.col(RID), F.col("prediction").cast("string").alias("Category by KMeans")
+    scaled = _scaled_exprs(df, cols)
+    sample = (
+        df.orderBy(RID)
+        .limit(fit_cap)
+        .select(*[e.alias(f"s_{i}") for i, e in enumerate(scaled)])
+        .toPandas()
+        .to_numpy(dtype=float)
     )
+    if len(sample) == 0:
+        return None
+    centers = _lloyd(sample, KMEANS_K, KMEANS_SEED)
+
+    dists = []
+    for j in range(len(centers)):
+        d = F.lit(0.0)
+        for i in range(len(cols)):
+            diff = scaled[i] - F.lit(float(centers[j, i]))
+            d = d + diff * diff
+        dists.append(d)
+    pred = F.lit(0)
+    best = dists[0]
+    for j in range(1, len(dists)):
+        pred = F.when(dists[j] < best, F.lit(j)).otherwise(pred)
+        best = F.when(dists[j] < best, dists[j]).otherwise(best)
+    return df.select(F.col(RID), pred.cast("string").alias("Category by KMeans"))
 
 
 def run_lda(df: DataFrame) -> DataFrame | None:

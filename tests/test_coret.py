@@ -1,0 +1,80 @@
+"""Core-T ML operator tests: exactness (PCA vs numpy oracle), pinned
+determinism, reference guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_transformation_2022_spark.ml.coret import (
+    run_dbscan,
+    run_kmeans,
+    run_lda,
+    run_mds,
+    run_pca,
+)
+
+RID = "__rid"
+
+
+@pytest.fixture(scope="module")
+def num_df(spark):
+    rng = np.random.RandomState(7)
+    x = rng.normal(size=(300, 4)) @ rng.normal(size=(4, 4))
+    pdf = pd.DataFrame(x, columns=["a", "b", "c", "d"])
+    pdf[RID] = range(len(pdf))
+    return spark.createDataFrame(pdf), x
+
+
+def test_pca_matches_numpy_oracle(num_df):
+    df, x = num_df
+    out = run_pca(df).orderBy(RID).toPandas()
+    s = (x - x.min(0)) / (x.max(0) - x.min(0))
+    c = np.cov(s.T, bias=True)
+    w, v = np.linalg.eigh(c)
+    basis = v[:, np.argsort(w)[::-1][:2]]
+    for k in range(2):
+        if basis[np.argmax(np.abs(basis[:, k])), k] < 0:
+            basis[:, k] = -basis[:, k]
+    proj = (s - s.mean(0)) @ basis
+    assert np.abs(out[["PC1", "PC2"]].to_numpy() - proj).max() < 1e-9
+
+
+def test_kmeans_three_clusters_deterministic(num_df):
+    df, _ = num_df
+    a = run_kmeans(df).orderBy(RID).toPandas()
+    b = run_kmeans(df).orderBy(RID).toPandas()
+    assert a["Category by KMeans"].nunique() <= 3
+    assert (a["Category by KMeans"] == b["Category by KMeans"]).all()  # seed=9 pinned
+
+
+def test_mds_two_components(num_df):
+    df, _ = num_df
+    out = run_mds(df).toPandas()
+    assert list(out.columns) == [RID, "MDS-1", "MDS-2"]
+    assert len(out) == 300 and out["MDS-1"].std() > 0
+
+
+def test_dbscan_labels_strings(num_df):
+    df, _ = num_df
+    out = run_dbscan(df).toPandas()
+    assert out["Category by DBSCAN"].dtype == object
+    assert len(out) == 300
+
+
+def test_lda_readable_topic_labels(num_df):
+    df, _ = num_df
+    out = run_lda(df.limit(100)).toPandas()
+    assert len(out) == 100
+    # reference label shape: "w1*colA + w2*colB + ..." (Tfunctions.py:63-75)
+    assert out["Category by LDA"].str.contains(r"\*").all()
+
+
+def test_min_numeric_cols_guard(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0]})
+    pdf[RID] = range(3)
+    df = spark.createDataFrame(pdf)
+    assert run_pca(df) is None  # >2 numeric cols required (Tengine.py:217-220)
+    assert run_kmeans(df) is None
