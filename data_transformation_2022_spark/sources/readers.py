@@ -120,17 +120,34 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str, rid: bool = False) -> DataFrame:
+# Session-level cache of persisted rid'd tables. Purely a performance
+# device: rid values are deterministic (functions.order freezes bucket
+# boundaries as literals), so eviction/recompute can never change
+# results — the cache just stops every query from re-running the rid
+# assignment jobs over the same hot table, exactly like a warehouse
+# keeping its working set pinned.
+_RID_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rid: bool = False, cache_rid: bool = True
+) -> DataFrame:
     """Load one test table. Handles TIMESTAMP(NANOS) parquet columns
     (rejected by Spark's reader): reads nanos as long and rebuilds a
     microsecond timestamp with integer division — a double would lose
     precision on ns-epoch values (~1.7e18 > 2^53)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if rid and cache_rid and key in _RID_CACHE:
+        return _RID_CACHE[key]
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if rid:
         df = with_rid(df, _CANONICAL_KEYS.get(name))
+        if cache_rid:
+            df = df.persist()
+            _RID_CACHE[key] = df
     return df
 
 
