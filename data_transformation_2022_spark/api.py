@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .engine import MAX_SERIES, RecommendResult, recommend
-from .operators.steps import RID, Step, apply_tpath, step_from_dict
+from .operators.steps import RID, Step, apply_tpath, small_input_mode, step_from_dict
 from .profiler import TableProfile, profile_table
 from .sources.readers import read_csv, read_json, read_parquet, with_rid
 
@@ -165,7 +165,8 @@ class EngineSession:
             args=para.get("args") or [],
         )
         steps = parent_steps + [step.to_dict()]
-        derived = apply_tpath(self._sample, [step_from_dict(s) for s in steps])
+        with small_input_mode():  # interactive replay runs on the sample
+            derived = apply_tpath(self._sample, [step_from_dict(s) for s in steps])
         nid = path_id(steps)
         cols = [c for c in derived.columns if c != RID]
         preview = derived.select(cols).limit(20).toPandas().to_dict(orient="list")
@@ -187,9 +188,10 @@ class EngineSession:
         if self._sample is None:
             raise RuntimeError("ingest a table before refining")
         frames: dict[str, pd.DataFrame] = {}
-        for ch, nid in channels.items():
-            steps = [step_from_dict(s) for s in decode_path(nid)]
-            frames[ch] = apply_tpath(self._sample, steps).toPandas()
+        with small_input_mode():
+            for ch, nid in channels.items():
+                steps = [step_from_dict(s) for s in decode_path(nid)]
+                frames[ch] = apply_tpath(self._sample, steps).toPandas()
 
         if vtype in ("num_scatter", "cat_scatter"):
             data = self._join_channels(frames, ["xy", "color"])

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ml.coret import CORE_T_RUNNERS
-from .operators.steps import RID, Step, apply_tpath
+from .operators.steps import RID, Step, apply_tpath, small_input_mode
 from .plans.catalog import CORE_T, VLIST
 from .plans.search import Candidate, enumerate_tpaths
 from .profiler import TableProfile, profile_table
@@ -112,6 +112,12 @@ class Executor:
         # deterministic sample: limit over the stable row order
         self.sample = df.orderBy(RID).limit(sample_cap).cache()
         self._frames: dict[tuple, pd.DataFrame | None] = {}
+        self._bar_frames: dict[tuple, pd.DataFrame | None] = {}
+        # shared derived-table prefixes on the FULL table, persisted —
+        # the reference's resdatabuffer (search.py:293-298): candidates
+        # sharing a derivation (e.g. the global rank step) materialize
+        # it once instead of re-running its jobs per chart
+        self._derived_bases: dict[tuple, DataFrame] = {}
 
     def channel_frame(self, cand: Candidate, coret: str | None) -> pd.DataFrame | None:
         """Execute (tpath, core-T) once on the bounded sample; return the
@@ -121,17 +127,18 @@ class Executor:
             return self._frames[key]
         out: pd.DataFrame | None
         try:
-            derived = apply_tpath(self.sample, cand.steps)
-            if coret is None:
-                out = derived.select(RID, *cand.out_cols).toPandas()
-            else:
-                if NOT_CALCU_DMT and any(
-                    s.t in ("sum", "sub", "mul", "div") for s in cand.steps
-                ):
-                    out = None  # reference Tengine.py:58-64
+            with small_input_mode():  # channel frames are sample-bounded
+                derived = apply_tpath(self.sample, cand.steps)
+                if coret is None:
+                    out = derived.select(RID, *cand.out_cols).toPandas()
                 else:
-                    res = CORE_T_RUNNERS[coret](derived)
-                    out = res.toPandas() if res is not None else None
+                    if NOT_CALCU_DMT and any(
+                        s.t in ("sum", "sub", "mul", "div") for s in cand.steps
+                    ):
+                        out = None  # reference Tengine.py:58-64
+                    else:
+                        res = CORE_T_RUNNERS[coret](derived)
+                        out = res.toPandas() if res is not None else None
         except Exception:
             out = None
         self._frames[key] = out
@@ -141,21 +148,68 @@ class Executor:
         self, x_col: str, y_cand: Candidate | None, agg: str
     ) -> pd.DataFrame | None:
         """sum_bar / count_bar on the FULL table (distributed groupBy —
-        output bounded by the nominal domain)."""
+        output bounded by the nominal domain). Memoized per
+        (x, y-path, agg); derived bases shared and persisted."""
+        key = (x_col, y_cand.signature() if y_cand is not None else None, agg)
+        if key in self._bar_frames:
+            return self._bar_frames[key]
         try:
             if agg == "count":
-                return (
+                out = (
                     self.df.groupBy(x_col)
                     .agg(F.count(F.lit(1)).alias("COUNT"))
                     .toPandas()
                 )
-            derive = [s for s in (y_cand.steps if y_cand else []) if s.o_type == "append"]
-            base = apply_tpath(self.df, derive) if derive else self.df
-            ys = _prefer_derived(y_cand)[:MAX_SERIES] if y_cand else []
-            aggs = [F.sum(F.col(c)).alias(f"SUM({c})") for c in ys]
-            return base.groupBy(x_col).agg(*aggs).toPandas()
+            else:
+                derive = [s for s in (y_cand.steps if y_cand else []) if s.o_type == "append"]
+                base = self._derived_base(derive)
+                ys = _prefer_derived(y_cand)[:MAX_SERIES] if y_cand else []
+                aggs = [F.sum(F.col(c)).alias(f"SUM({c})") for c in ys]
+                out = base.groupBy(x_col).agg(*aggs).toPandas()
         except Exception:
-            return None
+            out = None
+        self._bar_frames[key] = out
+        return out
+
+    def prefetch(
+        self,
+        frame_jobs: list[tuple[Candidate, str | None]],
+        bar_jobs: list[tuple[str, Candidate | None, str]],
+        workers: int = 8,
+    ) -> None:
+        """Concurrent job submission (replaces the reference's optional
+        MULTIPROCESS search parallelism, config.py:15 / search.py:55-63):
+        fill the memo tables with a thread pool — Spark schedules the
+        resulting jobs concurrently on idle executor slots."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        uniq_frames: dict[tuple, tuple[Candidate, str | None]] = {}
+        for cand, coret in frame_jobs:
+            uniq_frames[(cand.signature(), coret)] = (cand, coret)
+        uniq_bars: dict[tuple, tuple[str, Candidate | None, str]] = {}
+        for x_col, y_cand, agg in bar_jobs:
+            key = (x_col, y_cand.signature() if y_cand is not None else None, agg)
+            uniq_bars[key] = (x_col, y_cand, agg)
+        # derived bases first (serial: they persist shared prefixes the
+        # bar jobs reuse — racing them would materialize duplicates)
+        for _, y_cand, agg in uniq_bars.values():
+            if agg == "sum" and y_cand is not None:
+                self._derived_base([s for s in y_cand.steps if s.o_type == "append"])
+        with ThreadPoolExecutor(workers) as pool:
+            fs = [pool.submit(self.channel_frame, c, t) for c, t in uniq_frames.values()]
+            fs += [pool.submit(self.bar_aggregate, x, y, a) for x, y, a in uniq_bars.values()]
+            for f in fs:
+                f.result()
+
+    def _derived_base(self, derive: list[Step]) -> DataFrame:
+        if not derive:
+            return self.df
+        key = tuple(
+            (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index)) for s in derive
+        )
+        if key not in self._derived_bases:
+            self._derived_bases[key] = apply_tpath(self.df, derive).persist()
+        return self._derived_bases[key]
 
 
 def _prefer_derived(cand: Candidate) -> list[str]:
@@ -231,15 +285,41 @@ def recommend(
     def ch_info(t: str, cand: Candidate, cols: list[str]) -> dict[str, Any]:
         return {"t": t, "steps": [s.to_dict() for s in cand.steps], "cols": cols}
 
+    # materialize candidate lists once, then fill the executor's memo
+    # tables with concurrent Spark jobs before the (serial) assembly
+    n2, c1, n1, nN, m1 = num2(), cat1(), num1(), numN(), nom1()
+    frame_jobs: list[tuple[Candidate, str | None]] = []
+    if {"num_scatter", "cat_scatter"} & set(chart_types):
+        frame_jobs += [(cand, coret) for _, cand, coret in n2]
+        if "num_scatter" in chart_types:
+            frame_jobs += [(cand, coret) for _, cand, coret in n1]
+        if "cat_scatter" in chart_types:
+            frame_jobs += [(cand, coret) for _, cand, coret in c1]
+    if {"rel_line", "rel_cat_line", "ord_cat_line"} & set(chart_types):
+        frame_jobs += [(cand, coret) for _, cand, coret in n1]
+    if {"rel_line", "ord_line"} & set(chart_types):
+        frame_jobs += [(cand, coret) for _, cand, coret in nN]
+    if {"rel_cat_line", "ord_cat_line"} & set(chart_types):
+        frame_jobs += [(cand, coret) for _, cand, coret in m1]
+    bar_jobs: list[tuple[str, Candidate | None, str]] = []
+    if "sum_bar" in chart_types:
+        for _, xc, _c in m1:
+            for _, yc, _c2 in nN:
+                bar_jobs.append((xc.out_cols[0], yc, "sum"))
+    if "count_bar" in chart_types:
+        for _, xc, _c in m1:
+            bar_jobs.append((xc.out_cols[0], None, "count"))
+    ex.prefetch(frame_jobs, bar_jobs)
+
     # ---- scatters: xy (dim2 num) × color (num or cat) ----
     if "num_scatter" in chart_types or "cat_scatter" in chart_types:
-        for t, cand, coret in num2():
+        for t, cand, coret in n2:
             xy = ex.channel_frame(cand, coret)
             if xy is None or len(xy.columns) != 3:
                 continue
             cx, cy = [c for c in xy.columns if c != RID]
             if "num_scatter" in chart_types:
-                for ct, ccand, ccoret in num1():
+                for ct, ccand, ccoret in n1:
                     col_f = ex.channel_frame(ccand, ccoret)
                     if col_f is None:
                         continue
@@ -252,7 +332,7 @@ def recommend(
                         )
                     )
             if "cat_scatter" in chart_types:
-                for ct, ccand, ccoret in cat1():
+                for ct, ccand, ccoret in c1:
                     col_f = ex.channel_frame(ccand, ccoret)
                     if col_f is None:
                         continue
@@ -267,12 +347,12 @@ def recommend(
 
     # ---- lines ----
     if "rel_line" in chart_types:
-        for xt, xc, _ in num1():
+        for xt, xc, _ in n1:
             xf = ex.channel_frame(xc, None)
             if xf is None:
                 continue
             xcol = [c for c in xf.columns if c != RID][0]
-            for yt, yc, _ in numN():
+            for yt, yc, _ in nN:
                 yf = ex.channel_frame(yc, None)
                 if yf is None:
                     continue
@@ -298,7 +378,7 @@ def recommend(
                 )
 
     if "ord_line" in chart_types:
-        for yt, yc, _ in numN():
+        for yt, yc, _ in nN:
             yf = ex.channel_frame(yc, None)
             if yf is None:
                 continue
@@ -322,7 +402,7 @@ def recommend(
     # ---- category-split lines (reference rel_cat_line/ord_cat_line,
     # search.py:1588-1719): one numeric y per nominal category series ----
     if "rel_cat_line" in chart_types or "ord_cat_line" in chart_types:
-        for gt, gc, _ in nom1():
+        for gt, gc, _ in m1:
             gf = ex.channel_frame(gc, None)
             if gf is None:
                 continue
@@ -330,13 +410,13 @@ def recommend(
             cats = pd.unique(gf[gcol])
             if not (2 <= len(cats) <= MAX_SERIES):
                 continue  # series cap (reference MAXLINENUMINCHART)
-            for yt, yc, _ in num1():
+            for yt, yc, _ in n1:
                 yf = ex.channel_frame(yc, None)
                 if yf is None:
                     continue
                 ycol = [c for c in yf.columns if c != RID][0]
                 if "rel_cat_line" in chart_types:
-                    for xt, xc, _ in num1():
+                    for xt, xc, _ in n1:
                         if xc is yc:
                             continue
                         xf = ex.channel_frame(xc, None)
@@ -387,9 +467,9 @@ def recommend(
 
     # ---- bars (full-table distributed aggregation) ----
     if "sum_bar" in chart_types:
-        for xt, xc, _ in nom1():
+        for xt, xc, _ in m1:
             xcol = xc.out_cols[0]
-            for yt, yc, _ in numN():
+            for yt, yc, _ in nN:
                 agg = ex.bar_aggregate(xcol, yc, "sum")
                 if agg is None or agg.empty:
                     continue
@@ -410,7 +490,7 @@ def recommend(
                 )
 
     if "count_bar" in chart_types:
-        for xt, xc, _ in nom1():
+        for xt, xc, _ in m1:
             xcol = xc.out_cols[0]
             agg = ex.bar_aggregate(xcol, None, "count")
             if agg is None or agg.empty:
@@ -451,6 +531,16 @@ def _score_scatter(
             sc[k] = v * 100.0
     if cat_color and slist.get("cdm"):
         sc["cdm"] = cdm_score(x, y, merged[ccol].to_numpy())
+    if slist.get("dispersion") or slist.get("mom_skew") or slist.get("heavytail"):
+        from .scoring.insight import moments
+
+        m = moments(y)
+        if slist.get("dispersion"):
+            sc["dispersion"] = m["variance"]
+        if slist.get("mom_skew"):
+            sc["mom_skew"] = abs(m["skewness"])
+        if slist.get("heavytail"):
+            sc["heavytail"] = m["kurtosis"]
     score = float(np.mean(list(sc.values()))) if sc else 0.0
     return ChartCandidate(ctype, channels, sc, score, merged[[cx, cy, ccol]])
 

@@ -32,6 +32,8 @@ Design notes (Spark-first):
 
 from __future__ import annotations
 
+import contextvars
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from functools import reduce
 from typing import Any
@@ -40,6 +42,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RID = "__rid"
+
+# When True, rank/nominalize compile to plain global-window expressions
+# instead of the scalable bucket machinery: on bounded samples (the
+# engine's channel frames, the API's interactive replay) the extra
+# boundary/count jobs cost far more than a 500-row single-reducer sort.
+_SMALL_INPUT = contextvars.ContextVar("steps_small_input", default=False)
+
+
+@contextmanager
+def small_input_mode():
+    """Execute steps knowing the input is driver-bounded (≤ a few
+    thousand rows): single-window ranks, no scalability scaffolding."""
+    token = _SMALL_INPUT.set(True)
+    try:
+        yield
+    finally:
+        _SMALL_INPUT.reset(token)
 
 _NUMERIC_SPARK_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
 
@@ -201,7 +220,12 @@ def _apply_rank_join(df: DataFrame, step: Step, cols: list[str]) -> DataFrame:
 def apply_step(df: DataFrame, step: Step) -> DataFrame:
     """Apply one Step: selector → op → rename → output mode."""
     cols = select_input(df, step)
-    if step.t in ("rank", "nominalize") and RID in df.columns and cols:
+    if (
+        step.t in ("rank", "nominalize")
+        and RID in df.columns
+        and cols
+        and not _SMALL_INPUT.get()
+    ):
         return _apply_rank_join(df, step, cols)
     exprs, default_names = _op_exprs(df, step, cols)
     names = _out_names(step, default_names)

@@ -293,15 +293,97 @@ def _dedup(cands: list[Candidate]) -> list[Candidate]:
     return out
 
 
+RANK_PREFIX = "rank "
+RANKING_ON = True  # reference RANKINGON (config.py:16) — default on
+
+
+def _ranked_profile(profile: TableProfile) -> tuple[TableProfile, Step] | None:
+    """Global-ranking preprocessing (reference ``ranking()``,
+    searchthread.py:470-522): a profile whose numeric columns are the
+    ``rank <col>`` counterparts of every real column, with dim/name
+    clusters mirrored onto them, plus the single shared rank step that
+    materializes them (appended once at the head of every ranked path)."""
+    from ..profiler import ColumnProfile
+
+    real = [c for c in profile.num_col_names if profile.columns[c].semantic == "real"]
+    if not real:
+        return None
+    names = {c: RANK_PREFIX + c for c in real}
+    rank_step = Step(
+        t="rank", i_type="==", i=list(real), index=[names[c] for c in real], o_type="append"
+    )
+    cols = {
+        names[c]: ColumnProfile(
+            name=names[c],
+            spark_type="bigint",
+            semantic="int",
+            n_distinct=profile.n_rows,
+        )
+        for c in real
+    }
+    mirrored = TableProfile(
+        n_rows=profile.n_rows,
+        columns=cols,
+        key=None,
+        num_col_names=[names[c] for c in real],
+        dim_clusters=[
+            [names[c] for c in g if c in names]
+            for g in profile.dim_clusters
+            if len([c for c in g if c in names]) >= 2
+        ],
+        name_clusters=[
+            [names[c] for c in g if c in names]
+            for g in profile.name_clusters
+            if len([c for c in g if c in names]) >= 2
+        ],
+        col_dists={
+            frozenset((names[a], names[b])): d
+            for pair, d in profile.col_dists.items()
+            for a, b in [tuple(pair)]
+            if a in names and b in names
+        },
+    )
+    return mirrored, rank_step
+
+
+def _with_rank_prefix(cands: list[Candidate], rank_step: Step) -> list[Candidate]:
+    rank_load = Load(cal_load("rank", len(rank_step.i)), 0.0, 0.0)
+    out = []
+    for c in cands:
+        out.append(
+            Candidate(
+                family=c.family,
+                steps=[rank_step] + c.steps,
+                out_cols=c.out_cols,
+                derived=sorted(set(c.derived) | set(c.out_cols)),  # ranked cols are derived
+                load=c.load + rank_load,
+            )
+        )
+    return out
+
+
 def enumerate_tpaths(
-    profile: TableProfile, max_depth: int = MAX_TPATH_DEPTH
+    profile: TableProfile, max_depth: int = MAX_TPATH_DEPTH, ranking: bool = RANKING_ON
 ) -> dict[str, list[Candidate]]:
     """All candidate pools keyed by family; core-T families share the
-    ``dm`` pool (reference representative-T sharing, search.py:47-61)."""
-    return {
+    ``dm`` pool (reference representative-T sharing, search.py:47-61).
+    With ``ranking`` (reference RANKINGON default), every numeric family
+    also enumerates over globally-ranked counterparts of the real
+    columns, each path opening with the shared rank step."""
+    pools = {
         "null_nom1": enumerate_null_nom1(profile),
         "null_nom": enumerate_null_nom(profile),
         "null_num1": enumerate_null_num1(profile),
         "null_num": enumerate_null_num(profile),
         "dm": enumerate_dm(profile, max_depth=max_depth),
     }
+    if ranking:
+        ranked = _ranked_profile(profile)
+        if ranked is not None:
+            rp, rank_step = ranked
+            pools["null_num1"] += _with_rank_prefix(enumerate_null_num1(rp), rank_step)
+            pools["null_num"] += _with_rank_prefix(enumerate_null_num(rp), rank_step)
+            pools["dm"] += _with_rank_prefix(
+                enumerate_dm(rp, max_depth=max_depth), rank_step
+            )
+    return {k: _dedup(v) for k, v in pools.items()}

@@ -33,6 +33,13 @@ SLIST_DEFAULT = {
     "outstanding1": True,
     "correlation": True,
     "linearness": True,
+    # the reference declares sta_dispersion/sta_skew/sta_heavytail in its
+    # slist (score.py:25-27) but never wires them into chart scoring
+    # (SURVEY §2.4 moments row) — declared here with the same inert
+    # default; flipping them on scores y-series moments via moments()
+    "dispersion": False,
+    "mom_skew": False,
+    "heavytail": False,
 }
 
 
