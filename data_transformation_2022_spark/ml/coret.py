@@ -330,10 +330,70 @@ def run_dbscan(df: DataFrame) -> DataFrame | None:
     return out
 
 
+def run_lida(df: DataFrame, label_col: str | None = None) -> DataFrame | None:
+    """Supervised linear discriminant (the reference's ``lida``,
+    T.py:58-74 / Tfunctions.py:39-44 — declared there but unreachable:
+    absent from the dispatch dict Tengine.py:24-39 and skipped by the
+    enumerator searchthread.py:461-462; we implement the intended
+    semantics). Takes numeric features + one integer label column →
+    2 discriminant components, Fisher's eigenproblem solved on a bounded
+    sample, projection applied as column arithmetic (one distributed
+    pass, like run_pca)."""
+    cols = numeric_columns(df)
+    if label_col is None:
+        # reference signature: [dimN num, dim1 int] — last int column is the label
+        int_cols = [c for c, t in df.dtypes if t in ("int", "bigint") and c != RID]
+        if not int_cols:
+            return None
+        label_col = int_cols[-1]
+    feats = [c for c in cols if c != label_col]
+    if len(feats) < MIN_NUMERIC_COLS:
+        return None
+    pdf = df.select(RID, label_col, *feats).orderBy(RID).limit(2000).toPandas()
+    x = pdf[feats].to_numpy(dtype=float)
+    span = x.max(0) - x.min(0)
+    span[span == 0] = 1.0
+    lo = x.min(0)
+    x = (x - lo) / span
+    y = pdf[label_col].to_numpy()
+    classes = np.unique(y)
+    if len(classes) < 2:
+        return None
+    mean = x.mean(0)
+    sw = np.zeros((x.shape[1], x.shape[1]))
+    sb = np.zeros_like(sw)
+    for cl in classes:
+        xc = x[y == cl]
+        mc = xc.mean(0)
+        sw += (xc - mc).T @ (xc - mc)
+        sb += len(xc) * np.outer(mc - mean, mc - mean)
+    sw += np.eye(sw.shape[0]) * 1e-9  # ridge for singular within-scatter
+    w, v = np.linalg.eig(np.linalg.solve(sw, sb))
+    order = np.argsort(-w.real)[:2]
+    basis = v[:, order].real
+    for k in range(basis.shape[1]):
+        if basis[np.argmax(np.abs(basis[:, k])), k] < 0:
+            basis[:, k] = -basis[:, k]
+
+    def project(k: int):
+        expr = F.lit(0.0)
+        for i, c in enumerate(feats):
+            scaled = (F.col(c) - F.lit(float(lo[i]))) / F.lit(float(span[i]))
+            expr = expr + (scaled - F.lit(float(mean[i]))) * F.lit(float(basis[i, k]))
+        return expr
+
+    return df.select(
+        F.col(RID),
+        project(0).cast("double").alias("LiDA-1"),
+        project(1).cast("double").alias("LiDA-2"),
+    )
+
+
 CORE_T_RUNNERS = {
     "pca": run_pca,
     "kmeans": run_kmeans,
     "lda": run_lda,
+    "lida": run_lida,
     "mds": run_mds,
     "tsne": run_tsne,
     "umap": run_umap,

@@ -1224,6 +1224,62 @@ def q_coret_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("Category by KMeans").agg(F.count(F.lit(1)).alias("n"))
 
 
+_W1_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_W1_PROBS = [i / 32 for i in range(33)]
+
+
+def _w1_sql(quantile_fn: str, index_base: int) -> str:
+    """Pairwise 1-Wasserstein between column distributions via exact
+    interpolated quantile grids — the profiler's dim-matching metric
+    (reference spreadsheet.py:187-190, utils.py:137-163) as an
+    oracle-checkable query. ONE array-quantile aggregate per column;
+    both engines use the same (n-1)p linear interpolation, so rounded
+    values match exactly. ``index_base``: Spark arrays are 0-based,
+    DuckDB lists 1-based."""
+    inner = ", ".join(repr(p) for p in _W1_PROBS)
+    probs = f"array({inner})" if index_base == 0 else f"[{inner}]"
+    qcols = ", ".join(
+        f"{quantile_fn}({c}, {probs}) AS q_{ci}" for ci, c in enumerate(_W1_COLS)
+    )
+    n = len(_W1_PROBS)
+    selects = []
+    for ai, a in enumerate(_W1_COLS):
+        for bi, b in enumerate(_W1_COLS):
+            if ai >= bi:
+                continue
+            diff = " + ".join(
+                f"ABS(q_{ai}[{pi + index_base}] - q_{bi}[{pi + index_base}])" for pi in range(n)
+            )
+            selects.append(
+                f"SELECT '{a}|{b}' AS pair, ROUND(({diff}) / {n}.0, 6) AS w1 FROM q"
+            )
+    return f"WITH q AS (SELECT {qcols} FROM lineitem)\n" + "\nUNION ALL ".join(selects)
+
+
+@register("profile_wasserstein", _w1_sql("quantile_cont", 1), tags=("profile",))
+def q_profile_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-distribution distance matrix (quantile-grid W1) — computed
+    with Spark's exact percentile; DuckDB's quantile_cont is the oracle."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_w1_sql("percentile", 0))
+
+
+@register("coret_lida", None, tags=("ml",))
+def q_coret_lida(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised linear discriminant (reference's declared-but-
+    unreachable lida, T.py:58-74): lineitem numerics vs l_linenumber
+    labels → 2 discriminant components."""
+    from .ml.coret import run_lida
+    from .operators.steps import RID
+
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    out = run_lida(
+        li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"),
+        label_col="l_linenumber",
+    )
+    return out
+
+
 @register("coret_lda", None, tags=("ml",))
 def q_coret_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LDA topic core-T (rank→token-repeat→CountVectorizer→LDA, reference

@@ -1,0 +1,69 @@
+"""Reader-layer tests: CSV/JSON ingestion matching the reference's
+pd.read_csv/pd.read_json surfaces (spreadsheet.py:22-30), rid
+discipline, and fan_out behavior."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_transformation_2022_spark.api import EngineSession
+from data_transformation_2022_spark.sources.readers import (
+    fan_out,
+    read_csv,
+    read_json,
+    with_rid,
+)
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("src") / "t.csv"
+    p.write_text("name,score,grade\nalice,90,A\nbob,85,B\ncarol,,A\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def json_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("src") / "t.json"
+    rows = [{"name": "alice", "score": 90}, {"name": "bob", "score": 85}]
+    p.write_text(json.dumps(rows))
+    return str(p)
+
+
+def test_read_csv_header_and_types(spark, csv_path):
+    df = read_csv(spark, csv_path)
+    assert set(df.columns) == {"name", "score", "grade"}
+    assert dict(df.dtypes)["score"] == "int"
+    assert df.count() == 3
+    # empty string stays empty, not NaN (keep_default_na=False semantics)
+    row = df.filter(F.col("name") == "carol").collect()[0]
+    assert row["grade"] == "A"
+
+
+def test_read_json_multiline(spark, json_path):
+    df = read_json(spark, json_path)
+    assert df.count() == 2
+    assert {r["name"] for r in df.collect()} == {"alice", "bob"}
+
+
+def test_ingest_csv_via_api(spark, csv_path):
+    s = EngineSession(spark, sample_cap=10)
+    ret = s.ingest_path(csv_path)
+    names = [row[0] for row in ret["columns"]["body"]]
+    assert "name" in names and "score" in names
+
+
+def test_with_rid_dense_unique(spark, csv_path):
+    df = with_rid(read_csv(spark, csv_path), order_by=["name"])
+    rids = sorted(r["__rid"] for r in df.collect())
+    assert rids == [0, 1, 2]
+
+
+def test_fan_out_noop_on_wide_input(spark):
+    df = spark.range(1000).repartition(64)
+    assert fan_out(df).rdd.getNumPartitions() == 64  # already wide: untouched
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() > 1
