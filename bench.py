@@ -63,6 +63,9 @@ HEADLINE = [
     "sim_ann_topk_fast",
     "sim_lsh_neardup",
     "dedup_ngram_jaccard",
+    "join_skew_salted",
+    "multimodal_image_meta",
+    "profile_wasserstein",
     "coret_pca",
     "coret_kmeans",
 ]

@@ -91,3 +91,28 @@ def distinct_domain(df: DataFrame, col: str) -> DataFrame:
     """Sorted distinct domain of a column (reference ``np.unique`` /
     ``set(cc)`` uses, ``spreadsheet.py:86,105``)."""
     return df.select(col).distinct().orderBy(col)
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate the build side ``n_salt``
+    times and scatter each probe row to one replica, so a hot key's rows
+    spread over ``n_salt`` reducers instead of one.
+
+    Same rows as ``probe.join(build, key)`` for inner joins — the salt
+    only changes placement, never matching. Use when one join key holds
+    a large fraction of the probe rows and AQE's skew-join split isn't
+    available/enough; for dimension-sized build sides prefer
+    ``F.broadcast`` (no shuffle at all).
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    probe2 = probe.withColumn("__salt", salt.cast("int"))
+    build2 = build.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return probe2.join(build2, [key, "__salt"], how).drop("__salt")

@@ -970,6 +970,83 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "join_skew_salted",
+    """SELECT p.p_brand,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_brand""",
+    tags=("join", "skew"),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: build side replicated n_salt times, probe rows
+    scattered across replicas — hash-identical result to the plain join
+    (the oracle IS the plain join), different physical placement."""
+    from .operators.relational import salted_join
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = salted_join(l.select("l_partkey", "l_extendedprice"), p.select(F.col("p_partkey").alias("l_partkey"), "p_brand"), "l_partkey", n_salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "multimodal_image_meta",
+    """SELECT doc_id AS media_id,
+              CAST(('0x' || substr(sha256(text), 1, 4)) AS INT) % 1920 + 1 AS width,
+              CAST(('0x' || substr(sha256(text), 5, 4)) AS INT) % 1080 + 1 AS height
+       FROM documents""",
+    tags=("multimodal",),
+)
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end with an EXACT oracle: text bytes as
+    image blobs → mapInPandas feature extraction (deterministic fake
+    decode) → typed metadata. DuckDB reproduces the sha256-derived
+    width/height byte-for-byte, so the Arrow batch path is value-checked."""
+    from .operators.multimodal import decode_image_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return decode_image_features(media, fake=True).select("media_id", "width", "height")
+
+
+@register(
+    "stream_hourly_rollup",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+              COUNT(*) AS n
+       FROM events GROUP BY 1, 2""",
+    tags=("streaming",),
+)
+def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming query (file source → watermarked
+    tumbling window → memory sink, drained) checked against the batch
+    oracle — one aggregation semantics, two execution modes."""
+    from .streaming.pipelines import stream_hourly_rollup
+
+    out = stream_hourly_rollup(spark, sf_dir, query_name="q_rollup_gate")
+    return out.select("hour", "event_type", "n")
+
+
+@register("stream_sessionize", None, tags=("streaming",))
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming sessionization (stateful,
+    watermark-bounded) — rows-only check; the batch twin
+    events_sessionize carries the exact oracle."""
+    from .streaming.pipelines import stream_sessionize
+
+    return stream_sessionize(spark, sf_dir, query_name="q_sessions_gate")
+
+
 _MINHASH_K = 16
 
 

@@ -37,7 +37,12 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
+        # the events file only — a bare sf_dir would stream every table's
+        # parquet through the events schema (nulls silently dropped by
+        # the watermark, a trap rather than a feature); file sources need
+        # a directory base path, so filter by name
         .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
         .load()
     )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
