@@ -65,7 +65,6 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "join_skew_salted",
     "multimodal_image_meta",
-    "profile_wasserstein",
     "coret_pca",
     "coret_kmeans",
 ]

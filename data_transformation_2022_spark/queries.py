@@ -1333,12 +1333,32 @@ def _w1_sql(quantile_fn: str, index_base: int) -> str:
     return f"WITH q AS (SELECT {qcols} FROM lineitem)\n" + "\nUNION ALL ".join(selects)
 
 
+def _w1_parts(quantile_fn: str, index_base: int) -> tuple[str, str]:
+    """(aggregation SQL, pair-selects SQL over view ``w1_q``) — split so
+    Spark materializes the quantile aggregation ONCE; an inlined CTE
+    would re-run the 4 heavy percentile aggregates for each of the 6
+    UNION ALL branches (Catalyst inlines CTEs; DuckDB materializes)."""
+    full = _w1_sql(quantile_fn, index_base)
+    with_part, selects = full.split(")\n", 1)
+    agg_sql = with_part.replace("WITH q AS (", "")
+    return agg_sql, selects.replace(" FROM q", " FROM w1_q")
+
+
 @register("profile_wasserstein", _w1_sql("quantile_cont", 1), tags=("profile",))
 def q_profile_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-distribution distance matrix (quantile-grid W1) — computed
-    with Spark's exact percentile; DuckDB's quantile_cont is the oracle."""
-    _views(spark, sf_dir, "lineitem")
-    return spark.sql(_w1_sql("percentile", 0))
+    with Spark's exact percentile; DuckDB's quantile_cont is the oracle.
+    The scan fans out so the per-partition percentile partials run on
+    every core (exact percentile buffers values — at real scale the
+    profiler itself uses approxQuantile sketches instead)."""
+    from .sources.readers import fan_out
+
+    fan_out(_t(spark, sf_dir, "lineitem").select(*_W1_COLS)).createOrReplaceTempView(
+        "lineitem"
+    )
+    agg_sql, selects_sql = _w1_parts("percentile", 0)
+    spark.sql(agg_sql).persist().createOrReplaceTempView("w1_q")
+    return spark.sql(selects_sql)
 
 
 @register("coret_lida", None, tags=("ml",))
