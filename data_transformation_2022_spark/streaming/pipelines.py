@@ -16,6 +16,7 @@ operators.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -135,3 +136,83 @@ def stream_sessionize(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+STATE_SCHEMA = "n_events bigint, sum_value double, last_ts double"
+RUNNING_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, idle_timeout_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) that emits an update per batch and a final
+    CLOSED row when the user goes idle past the timeout — semantics
+    session_window cannot express (it emits only closed windows, never
+    running updates).
+
+    State is one tiny tuple per user (bounded by the user domain, not
+    the event volume); the timeout uses processing time so idle state is
+    reclaimed — exactly the pattern for 100 TB streams where unbounded
+    keyed state is the thing that kills a job."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, s, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "sum_value": [s], "closed": [True]}
+            )
+            return
+        n, s, last = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last = max(last, float(pdf["ts"].astype("int64").max()) / 1e9)
+        state.update((n, s, last))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [s], "closed": [False]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def stream_running_totals(
+    spark: SparkSession, sf_dir: str, query_name: str = "running_totals"
+) -> DataFrame:
+    """Drive the stateful operator over the event files and return the
+    final per-user running totals (last update per user)."""
+    e = _event_stream(spark, sf_dir)
+    out = running_user_totals(e)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""SELECT user_id, n_events, sum_value FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
+              FROM {query_name} WHERE NOT closed) WHERE rn = 1"""
+    ).drop("rn")

@@ -76,3 +76,21 @@ def test_video_frame_sampling(media):
 def test_media_repartition_bytes(media):
     out = media_repartition(media, target_bytes=8)
     assert out.count() == 4  # no rows lost; partitioning is size-driven
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    from data_transformation_2022_spark.streaming.pipelines import stream_running_totals
+
+    out = stream_running_totals(spark, sf_dir, query_name="t_running")
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in out.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exp = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for u in exp:
+        assert got[u][0] == exp[u][0]
+        assert abs(got[u][1] - exp[u][1]) < 1e-6 * max(1.0, abs(exp[u][1]))
