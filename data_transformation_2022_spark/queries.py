@@ -306,12 +306,13 @@ def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sort_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chart x-axis sort + rank-for-provenance (reference
-    search.py:1195-1198): sorted position with deterministic ties."""
-    from pyspark.sql import Window
+    search.py:1195-1198): sorted position with deterministic ties.
+    Bucket-partitioned global rank (functions.order) — no
+    single-reducer window stage."""
+    from .functions.order import global_row_number
 
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
-    return o.select("o_orderkey", "o_orderdate").withColumn("pos", F.row_number().over(w))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return global_row_number(o, ["o_orderdate", "o_orderkey"], "pos")
 
 
 @register(

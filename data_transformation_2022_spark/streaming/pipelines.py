@@ -194,6 +194,26 @@ def running_user_totals(events: DataFrame, idle_timeout_ms: int = 30 * 60 * 1000
     )
 
 
+def _drain_stateful(q, timeout_s: float = 300.0) -> None:
+    """Wait until the stateful query has consumed its input: a data batch
+    followed by an empty batch. ``processAllAvailable()`` is NOT usable
+    here — ProcessingTimeTimeout keeps scheduling timeout-check batches,
+    so the engine never reports idle and the call blocks forever."""
+    import time
+
+    t0 = time.time()
+    seen_data = False
+    while time.time() - t0 < timeout_s:
+        p = q.lastProgress
+        if p is not None:
+            if p["numInputRows"] > 0:
+                seen_data = True
+            elif seen_data:
+                return
+        time.sleep(0.5)
+    raise TimeoutError("stateful stream did not drain within timeout")
+
+
 def stream_running_totals(
     spark: SparkSession, sf_dir: str, query_name: str = "running_totals"
 ) -> DataFrame:
@@ -208,7 +228,7 @@ def stream_running_totals(
         .start()
     )
     try:
-        q.processAllAvailable()
+        _drain_stateful(q)
     finally:
         q.stop()
     return spark.sql(
