@@ -53,6 +53,7 @@ HEADLINE = [
     "dates_multi_format_parse",
     "scoring_hist2d",
     "scoring_moments",
+    "scoring_cdm",
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -836,6 +836,114 @@ _sql_both(
     tags=("scoring",),
 )
 
+# CDM class-separation (reference score.py:61-70): per-class 10×10
+# histograms over SHARED global bounds, mean pairwise L1, ×100. The heavy
+# stage (binning + counting 60k..100TB rows) is a single distributed
+# aggregation; the pairwise stage runs over ≤ classes×100 tiny hist cells.
+_sql_both(
+    "scoring_cdm",
+    """WITH pts AS (SELECT l_returnflag AS cls, l_extendedprice AS x, l_quantity AS y
+                    FROM lineitem),
+            m AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax,
+                         CAST(COUNT(*) AS DOUBLE) AS n
+                  FROM pts),
+            h AS (SELECT cls,
+                         LEAST(CAST(FLOOR((x - xmin) / (xmax - xmin) * 10) AS BIGINT), 9) AS bin_x,
+                         LEAST(CAST(FLOOR((y - ymin) / (ymax - ymin) * 10) AS BIGINT), 9) AS bin_y,
+                         COUNT(*) AS cnt
+                  FROM pts, m GROUP BY 1, 2, 3),
+            cells AS (SELECT DISTINCT bin_x, bin_y FROM h),
+            classes AS (SELECT DISTINCT cls FROM h),
+            dense AS (SELECT c.cls, ce.bin_x, ce.bin_y, COALESCE(h.cnt, 0) AS cnt
+                      FROM classes c CROSS JOIN cells ce
+                      LEFT JOIN h ON h.cls = c.cls AND h.bin_x = ce.bin_x AND h.bin_y = ce.bin_y),
+            pairs AS (SELECT SUM(ABS(a.cnt - b.cnt)) AS l1
+                      FROM dense a JOIN dense b
+                        ON a.bin_x = b.bin_x AND a.bin_y = b.bin_y AND a.cls < b.cls)
+       SELECT l1 / (SELECT n FROM m) / ((SELECT COUNT(*) FROM classes) - 1) * 100 AS cdm
+       FROM pairs""",
+    ("lineitem",),
+    tags=("scoring",),
+)
+
+# Linear-fit F-statistic (reference score.py:436-452 shape): daily order
+# counts regressed on the sorted day index. All inputs are exact-integer
+# sums, so the F-stat is bit-deterministic across engines; the p-value
+# step (regularized betainc, scoring.insight.f_sf) is non-SQL and is
+# unit-tested separately. The window runs on the POST-aggregation frame
+# (one row per day), not the raw table.
+_sql_both(
+    "sig_linearness_fstat",
+    """WITH d AS (SELECT o_orderdate AS day, CAST(COUNT(*) AS DOUBLE) AS y
+                  FROM orders GROUP BY 1),
+            idx AS (SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS x FROM d),
+            s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+                  FROM idx)
+       SELECT n,
+              (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+              ((sxy - sx * sy / n) * (sxy - sx * sy / n) / (sxx - sx * sx / n)) * (n - 2)
+                / (syy - sy * sy / n
+                   - (sxy - sx * sy / n) * (sxy - sx * sy / n) / (sxx - sx * sx / n)) AS f_stat
+       FROM s""",
+    ("orders",),
+    tags=("scoring", "significance"),
+)
+
+# Outstanding-№1 F-statistic (reference score.py:394-412 shape): revenue
+# per customer nation, power-law fit v_i ≈ α·i^(−0.7) on ranks 2.., top-1
+# residual F-stat. DECIMAL sums keep the group totals engine-exact;
+# POWER() may differ by 1 ulp between engines, so the statistic is
+# rounded to 4 decimals on both sides.
+_sql_both(
+    "sig_outstanding1_fstat",
+    """WITH vals AS (SELECT c_nationkey AS k,
+                            SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1),
+            ranked AS (SELECT CAST(v AS DOUBLE) AS v,
+                              CAST(ROW_NUMBER() OVER (ORDER BY v DESC, k) AS DOUBLE) AS i
+                       FROM vals),
+            fit AS (SELECT SUM(CASE WHEN i >= 2 THEN v * POWER(i, -0.7) ELSE 0 END)
+                             / SUM(CASE WHEN i >= 2 THEN POWER(i, -1.4) ELSE 0 END) AS alpha
+                    FROM ranked),
+            err AS (SELECT SUM(CASE WHEN i >= 2
+                                    THEN (v - alpha * POWER(i, -0.7)) * (v - alpha * POWER(i, -0.7))
+                                    ELSE 0 END) AS sse,
+                           MAX(CASE WHEN i = 1 THEN v - alpha END) AS resid_top,
+                           CAST(COUNT(*) AS DOUBLE) AS n
+                    FROM ranked, fit)
+       SELECT ROUND(resid_top * resid_top / (sse / (n - 2)), 4) AS f_out1, n
+       FROM err""",
+    ("orders", "customer"),
+    tags=("scoring", "significance"),
+)
+
+
+@register("scoring_scagnostics", None, tags=("scoring",))
+def q_scagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scagnostics over a chart-sized sample (reference score.py:72-392;
+    the reference world is ≤400 points — MAXSOURCEDATAROWS config.py:1).
+    The MST metrics are inherently non-SQL (rows-only check); per-chart
+    parallelism at scale comes from applyInPandas over candidate charts
+    (engine.py), this query pins the numeric surface of ONE chart."""
+    from .operators.steps import RID
+    from .scoring.insight import scagnostics
+
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    pdf = (
+        li.select(RID, "l_extendedprice", "l_quantity")
+        .orderBy(RID)
+        .limit(400)
+        .toPandas()
+    )
+    res = scagnostics(
+        pdf["l_extendedprice"].to_numpy(float), pdf["l_quantity"].to_numpy(float)
+    )
+    row = [{k: float(round(v, 6)) for k, v in sorted(res.items())}]
+    return spark.createDataFrame(row)
+
 
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions: text analysis / dedup / similarity
@@ -1401,6 +1509,31 @@ def q_coret_mds(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem", rid=True)
     sample = li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax").orderBy(RID).limit(400)
     return run_mds(sample)
+
+
+@register("coret_tsne", None, tags=("ml",))
+def q_coret_tsne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-SNE core-T (reference Tfunctions.py:18-25, perplexity=5) on a
+    bounded sample; sklearn-gated with a deterministic classical-MDS
+    fallback under the tSNE column names (ml.coret.run_tsne)."""
+    from .ml.coret import run_tsne
+    from .operators.steps import RID
+
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    sample = li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax").orderBy(RID).limit(400)
+    return run_tsne(sample)
+
+
+@register("coret_umap", None, tags=("ml",))
+def q_coret_umap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UMAP core-T (reference Tfunctions.py:33-37) on a bounded sample;
+    umap-learn-gated with a classical-MDS fallback (ml.coret.run_umap)."""
+    from .ml.coret import run_umap
+    from .operators.steps import RID
+
+    li = _t(spark, sf_dir, "lineitem", rid=True)
+    sample = li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax").orderBy(RID).limit(400)
+    return run_umap(sample)
 
 
 @register("coret_dbscan", None, tags=("ml",))
