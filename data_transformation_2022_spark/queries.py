@@ -1585,6 +1585,20 @@ def q_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_fast(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
 
 
+@register("sim_ivf_topk", None, tags=("similarity", "approx"))
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: seeded coarse quantizer (16 lists), probe the 4 nearest
+    lists per query — the scan-shrinking ANN scale path. With
+    n_probe==n_lists it equals sim_cosine_topk (tests assert this);
+    recall<1 at n_probe=4 by design → rows-only check."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, n_lists=16, n_probe=4
+    )
+
+
 @register("sim_lsh_neardup", None, tags=("similarity", "approx"))
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup via random-hyperplane LSH buckets (recall<1

@@ -128,3 +128,37 @@ def test_ann_fast_matches_exact(vecs):
     e = {(r["query_id"], r["rank"]): r["cand_id"] for r in exact.collect()}
     f = {(r["query_id"], r["rank"]): r["cand_id"] for r in fast.collect()}
     assert e == f
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    from data_transformation_2022_spark.operators.similarity import ivf_topk
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(e, q, "vec_id", "embedding", k=3)
+    full = ivf_topk(e, q, "vec_id", "embedding", k=3, n_lists=8, n_probe=8)
+    ex = {(r["query_id"], r["rank"]): r["cand_id"] for r in exact.collect()}
+    fu = {(r["query_id"], r["rank"]): r["cand_id"] for r in full.collect()}
+    assert ex == fu
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    from data_transformation_2022_spark.operators.similarity import ivf_topk
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(e, q, "vec_id", "embedding", k=5)
+    approx = ivf_topk(e, q, "vec_id", "embedding", k=5, n_lists=8, n_probe=2)
+    ex: dict[int, set] = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["cand_id"])
+    ap: dict[int, set] = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["cand_id"])
+    hits = sum(len(ex[qid] & ap.get(qid, set())) for qid in ex)
+    total = sum(len(s) for s in ex.values())
+    # clustered synthetic embeddings: probing 1/4 of the lists must keep
+    # most true neighbors (they share the query's list by construction)
+    assert hits / total >= 0.6
