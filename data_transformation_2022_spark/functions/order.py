@@ -45,9 +45,12 @@ def _boundaries(df: DataFrame, key: str, num_buckets: int) -> list:
         return []
     base = dict(df.dtypes)[key].split("(")[0]
     if base in _NUMERIC_BASES:
+        # boundaries are load-balancing hints, not semantics: 0.1% sketch
+        # accuracy keeps buckets even and costs a fraction of a
+        # high-accuracy summary
         probs = [i / num_buckets for i in range(1, num_buckets)]
         row = df.select(
-            F.percentile_approx(key, probs, 10_000).alias("q")
+            F.percentile_approx(key, probs, 1_000).alias("q")
         ).collect()[0]
         return sorted({v for v in (row["q"] or []) if v is not None})
     n = df.count()
@@ -82,12 +85,20 @@ def global_row_number(
     dense: bool = False,
     num_partitions: int | None = None,
     zero_based: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = global rank of each row under ``order_by``.
 
     ``dense=False`` → ``row_number`` semantics (pass a unique tie-break
     column as the last order key for determinism). ``dense=True`` →
     ``dense_rank`` semantics (equal keys share a rank, consecutive codes).
+
+    ``materialize=True`` persists the bucket-local ranking pass and reads
+    the per-bucket offsets from it (``max(local rank)`` per bucket is the
+    bucket's row count — or distinct count under dense ranks), saving a
+    full counting pass over the input; the returned frame is a narrow
+    projection over the persisted ranking. Use it when the result will be
+    consumed repeatedly (e.g. the readers' rid tables).
 
     Buckets come from the leading key only, so heavy skew on one value
     concentrates in one bucket — same behavior as any range partitioner;
@@ -99,14 +110,25 @@ def global_row_number(
     bounds = _boundaries(df, lead, n)
     part = df.withColumn(_BUCKET, _bucket_expr(lead, bounds))
 
-    if dense:
-        # equal keys share a bucket → per-bucket distinct counts are disjoint
-        per_part = part.groupBy(_BUCKET).agg(
-            F.count_distinct(*[F.col(c) for c in order_by]).alias("__n")
-        )
+    w = Window.partitionBy(_BUCKET).orderBy(*[F.col(c) for c in order_by])
+    local = F.dense_rank() if dense else F.row_number()
+    base = -1 if zero_based else 0
+
+    if materialize:
+        local_col = "__gr_local"
+        ranked = part.withColumn(local_col, local.over(w)).persist()
+        per_part = ranked.groupBy(_BUCKET).agg(F.max(local_col).alias("__n")).collect()
+        counts = {r[_BUCKET]: r["__n"] for r in per_part}
     else:
-        per_part = part.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("__n"))
-    counts = {r[_BUCKET]: r["__n"] for r in per_part.collect()}
+        if dense:
+            # equal keys share a bucket → per-bucket distinct counts are disjoint
+            per_part = part.groupBy(_BUCKET).agg(
+                F.count_distinct(*[F.col(c) for c in order_by]).alias("__n")
+            ).collect()
+        else:
+            per_part = part.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("__n")).collect()
+        counts = {r[_BUCKET]: r["__n"] for r in per_part}
+
     offsets: dict[int, int] = {}
     acc = 0
     for b in sorted(counts):
@@ -116,15 +138,115 @@ def global_row_number(
     pairs: list = []
     for b, off in offsets.items():
         pairs.extend([F.lit(b), F.lit(off)])
-    w = Window.partitionBy(_BUCKET).orderBy(*[F.col(c) for c in order_by])
-    local = F.dense_rank() if dense else F.row_number()
-    base = -1 if zero_based else 0
     off_map = F.create_map(*pairs) if pairs else None
     off_col = off_map[F.col(_BUCKET)] if off_map is not None else F.lit(0)
+    if materialize:
+        return (
+            ranked.withColumn(out_col, (F.col(local_col) + off_col + F.lit(base)).cast("bigint"))
+            .drop(_BUCKET, local_col)
+        )
     return (
         part.withColumn(out_col, (local.over(w) + off_col + F.lit(base)).cast("bigint"))
         .drop(_BUCKET)
     )
+
+
+def global_ranks_multi(
+    df: DataFrame,
+    cols: list[str],
+    out_cols: list[str],
+    dense: bool = False,
+    zero_based: bool = False,
+    tie_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rank SEVERAL columns with shared small jobs: ONE aggregate for all
+    boundary sets (numeric: percentile_approx per column; other: one
+    shared seeded sample) and ONE aggregate for all per-bucket counts
+    (conditional sums — 32 buckets × N columns of codegen'd CASE
+    aggregates), then one bucket-partitioned window per column. Same
+    values as N calls to global_row_number, N-1 fewer boundary jobs and
+    N-1 fewer count jobs — the driver-job overhead, not the data pass,
+    dominates multi-column rank steps."""
+    sc = df.sparkSession.sparkContext
+    n = num_partitions or sc.defaultParallelism
+    dtypes = dict(df.dtypes)
+
+    numeric = [c for c in cols if dtypes[c].split("(")[0] in _NUMERIC_BASES]
+    other = [c for c in cols if c not in numeric]
+    bounds: dict[str, list] = {}
+    if numeric:
+        probs = [i / n for i in range(1, n)]
+        row = df.select(
+            *[F.percentile_approx(c, probs, 1_000).alias(c) for c in numeric]
+        ).collect()[0]
+        for c in numeric:
+            bounds[c] = sorted({v for v in (row[c] or []) if v is not None})
+    if other:
+        total = df.count()
+        fraction = min(1.0, _SAMPLE_TARGET / total) if total else 0.0
+        sampled = (
+            df.select(*other).sample(False, fraction, seed=42).collect() if total else []
+        )
+        for c in other:
+            vals = sorted(r[c] for r in sampled if r[c] is not None)
+            step = max(1, len(vals) // n) if vals else 1
+            bounds[c] = sorted({vals[i] for i in range(step, len(vals), step)}) if vals else []
+
+    bucket_cols = {c: f"__grm_{i}" for i, c in enumerate(cols)}
+    part = df
+    for c in cols:
+        part = part.withColumn(bucket_cols[c], _bucket_expr(c, bounds[c]))
+
+    # ONE counting job for all columns: stack (column-index, bucket) pairs
+    # and hash-aggregate — cheaper than N groupBys (N-1 fewer jobs) and
+    # far cheaper than buckets×columns conditional CASE aggregates.
+    if len(cols) == 1:
+        c, bc = cols[0], bucket_cols[cols[0]]
+        agg = (
+            F.count_distinct(F.col(c)).alias("n")
+            if dense
+            else F.count(F.lit(1)).alias("n")
+        )
+        counted1 = part.groupBy(F.col(bc).alias("b")).agg(agg).collect()
+        counted = [{"ci": 0, "b": r["b"], "n": r["n"]} for r in counted1]
+    elif dense:
+        # per-bucket DISTINCT counts, disjoint across buckets because
+        # equal keys share a bucket
+        pairs_df = part.select(
+            F.posexplode(F.array(*[F.struct(F.col(bucket_cols[c]).alias("b"), F.col(c).cast("string").alias("v")) for c in cols])).alias("ci", "s")
+        ).select("ci", F.col("s.b").alias("b"), F.col("s.v").alias("v"))
+        counted = (
+            pairs_df.filter(F.col("v").isNotNull())
+            .groupBy("ci", "b")
+            .agg(F.count_distinct("v").alias("n"))
+            .collect()
+        )
+    else:
+        pairs_df = part.select(
+            F.posexplode(F.array(*[F.col(bucket_cols[c]) for c in cols])).alias("ci", "b")
+        )
+        counted = pairs_df.groupBy("ci", "b").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts: dict[tuple[int, int], int] = {(r["ci"], r["b"]): r["n"] for r in counted}
+
+    out = part
+    base = -1 if zero_based else 0
+    for ci, (c, out_col) in enumerate(zip(cols, out_cols)):
+        bc = bucket_cols[c]
+        n_buckets = len(bounds[c]) + 1
+        acc = 0
+        pairs: list = []
+        for b in range(n_buckets):
+            pairs.extend([F.lit(b), F.lit(acc)])
+            acc += int(counts.get((ci, b), 0))
+        order = [F.col(c)] if dense else [F.col(c)] + (
+            [F.col(tie_col)] if tie_col else []
+        )
+        w = Window.partitionBy(bc).orderBy(*order)
+        local = F.dense_rank() if dense else F.row_number()
+        off = F.create_map(*pairs)[F.col(bc)] if pairs else F.lit(0)
+        out = out.withColumn(out_col, (local.over(w) + off + F.lit(base)).cast("bigint"))
+    return out.drop(*bucket_cols.values())
 
 
 def attach_global_rank(

@@ -198,15 +198,19 @@ def _apply_rank_join(df: DataFrame, step: Step, cols: list[str]) -> DataFrame:
     rank appended in place (functions.order) — one parallel exchange per
     column, no single-reducer window and no join-back. Same values as
     the window form (tie-break by __rid / dense np.unique codes)."""
-    from ..functions.order import global_row_number
+    from ..functions.order import global_ranks_multi
 
     dense = step.t == "nominalize"
     defaults = [f"nominal({c})" if dense else f"rank {c}" for c in cols]
     names = _out_names(step, defaults)
-    joined = df
-    for c, name in zip(cols, names):
-        order = [c] if dense else [c, RID]
-        joined = global_row_number(joined, order, name, dense=dense, zero_based=dense)
+    joined = global_ranks_multi(
+        df,
+        cols,
+        names,
+        dense=dense,
+        zero_based=dense,
+        tie_col=RID if (not dense and RID in df.columns) else None,
+    )
     if step.o_type == "new_table":
         return joined.select(RID, *names)
     if step.o_type == "append":

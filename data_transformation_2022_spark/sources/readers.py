@@ -99,7 +99,9 @@ def with_rid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     if RID in df.columns:
         return df
     if order_by:
-        return global_row_number(df, order_by, RID, zero_based=True)
+        return global_row_number(
+            df, order_by, RID, zero_based=True, materialize=True
+        )
     return df.withColumn(RID, F.monotonically_increasing_id())
 
 
@@ -144,9 +146,11 @@ def load_table(
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if rid:
+        # with_rid(materialize=True) already persists the heavy ranking
+        # pass; the cached frame is a narrow projection over it, so no
+        # second persist here.
         df = with_rid(df, _CANONICAL_KEYS.get(name))
         if cache_rid:
-            df = df.persist()
             _RID_CACHE[key] = df
     return df
 
