@@ -318,6 +318,13 @@ def recommend(
             if xy is None or len(xy.columns) != 3:
                 continue
             cx, cy = [c for c in xy.columns if c != RID]
+            # scagnostics depend only on the xy point cloud — compute the
+            # MST metrics ONCE per xy candidate, not per color pairing
+            # (the reference recomputes per chart; same values, ~#colors×
+            # less MST work)
+            sg_xy = scagnostics(
+                xy[cx].to_numpy(dtype=float), xy[cy].to_numpy(dtype=float)
+            )
             if "num_scatter" in chart_types:
                 for ct, ccand, ccoret in n1:
                     col_f = ex.channel_frame(ccand, ccoret)
@@ -329,6 +336,7 @@ def recommend(
                         _score_scatter(
                             "num_scatter", merged, cx, cy, ccol, False, slist,
                             {"xy": ch_info(t, cand, [cx, cy]), "color": ch_info(ct, ccand, [ccol])},
+                            sg=sg_xy,
                         )
                     )
             if "cat_scatter" in chart_types:
@@ -342,6 +350,7 @@ def recommend(
                         _score_scatter(
                             "cat_scatter", merged, cx, cy, ccol, True, slist,
                             {"xy": ch_info(t, cand, [cx, cy]), "color": ch_info(ct, ccand, [ccol])},
+                            sg=sg_xy,
                         )
                     )
 
@@ -521,11 +530,13 @@ def _score_scatter(
     cat_color: bool,
     slist: dict[str, bool],
     channels: dict[str, dict[str, Any]],
+    sg: dict[str, float] | None = None,
 ) -> ChartCandidate:
     x = merged[cx].to_numpy(dtype=float)
     y = merged[cy].to_numpy(dtype=float)
     sc: dict[str, float] = {}
-    sg = scagnostics(x, y)
+    if sg is None:
+        sg = scagnostics(x, y)
     for k, v in sg.items():
         if slist.get(k):
             sc[k] = v * 100.0

@@ -69,9 +69,32 @@ def _boundaries(df: DataFrame, key: str, num_buckets: int) -> list:
 
 def _bucket_expr(key: str, bounds: list) -> Column:
     """bucket id = number of boundaries ≤ key (nulls → bucket 0, matching
-    Spark's nulls-first default sort order)."""
+    Spark's nulls-first default sort order). Built as ONE SQL expression
+    string where literals allow it: a chain of ~32 F.when() calls costs
+    hundreds of py4j round-trips per invocation, the parsed string costs
+    one."""
+    import math
+
     if not bounds:
         return F.lit(0)
+
+    def _sql_lit(b) -> str | None:
+        if isinstance(b, bool):
+            return None
+        if isinstance(b, int):
+            return str(b)
+        if isinstance(b, float):
+            return repr(b) if math.isfinite(b) else None
+        if isinstance(b, str):
+            return "'" + b.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return None
+
+    lits = [_sql_lit(b) for b in bounds]
+    if all(s is not None for s in lits):
+        terms = " + ".join(
+            f"(CASE WHEN `{key}` >= {s} THEN 1 ELSE 0 END)" for s in lits
+        )
+        return F.expr(terms)
     expr: Column = F.lit(0)
     for b in bounds:
         expr = expr + F.when(F.col(key) >= F.lit(b), 1).otherwise(0)

@@ -60,7 +60,9 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Shuffles 8-byte keys, not documents. Returns one row per distinct
     content with the minimum id as representative and the duplicate count.
     """
-    fp = fan_out(df).select(F.col(id_col), fingerprint64(F.col(text_col)).alias("fp"))
+    # no fan_out: one md5 per row is cheaper than round-robin-shuffling
+    # the document text; multi-partition inputs parallelize naturally
+    fp = df.select(F.col(id_col), fingerprint64(F.col(text_col)).alias("fp"))
     return fp.groupBy("fp").agg(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_dups"),

@@ -118,20 +118,28 @@ def profile_table(
     n_rows = row["__n"]
 
     # ---- exact distinct confirmation where key election needs it ----
-    # approx_count_distinct error ≤ ~5%; anything within 10% of n_rows or
-    # under the nominal threshold gets an exact count in one extra pass.
+    # approx_count_distinct error ≤ ~5%; near-key columns get an exact
+    # countDistinct, small-cardinality candidates get a sorted collect_set
+    # (their true distinct is bounded by the approx error, so the set is
+    # tiny) — which yields the exact count AND the domain in the SAME
+    # single aggregate job, replacing a per-column distinct query each.
     nominal_cap = min(nominal_std * n_rows, float(nominal_abs_cap))
-    need_exact = [
-        c
-        for c in cols
-        if row[f"{c}__ad"] >= 0.9 * n_rows or row[f"{c}__ad"] <= nominal_cap * 1.5
+    near_key = [c for c in cols if row[f"{c}__ad"] >= 0.9 * n_rows]
+    small_side = [
+        c for c in cols if c not in near_key and row[f"{c}__ad"] <= nominal_cap * 1.5
     ]
     exact: dict[str, int] = {}
-    if need_exact:
+    domains: dict[str, list] = {}
+    if near_key or small_side:
         erow = df.agg(
-            *[F.countDistinct(F.col(c)).alias(c) for c in need_exact]
+            *[F.countDistinct(F.col(c)).alias(f"{c}__cd") for c in near_key],
+            *[F.sort_array(F.collect_set(F.col(c))).alias(f"{c}__dom") for c in small_side],
         ).collect()[0]
-        exact = {c: erow[c] for c in need_exact}
+        exact = {c: erow[f"{c}__cd"] for c in near_key}
+        for c in small_side:
+            dom = list(erow[f"{c}__dom"])
+            exact[c] = len(dom)
+            domains[c] = dom
 
     # ---- date-format detection for string columns (bounded sample) ----
     date_fmt: dict[str, str] = {}
@@ -200,10 +208,17 @@ def profile_table(
         profiles[key].is_key = True
 
     # ---- small-domain materialization for nominal columns ----
-    nominal_small = [c for c, p in profiles.items() if p.semantic == "nominal" and p.n_distinct <= max_domain]
-    for c in nominal_small:
-        vals = [r[0] for r in df.select(c).distinct().orderBy(c).collect()]
-        profiles[c].domain = vals
+    # domains were collected in the exact-confirmation agg above; any
+    # nominal column not covered there (approx count between 1.5·cap and
+    # max_domain never happens with cap ≤ 20 < 64, but guard anyway)
+    # falls back to a distinct query.
+    for c, p in profiles.items():
+        if p.semantic != "nominal" or p.n_distinct > max_domain:
+            continue
+        if c in domains:
+            p.domain = domains[c]
+        else:
+            p.domain = [r[0] for r in df.select(c).distinct().orderBy(c).collect()]
 
     num_cols = [
         c
