@@ -127,7 +127,12 @@ def sample_video_frames(df: DataFrame, every_n: int = 30, fake: bool = False) ->
                 for i in range(n_frames):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i * every_n)
-                    rows["frame_blob"].append(hashlib.sha256((b or b"") + bytes([i])).digest())
+                    # frame index appended as ASCII digits (not a raw
+                    # byte) so SQL engines can reproduce the fake blob:
+                    # sha256(blob || '0'), sha256(blob || '1'), …
+                    rows["frame_blob"].append(
+                        hashlib.sha256((b or b"") + str(i).encode()).digest()
+                    )
             yield pd.DataFrame(rows)
 
     return df.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

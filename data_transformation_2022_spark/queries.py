@@ -1130,6 +1130,41 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    """WITH f AS (
+         SELECT doc_id, text,
+                UNNEST(range(1, octet_length(encode(text)) % 5 + 2)) AS i
+         FROM documents)
+       SELECT doc_id AS media_id,
+              CAST((i - 1) * 30 AS INTEGER) AS frame_idx,
+              sha256(text || CAST(i - 1 AS VARCHAR)) AS frame_hash
+       FROM f""",
+    tags=("multimodal",),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end with an EXACT oracle: text bytes
+    as video blobs → mapInPandas frame explosion (deterministic fake
+    decode — one output row per sampled frame, sha256-derived frame
+    blobs) → hex frame hashes DuckDB reproduces byte-for-byte."""
+    from .operators.multimodal import sample_video_frames
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/mp4").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    frames = sample_video_frames(media, every_n=30, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex(F.col("frame_blob"))).alias("frame_hash"),
+    )
+
+
+@register(
     "stream_hourly_rollup",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
               COUNT(*) AS n
