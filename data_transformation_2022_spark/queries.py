@@ -1130,6 +1130,33 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_meta",
+    """SELECT doc_id AS media_id,
+              16000 AS sample_rate,
+              octet_length(encode(text)) * 4 AS n_samples
+       FROM documents""",
+    tags=("multimodal",),
+)
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode plumbing with an EXACT oracle: text bytes as audio
+    blobs → mapInPandas feature extraction (deterministic fake decode) →
+    typed metadata DuckDB reproduces from the blob length."""
+    from .operators.multimodal import decode_audio_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("audio/wav").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return decode_audio_features(media, fake=True).select(
+        "media_id", "sample_rate", "n_samples"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """WITH f AS (
          SELECT doc_id, text,
