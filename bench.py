@@ -85,10 +85,11 @@ def main() -> None:
     # the SMALLEST scale factor (exercises the windowed-rank codegen and
     # Python-worker spin-up without touching the timed workload size).
     qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    if "basic_rank" in qs:
-        qs["basic_rank"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+    for warm_q in ("basic_rank", "dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_lsh_neardup"):
+        if warm_q in qs:
+            qs[warm_q](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
     # Prepare the session's rid tables (ingest-time layout work — the
     # cluster equivalent is writing the table bucketed/sorted once at
     # load; queries are then measured at steady state against it).
