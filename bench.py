@@ -46,6 +46,14 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q14",
+    "tpch_q7",
+    "tpch_q18",
+    "tpch_q19",
+    "agg_rollup",
+    "agg_pivot",
+    "join_semi_anti",
+    "join_asof",
+    "window_moving_avg",
     "events_sessionize",
     "events_hourly_rollup",
     "events_json_extract",

@@ -1672,6 +1672,351 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.3 extended: grouping sets, pivot, semi/anti joins, window frames,
+# as-of join, percentiles, wider TPC-H coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    tags=("agg", "grouping"),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — one shuffle computes all
+    grouping levels (map-side partial agg covers every level at once)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    tags=("agg", "grouping"),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE in a single aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price")
+    )
+
+
+@register(
+    "agg_pivot",
+    """SELECT l_linestatus,
+              CAST(SUM(CASE WHEN l_returnflag = 'A'
+                            THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_a,
+              CAST(SUM(CASE WHEN l_returnflag = 'N'
+                            THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_n,
+              CAST(SUM(CASE WHEN l_returnflag = 'R'
+                            THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_r
+       FROM lineitem
+       GROUP BY l_linestatus""",
+    tags=("agg", "pivot"),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with explicit value list — no extra pass to
+    discover pivot values, single shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
+@register(
+    "join_semi_anti",
+    """SELECT c_custkey, c_name, 'has_big_order' AS segment
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+       UNION ALL
+       SELECT c_custkey, c_name, 'no_big_order' AS segment
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
+    tags=("join", "semi"),
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI join (EXISTS / NOT EXISTS): no row
+    multiplication, the probe side streams once; filter pushes to the
+    orders scan before the join."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_big_order").alias("segment")
+    )
+    anti = c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_big_order").alias("segment")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "window_moving_avg",
+    """SELECT event_id, user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+       FROM events""",
+    tags=("window", "frame"),
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame moving average per user — partitioned window (one
+    shuffle on user_id, no global sort); decimal running sum so the
+    result is order-independent and engine-exact."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(_dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("mov_avg"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    """SELECT event_id, user_id,
+              value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+       FROM events""",
+    tags=("window", "lag"),
+)
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG delta per user (first event per user → NULL). Deterministic
+    tie-break on event_id; per-row double subtraction is IEEE-exact."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "join_asof",
+    """SELECT p.event_id, p.user_id,
+              (SELECT v.event_id FROM events v
+               WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+               ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_view_event
+       FROM events p WHERE p.event_type = 'purchase'""",
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest prior-or-equal
+    'view' event of the same user. Implemented scalably as
+    union-tag-window: one shuffle on user_id, a single ordered pass with
+    last(ignorenulls) — no O(n²) inequality join, no broadcast needed.
+    (The correlated-subquery oracle states the semantics; this plan is
+    the 100-TB shape.)"""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("src_event"), F.lit(0).alias("tag")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("src_event"), F.lit(1).alias("tag")
+    )
+    u = views.unionByName(purchases)
+    # views sort before purchases at equal ts (tag 0 < 1), so the frame up
+    # to the current row contains exactly the views with ts <= purchase.ts;
+    # last(ignorenulls) picks the greatest (ts, event_id) among them.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "src_event")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = u.withColumn(
+        "asof_view_event",
+        F.last(F.when(F.col("tag") == 0, F.col("src_event")), ignorenulls=True).over(w),
+    )
+    return tagged.filter(F.col("tag") == 1).select(
+        F.col("src_event").alias("event_id"), "user_id", "asof_view_event"
+    )
+
+
+@register(
+    "agg_percentiles",
+    """SELECT l_returnflag,
+              percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+              percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+              percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+              MAX(l_quantity) AS mx
+       FROM lineitem
+       GROUP BY l_returnflag""",
+    tags=("agg", "percentile"),
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile_cont).
+    Integer-valued doubles + binary-exact interpolation fractions make
+    this bit-identical across engines. At 100 TB the approx_percentile
+    sketch replaces this; exact is the correctness anchor."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)").alias("p25"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias("p50"),
+        F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)").alias("p75"),
+        F.max("l_quantity").alias("mx"),
+    )
+
+
+@register(
+    "tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year,
+              CAST(SUM(volume) AS DOUBLE) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+                    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume
+             FROM supplier s
+             JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+       GROUP BY supp_nation, cust_nation, l_year""",
+    tags=("tpch", "join"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations: both nation dims
+    broadcast; the OR-pair predicate applies after the cheap broadcast
+    joins, before the grouping shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q18",
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, o.o_totalprice,
+              CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+       GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+       ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""",
+    tags=("tpch", "join"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers. The HAVING subquery reduces to a
+    tiny key set → left-semi join on orders (AQE broadcasts it); lineitem
+    re-aggregates only for surviving orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19",
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+              AND l.l_quantity BETWEEN 1 AND 11)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+              AND l.l_quantity BETWEEN 10 AND 20)
+          OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 20 AND 30)""",
+    tags=("tpch", "join"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue over OR'd predicate branches. The
+    brand/size disjunction pre-filters the part scan (derived predicate
+    pushdown), part broadcasts, branch predicates resolve post-join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).filter(
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
 # registry accessors for __spark_entry__
 # ---------------------------------------------------------------------------
 
