@@ -2016,6 +2016,79 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(F.sum(rev).cast("double").alias("revenue"))
 
 
+@register(
+    "io_partitioned_pruning",
+    """SELECT l_linestatus,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+       FROM lineitem
+       WHERE l_returnflag = 'R'
+       GROUP BY l_linestatus""",
+    tags=("io", "sink"),
+)
+def q_io_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink + partition pruning roundtrip: write lineitem partitioned by
+    l_returnflag, read back with an equality filter on the partition
+    column — the scan touches only the matching directory
+    (PartitionFilters, zero data-file IO for other flags)."""
+    import hashlib
+
+    from .sources.writers import write_partitioned
+
+    path = f"/tmp/spark_graft_io/part_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"
+    )
+    write_partitioned(li, path, ["l_returnflag"])
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "io_bucketed_join",
+    """SELECT o.o_orderpriority,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.o_orderpriority""",
+    tags=("io", "sink", "join"),
+)
+def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables written bucketed on the
+    join key (8 buckets, in-bucket sorted), then joined through the
+    catalog — no Exchange on either side of the SortMergeJoin. This is
+    the ingest-time layout that removes the dominant shuffle from every
+    repeated orderkey join at 100 TB."""
+    import hashlib
+
+    from .sources.writers import read_bucketed, write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(
+        li, f"li_bkt_{tag}", f"/tmp/spark_graft_io/li_bkt_{tag}", ["l_orderkey"],
+        n_buckets=8, sort_by=["l_orderkey"],
+    )
+    write_bucketed(
+        o, f"o_bkt_{tag}", f"/tmp/spark_graft_io/o_bkt_{tag}", ["o_orderkey"],
+        n_buckets=8, sort_by=["o_orderkey"],
+    )
+    lb = read_bucketed(spark, f"li_bkt_{tag}")
+    ob = read_bucketed(spark, f"o_bkt_{tag}")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors for __spark_entry__
 # ---------------------------------------------------------------------------

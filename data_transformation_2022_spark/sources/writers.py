@@ -1,0 +1,75 @@
+"""Sinks: partitioned / bucketed / flat-file writers.
+
+The reference has no write path at all (its only output is chart JSON
+over HTTP), but a 100 TB engine lives or dies by table layout. These
+writers are the ingest-time knobs that make the read-side fast:
+
+* ``write_partitioned`` — directory partitioning (`partitionBy`): reads
+  with an equality/range filter on the partition column scan only the
+  matching directories (partition pruning — visible as
+  ``PartitionFilters`` in the scan node).
+* ``write_bucketed`` — hash bucketing + in-bucket sort (`bucketBy` +
+  `sortBy` + `saveAsTable`): two tables bucketed on the same key join
+  WITHOUT a shuffle on either side (no Exchange in the plan), the
+  single biggest cost lever for repeated large-table joins.
+* ``write_csv`` / ``write_json`` — interchange formats mirroring the
+  reference's CSV/JSON ingest surface (spreadsheet.py:22-30).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write parquet partitioned by the given columns.
+
+    ``maxRecordsPerFile`` caps file size under skewed partition values
+    (one giant partition directory otherwise produces one giant file
+    per task at cluster scale).
+    """
+    w = df.write.mode(mode).partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_by: list[str],
+    n_buckets: int = 8,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally in-bucket-sorted) table.
+
+    Uses ``saveAsTable`` with an explicit external ``path`` so the data
+    location is caller-controlled; the in-memory catalog records the
+    bucket spec, which is what lets the planner elide the join shuffle.
+    """
+    w = df.write.mode(mode).option("path", path).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back through the catalog (required: reading
+    the parquet path directly loses the bucket spec and re-shuffles)."""
+    return spark.table(table)

@@ -79,3 +79,27 @@ def test_dedup_shuffles_hashes_not_documents(spark, sf_dir, qs):
         plan,
     ):
         assert "text#" not in m.group(1)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, qs):
+    # reading back a table partitioned by l_returnflag with an equality
+    # filter must prune at the directory level: the partition filter
+    # appears as PartitionFilters and is NOT a data-file PushedFilter
+    plan = plan_of(qs["io_partitioned_pruning"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, qs):
+    # both sides bucketed+sorted on the join key: with broadcast off the
+    # SortMergeJoin must consume bucket layout directly — no Exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(qs["io_bucketed_join"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" in plan
+    join_section = plan.split("SortMergeJoin")[0]
+    assert "Exchange" not in join_section
