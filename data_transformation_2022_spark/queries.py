@@ -2090,6 +2090,85 @@ def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# registry ordering
+# ---------------------------------------------------------------------------
+#
+# The correctness driver attests the first 50 registry entries per round.
+# Round 1 attested the 48 oracle + 2 rows-only queries that then occupied
+# the prefix; this explicit priority list rotates the prefix so the
+# oracle-backed queries that have NOT yet received a CORRECTNESS row come
+# first, followed by a representative one-per-family mix of already-green
+# queries (so a regression in any operator family still surfaces).
+# Everything not listed keeps registration order after the prefix.
+
+_PRIORITY: list[str] = [
+    # --- never attested by the driver (oracle-backed), highest value ---
+    "tpch_q7",
+    "tpch_q18",
+    "tpch_q19",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "agg_percentiles",
+    "join_semi_anti",
+    "join_asof",
+    "window_moving_avg",
+    "window_lag_delta",
+    "sim_cosine_topk",
+    "emb_neardup_pairs",
+    "dedup_ngram_jaccard",
+    "events_sessionize",
+    "profile_wasserstein",
+    "io_partitioned_pruning",
+    "io_bucketed_join",
+    # --- new this round (oracle-backed) ---
+    "basic_replace_mode",
+    "coret_pca",
+    "coret_lida",
+    "coret_kmeans",
+    # --- representative already-green mix (one-per-family coverage) ---
+    "basic_select_like",
+    "basic_rank",
+    "basic_div",
+    "basic_nominalize",
+    "basic_rid_concat",
+    "agg_group_sum",
+    "topk_by_value",
+    "set_union_all",
+    "join_3way_topk",
+    "join_skew_salted",
+    "tpch_q1",
+    "tpch_q3",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "profile_column_stats",
+    "profile_key_detection",
+    "dates_multi_format_parse",
+    "scoring_hist2d",
+    "scoring_cdm",
+    "sig_outstanding1_fstat",
+    "text_quality_score",
+    "text_langid",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "multimodal_image_meta",
+    "multimodal_frame_sample",
+    "stream_hourly_rollup",
+]
+
+
+def _reorder_registry() -> None:
+    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
+
+# ---------------------------------------------------------------------------
 # registry accessors for __spark_entry__
 # ---------------------------------------------------------------------------
 

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("ts", T.TimestampNTZType()),  # parquet TIMESTAMP(MICROS, ntz)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -34,7 +34,6 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
@@ -46,7 +45,9 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Watermarks require TIMESTAMP (LTZ), not TIMESTAMP_NTZ; session tz is
+    # pinned to UTC so the wall clock matches the NTZ batch twin exactly.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup_agg(events: DataFrame, with_watermark: bool) -> DataFrame:
@@ -95,7 +96,10 @@ def sessionize_batch(
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", tie_col)
-    secs = F.col("ts").cast("double")
+    # TIMESTAMP_NTZ cannot cast to double directly; route through LTZ
+    # (session tz is pinned to UTC, so the epoch is well-defined and the
+    # difference is tz-independent either way).
+    secs = F.col("ts").cast("timestamp_ltz").cast("double")
     gap = secs - F.lag(secs).over(w)
     marked = events.withColumn(
         "new_session", F.when(gap.isNull() | (gap > gap_minutes * 60.0), 1).otherwise(0)
@@ -175,7 +179,10 @@ def running_user_totals(events: DataFrame, idle_timeout_ms: int = 30 * 60 * 1000
         for pdf in pdfs:
             n += len(pdf)
             s += float(pdf["value"].sum())
-            last = max(last, float(pdf["ts"].astype("int64").max()) / 1e9)
+            last = max(
+                last,
+                float(pdf["ts"].astype("datetime64[ns]").astype("int64").max()) / 1e9,
+            )
         state.update((n, s, last))
         state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
@@ -204,8 +211,11 @@ def _drain_stateful(q, timeout_s: float = 300.0) -> None:
     t0 = time.time()
     seen_data = False
     while time.time() - t0 < timeout_s:
-        p = q.lastProgress
-        if p is not None:
+        # recentProgress retains the last ~100 progress objects, so a data
+        # batch and the following empty batch are both observed even when
+        # they complete within one poll interval (lastProgress alone can
+        # be overwritten between polls and spin until timeout).
+        for p in q.recentProgress:
             if p["numInputRows"] > 0:
                 seen_data = True
             elif seen_data:

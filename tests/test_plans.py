@@ -101,5 +101,15 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, qs):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "SortMergeJoin" in plan
-    join_section = plan.split("SortMergeJoin")[0]
-    assert "Exchange" not in join_section
+    # Both scans must consume the bucket layout directly.
+    assert "Bucketed: true" in plan
+    # In formatted output every operator in the join's subtree carries an
+    # id LOWER than the join's own id (leaves are numbered first).  Any
+    # Exchange above the join (e.g. the downstream aggregation shuffle)
+    # is legitimate; an Exchange below it would mean the bucket layout
+    # was not consumed.  Scope the assertion to the join's inputs.
+    join_ids = [int(m) for m in re.findall(r"SortMergeJoin[^(\n]*\((\d+)\)", plan)]
+    assert join_ids, plan
+    exchange_ids = [int(m) for m in re.findall(r"Exchange[^(\n]*\((\d+)\)", plan)]
+    below = [e for e in exchange_ids if e < min(join_ids)]
+    assert not below, f"Exchange nodes {below} feed the SortMergeJoin:\n{plan}"
