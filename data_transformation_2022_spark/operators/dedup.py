@@ -143,20 +143,57 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = DEFAULT_SHINGLE,
     threshold: float = 0.05,
+    max_df: int | None = None,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
     shingle equi-join → per-pair intersection count → Jaccard via
     |A∩B| / (|A| + |B| − |A∩B|). Output-bounded: pairs with zero overlap
-    never exist. At extreme scale, run after LSH candidate filtering.
-    The join keys are 64-bit shingle hashes, not strings — an 8-byte
-    shuffle/compare instead of ~25-byte text (collision odds ~n²/2⁶⁴).
+    never exist. The join keys are 64-bit shingle hashes, not strings —
+    an 8-byte shuffle/compare instead of ~25-byte text (collision odds
+    ~n²/2⁶⁴).
+
+    **Hot-shingle bound** (``max_df``): a shingle shared by d documents
+    emits d² join rows, so one viral phrase turns the equi-join
+    quadratic. With ``max_df`` set, shingles whose document frequency
+    exceeds the cap are dropped *before* the self-join (one extra
+    8-byte groupBy + a broadcast anti-join against the tiny hot set) and
+    both |A∩B| and |A|,|B| are computed over the surviving shingles —
+    the standard stop-shingle construction: Jaccard over the reduced
+    shingle universe, identical on both engines when the oracle applies
+    the same cap. Per-shingle output is then ≤ max_df², i.e. total work
+    is linear in corpus size — the 100 TB shape.
+
+    Without ``max_df`` this is the exact unbounded form, refused beyond
+    ``max_rows`` documents (count check) — use ``max_df`` or run after
+    ``lsh_candidate_pairs`` instead.
     """
+    if max_df is None and max_rows is not None:
+        n_docs = df.count()
+        if n_docs > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs without max_df is the unbounded "
+                f"all-shared-shingle form ({n_docs} docs > max_rows="
+                f"{max_rows}): a hot shingle shared by d docs emits d² "
+                f"join rows. Pass max_df=<cap> for the stop-shingle "
+                f"bounded form, or gate on lsh_candidate_pairs first."
+            )
     sh = (
         fan_out(df)
         .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh_raw"))
         .select(F.col(id_col), F.xxhash64("sh_raw").alias("sh"))
     )
+    if max_df is not None:
+        # document frequency per shingle (shingles are distinct per doc);
+        # the hot set is small by construction → broadcast anti-join
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

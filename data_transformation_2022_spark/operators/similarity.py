@@ -65,10 +65,29 @@ def cosine_topk_bruteforce(
 
 
 def cosine_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, round_digits: int = 6
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+    max_rows: int | None = 50_000,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine ≥ threshold — exact all-pairs
-    form for bounded corpora; compose with LSH buckets at scale."""
+    """All pairs (id_a < id_b) with cosine ≥ threshold — the exact
+    all-pairs (crossJoin) form. It exists as the oracle anchor for the
+    LSH path and is **quadratic by construction**, so it refuses inputs
+    beyond ``max_rows`` documents (count check) rather than silently
+    launching an n² job: at scale use ``lsh_neardup_pairs`` (bucketed,
+    near-linear) and reserve this form for verifying a bounded sample.
+    Pass ``max_rows=None`` to override explicitly."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_neardup_pairs is the exact all-pairs form: "
+                f"{n} rows > max_rows={max_rows} means an O(n²) crossJoin. "
+                f"Use lsh_neardup_pairs for large corpora, or pass "
+                f"max_rows=None to force."
+            )
     a = _with_norm(fan_out(df), id_col, vec_col, "na").withColumnsRenamed({id_col: "id_a", vec_col: "va"})
     b = _with_norm(df, id_col, vec_col, "nb").withColumnsRenamed({id_col: "id_b", vec_col: "vb"})
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

@@ -1314,10 +1314,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=_SIMHASH_BITS)
 
 
+# Stop-shingle cap shared by the Spark operator and the oracle: shingles
+# in more than this many documents are dropped before the self-join (a
+# shingle in d docs emits d² join rows — the cap bounds per-shingle work).
+_JACCARD_MAX_DF = 10
+
 _JACCARD_SQL = f"""WITH toks AS (
   SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
-), sh AS (
+), sh_all AS (
   SELECT doc_id, UNNEST({_DD_SHINGLES.format(w='w')}) AS sh FROM toks
+), freq AS (
+  SELECT sh, COUNT(*) AS df FROM sh_all GROUP BY sh
+), sh AS (
+  SELECT s.doc_id, s.sh FROM sh_all s JOIN freq f ON s.sh = f.sh
+  WHERE f.df <= {_JACCARD_MAX_DF}
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -1335,12 +1345,15 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.005"""
 
 @register("dedup_ngram_jaccard", _JACCARD_SQL, tags=("dedup",))
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard for every pair sharing ≥1 shingle —
-    output-bounded shingle equi-join, no all-pairs blowup."""
+    """3-gram Jaccard over the stop-shingle-capped shingle universe
+    (doc frequency ≤ {max_df}): shingle equi-join, per-shingle output
+    bounded by max_df² — linear total work, no hot-shingle blowup.
+    The oracle applies the identical cap."""
     from .operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.005
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.005,
+        max_df=_JACCARD_MAX_DF,
     )
 
 

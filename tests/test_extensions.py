@@ -115,6 +115,54 @@ def test_ngram_jaccard_values(docs):
     assert (1, 4) not in out
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # 20 docs all share one viral phrase ("breaking news wire" 3-gram);
+    # docs 1/2 additionally share a genuine near-dup body. With
+    # max_df=5 the viral shingles (df=20) are dropped: the 1-2 pair
+    # survives on its private shingles, while pairs whose ONLY overlap
+    # was the viral phrase disappear — and so does their d² join blowup.
+    viral = "breaking news wire update"
+    rows = [(1, f"{viral} alpha beta gamma delta epsilon"),
+            (2, f"{viral} alpha beta gamma delta zeta")] + [
+        (i, f"{viral} body{i} filler{i} words{i} tail{i}") for i in range(3, 21)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0, max_df=5
+        ).collect()
+    }
+    assert (1, 2) in capped and capped[(1, 2)] > 0.4
+    # viral-only pairs are gone (e.g. 3-4 share nothing but the phrase)
+    assert (3, 4) not in capped
+    # uncapped form still sees the viral-only pairs — the cap is what
+    # removed them, not the threshold
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0, max_df=None
+        ).collect()
+    }
+    assert (3, 4) in uncapped
+
+
+def test_ngram_jaccard_unbounded_guard(spark):
+    docs = spark.createDataFrame(
+        [(i, f"word{i} word{i+1} word{i+2} word{i+3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_df"):
+        ngram_jaccard_pairs(docs, "doc_id", "text", max_rows=10)
+    # with a df cap the same input is accepted (bounded form)
+    ngram_jaccard_pairs(docs, "doc_id", "text", max_df=5, max_rows=10).count()
+
+
+def test_cosine_neardup_all_pairs_guard(vecs):
+    with pytest.raises(ValueError, match="lsh_neardup_pairs"):
+        cosine_neardup_pairs(vecs, "vec_id", "embedding", 0.9, max_rows=2)
+
+
 def test_cosine_topk_and_neardup(vecs):
     top = cosine_topk_bruteforce(vecs, vecs.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=1).collect()
     assert len(top) == 1 and top[0]["cand_id"] == 2
