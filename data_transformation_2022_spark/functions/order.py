@@ -235,9 +235,20 @@ def global_ranks_multi(
         counted = [{"ci": 0, "b": r["b"], "n": r["n"]} for r in counted1]
     elif dense:
         # per-bucket DISTINCT counts, disjoint across buckets because
-        # equal keys share a bucket
+        # equal keys share a bucket. The stacked array needs one common
+        # type, so values go through a string cast — but the count must
+        # agree with the window's NATIVE ordering equality, and floats
+        # break that: -0.0 and 0.0 are one value to dense_rank yet two
+        # strings. Normalize with +0.0 (-0.0+0.0 == 0.0; NaN unchanged)
+        # before casting; within one column every other type formats
+        # equal-iff-native-equal.
+        def _v(c: str) -> Column:
+            base = dtypes[c].split("(")[0]
+            col = F.col(c) + F.lit(0.0) if base in ("float", "double") else F.col(c)
+            return col.cast("string")
+
         pairs_df = part.select(
-            F.posexplode(F.array(*[F.struct(F.col(bucket_cols[c]).alias("b"), F.col(c).cast("string").alias("v")) for c in cols])).alias("ci", "s")
+            F.posexplode(F.array(*[F.struct(F.col(bucket_cols[c]).alias("b"), _v(c).alias("v")) for c in cols])).alias("ci", "s")
         ).select("ci", F.col("s.b").alias("b"), F.col("s.v").alias("v"))
         counted = (
             pairs_df.filter(F.col("v").isNotNull())

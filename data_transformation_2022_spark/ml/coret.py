@@ -191,24 +191,24 @@ def run_lda(df: DataFrame) -> DataFrame | None:
     CountVectorizer/LDA are distributed MLlib."""
     from pyspark.ml.clustering import LDA
     from pyspark.ml.feature import CountVectorizer
-    from pyspark.sql import Window
+
+    from ..functions.order import global_ranks_multi
 
     cols = _guard_cols(df)
     if cols is None:
         return None
     # token construction: repeat sanitized column-name token by the
-    # column's per-row rank (searchthread-style rank → term frequency)
-    toks = df.select(RID)
-    rank_cols = []
-    for c in cols:
-        w = Window.orderBy(F.col(c), F.col(RID))
-        rc = f"__rk_{c}"
-        rank_cols.append(rc)
-        toks = toks.join(df.select(RID, c), RID).withColumn(rc, F.row_number().over(w))
+    # column's per-row rank (searchthread-style rank → term frequency).
+    # All columns rank in ONE global_ranks_multi pass (shared boundary
+    # and count jobs, bucket-partitioned windows — no unpartitioned
+    # single-reducer Sort) and the token arrays are built from one
+    # select — no per-column rid joins.
+    rank_cols = [f"__rk_{c}" for c in cols]
+    ranked = global_ranks_multi(df.select(RID, *cols), cols, rank_cols, tie_col=RID)
     tok_arrays = [
         F.array_repeat(F.lit(c.replace(" ", "_")), F.col(rc).cast("int")) for c, rc in zip(cols, rank_cols)
     ]
-    docs = toks.select(F.col(RID), F.flatten(F.array(*tok_arrays)).alias("__tokens"))
+    docs = ranked.select(F.col(RID), F.flatten(F.array(*tok_arrays)).alias("__tokens"))
     cv = CountVectorizer(inputCol="__tokens", outputCol="__tf").fit(docs)
     tf = cv.transform(docs)
     lda = LDA(k=LDA_K, seed=KMEANS_SEED, featuresCol="__tf", maxIter=20).fit(tf)

@@ -72,6 +72,32 @@ def test_lda_readable_topic_labels(num_df):
     assert out["Category by LDA"].str.contains(r"\*").all()
 
 
+def test_lda_token_plan_is_scale_safe(spark, sf_dir):
+    # the rank→token construction must not contain an unpartitioned
+    # global Sort (one reducer per column) — it goes through
+    # global_ranks_multi's bucket-partitioned windows even on a full
+    # table input
+    import io
+    from contextlib import redirect_stdout
+
+    from data_transformation_2022_spark.functions.order import global_ranks_multi
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem", rid=True).select(
+        RID, "l_quantity", "l_extendedprice", "l_discount"
+    )
+    ranked = global_ranks_multi(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        ["r1", "r2", "r3"],
+        tie_col=RID,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ranked.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
+
+
 def test_min_numeric_cols_guard(spark):
     pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0]})
     pdf[RID] = range(3)
