@@ -49,17 +49,15 @@ def _guard_cols(df: DataFrame) -> list[str] | None:
     return cols
 
 
-def run_pca(df: DataFrame) -> DataFrame | None:
-    """Exact distributed PCA → (PC1, PC2) via moment aggregation.
-
-    One codegen'd pass computes min/max (for the reference's min-max
-    scaling) plus all first/second moments; the p×p covariance matrix is
-    eigendecomposed on the driver (p = #columns, metadata-sized); the
-    projection is plain column arithmetic. Identical math to the
-    MLlib PCA pipeline but ONE scan instead of its fit/fit/transform
-    passes, no persisted intermediate, no vector UDF boundary.
-    Sign convention: each component's largest-|loading| entry is
-    positive (deterministic across eigensolvers)."""
+def pca_fit(df: DataFrame) -> dict | None:
+    """Fit stage of the distributed PCA: min/max + all first/second
+    moments in two codegen'd aggregate passes; the p×p covariance is
+    eigendecomposed on the driver (metadata-sized). Returns the literal
+    constants {cols, lo, span, mean, basis} the projection applies —
+    deterministic given the input, so an oracle can recompute the
+    projection from the same literals. Sign convention: each
+    component's largest-|loading| entry is positive (deterministic
+    across eigensolvers)."""
     cols = _guard_cols(df)
     if cols is None:
         return None
@@ -76,50 +74,66 @@ def run_pca(df: DataFrame) -> DataFrame | None:
     span = np.where(hi > lo, hi - lo, 1.0)
 
     scaled = [((F.col(c) - F.lit(float(lo[i]))) / F.lit(float(span[i]))) for i, c in enumerate(cols)]
+    # The moment sums feed literals that must be BIT-reproducible across
+    # runs (the oracle re-derives them), but a double sum merges 32
+    # partition partials in task-completion order. Fixed-point decimal
+    # addition is associative → order-independent: scaled values live in
+    # [0,1], so decimal(38,30) holds every partial exactly with 8 integer
+    # digits of headroom.
     m_aggs: list = []
     for i in range(p):
-        m_aggs.append(F.sum(scaled[i]).alias(f"s_{i}"))
+        m_aggs.append(F.sum(scaled[i].cast("decimal(38,30)")).alias(f"s_{i}"))
         for j in range(i, p):
-            m_aggs.append(F.sum(scaled[i] * scaled[j]).alias(f"q_{i}_{j}"))
+            m_aggs.append(
+                F.sum((scaled[i] * scaled[j]).cast("decimal(38,30)")).alias(f"q_{i}_{j}")
+            )
     m = df.agg(*m_aggs).collect()[0]
-    mean = np.array([m[f"s_{i}"] / n for i in range(p)])
+    mean = np.array([float(m[f"s_{i}"]) / n for i in range(p)])
     cov = np.zeros((p, p))
     for i in range(p):
         for j in range(i, p):
-            cov[i, j] = cov[j, i] = m[f"q_{i}_{j}"] / n - mean[i] * mean[j]
+            cov[i, j] = cov[j, i] = float(m[f"q_{i}_{j}"]) / n - mean[i] * mean[j]
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1][:2]
     basis = v[:, order]  # p × 2
     for k in range(basis.shape[1]):
         if basis[np.argmax(np.abs(basis[:, k])), k] < 0:
             basis[:, k] = -basis[:, k]
+    return {
+        "cols": cols,
+        "lo": [float(x) for x in lo],
+        "span": [float(x) for x in span],
+        "mean": [float(x) for x in mean],
+        "basis": [[float(basis[i, k]) for k in range(basis.shape[1])] for i in range(p)],
+    }
 
-    def project(k: int):
+
+def _project_exprs(fit: dict, names: tuple[str, str]) -> list:
+    """The shared projection: Σ_i (scaled_i − mean_i)·basis_ik as one
+    left-folded double expression per component — the exact operation
+    order the SQL oracle mirrors term by term."""
+    cols, lo, span = fit["cols"], fit["lo"], fit["span"]
+    mean, basis = fit["mean"], fit["basis"]
+    out = []
+    for k, name in enumerate(names):
         expr = F.lit(0.0)
-        for i in range(p):
-            expr = expr + (scaled[i] - F.lit(float(mean[i]))) * F.lit(float(basis[i, k]))
-        return expr
-
-    return df.select(
-        F.col(RID),
-        project(0).cast("double").alias("PC1"),
-        project(1).cast("double").alias("PC2"),
-    )
+        for i, c in enumerate(cols):
+            scaled = (F.col(c) - F.lit(lo[i])) / F.lit(span[i])
+            expr = expr + (scaled - F.lit(mean[i])) * F.lit(basis[i][k])
+        out.append(expr.cast("double").alias(name))
+    return out
 
 
-def _scaled_exprs(df: DataFrame, cols: list[str]) -> list:
-    """Min-max scale with one aggregate + column arithmetic (codegen)
-    instead of a MinMaxScaler fit pass."""
-    aggs: list = []
-    for i, c in enumerate(cols):
-        aggs += [F.min(c).alias(f"mn_{i}"), F.max(c).alias(f"mx_{i}")]
-    row = df.agg(*aggs).collect()[0]
-    scaled = []
-    for i, c in enumerate(cols):
-        lo, hi = row[f"mn_{i}"], row[f"mx_{i}"]
-        span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
-        scaled.append(((F.col(c) - F.lit(lo)) / F.lit(span)).cast("double"))
-    return scaled
+def run_pca(df: DataFrame) -> DataFrame | None:
+    """Exact distributed PCA → (PC1, PC2): ``pca_fit`` (two aggregate
+    scans) + literal-basis projection as plain column arithmetic.
+    Identical math to the MLlib PCA pipeline but ONE scan instead of its
+    fit/fit/transform passes, no persisted intermediate, no vector UDF
+    boundary."""
+    fit = pca_fit(df)
+    if fit is None:
+        return None
+    return df.select(F.col(RID), *_project_exprs(fit, ("PC1", "PC2")))
 
 
 def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
@@ -143,20 +157,25 @@ def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
     return c
 
 
-def run_kmeans(df: DataFrame, fit_cap: int = 10_000) -> DataFrame | None:
-    """KMeans (k=3, seed=9) → 1 category column.
-
-    Centers are fit with seeded Lloyd's on a bounded deterministic
-    sample (the reference fits on ≤400 rows by construction —
-    MAXSOURCEDATAROWS config.py:1 — so a 10k sample is a strict upgrade
-    in fidelity); the FULL table is then assigned in ONE distributed
-    pass of pure column arithmetic (distance-to-center argmin, k tiny,
-    centers broadcast as literals). No Lloyd's-iteration scans of the
-    whole table, no UDF, whole plan stays in codegen."""
+def kmeans_fit(df: DataFrame, fit_cap: int = 10_000) -> dict | None:
+    """Fit stage of KMeans (k=3, seed=9): min/max scaling constants from
+    one exact aggregate, centers from seeded Lloyd's on a bounded
+    deterministic sample (``orderBy(RID).limit``). Returns literal
+    constants {cols, lo, span, centers} — min/max are order-independent
+    and the sample is rid-ordered, so the constants are bit-reproducible
+    and an oracle can replay the assignment from the same literals."""
     cols = _guard_cols(df)
     if cols is None:
         return None
-    scaled = _scaled_exprs(df, cols)
+    row = df.agg(
+        *[a for i, c in enumerate(cols) for a in (F.min(c).alias(f"mn_{i}"), F.max(c).alias(f"mx_{i}"))]
+    ).collect()[0]
+    lo, span = [], []
+    for i in range(len(cols)):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        lo.append(float(mn) if mn is not None else 0.0)
+        span.append(float(mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0)
+    scaled = [((F.col(c) - F.lit(lo[i])) / F.lit(span[i])).cast("double") for i, c in enumerate(cols)]
     sample = (
         df.orderBy(RID)
         .limit(fit_cap)
@@ -167,6 +186,30 @@ def run_kmeans(df: DataFrame, fit_cap: int = 10_000) -> DataFrame | None:
     if len(sample) == 0:
         return None
     centers = _lloyd(sample, KMEANS_K, KMEANS_SEED)
+    return {
+        "cols": cols,
+        "lo": lo,
+        "span": span,
+        "centers": [[float(x) for x in c] for c in centers],
+    }
+
+
+def run_kmeans(df: DataFrame, fit_cap: int = 10_000) -> DataFrame | None:
+    """KMeans (k=3, seed=9) → 1 category column.
+
+    Centers are fit with seeded Lloyd's on a bounded deterministic
+    sample (the reference fits on ≤400 rows by construction —
+    MAXSOURCEDATAROWS config.py:1 — so a 10k sample is a strict upgrade
+    in fidelity); the FULL table is then assigned in ONE distributed
+    pass of pure column arithmetic (distance-to-center argmin, k tiny,
+    centers broadcast as literals). No Lloyd's-iteration scans of the
+    whole table, no UDF, whole plan stays in codegen."""
+    fit = kmeans_fit(df, fit_cap)
+    if fit is None:
+        return None
+    cols = fit["cols"]
+    lo, span, centers = fit["lo"], fit["span"], np.array(fit["centers"])
+    scaled = [((F.col(c) - F.lit(lo[i])) / F.lit(span[i])).cast("double") for i, c in enumerate(cols)]
 
     dists = []
     for j in range(len(centers)):
@@ -339,6 +382,17 @@ def run_lida(df: DataFrame, label_col: str | None = None) -> DataFrame | None:
     2 discriminant components, Fisher's eigenproblem solved on a bounded
     sample, projection applied as column arithmetic (one distributed
     pass, like run_pca)."""
+    fit = lida_fit(df, label_col)
+    if fit is None:
+        return None
+    return df.select(F.col(RID), *_project_exprs(fit, ("LiDA-1", "LiDA-2")))
+
+
+def lida_fit(df: DataFrame, label_col: str | None = None) -> dict | None:
+    """Fit stage of LiDA: Fisher's eigenproblem on a rid-ordered bounded
+    sample (deterministic), returning the same literal-constant shape as
+    ``pca_fit`` ({cols, lo, span, mean, basis}) so the projection — and
+    its SQL oracle — are shared."""
     cols = numeric_columns(df)
     if label_col is None:
         # reference signature: [dimN num, dim1 int] — last int column is the label
@@ -374,19 +428,13 @@ def run_lida(df: DataFrame, label_col: str | None = None) -> DataFrame | None:
     for k in range(basis.shape[1]):
         if basis[np.argmax(np.abs(basis[:, k])), k] < 0:
             basis[:, k] = -basis[:, k]
-
-    def project(k: int):
-        expr = F.lit(0.0)
-        for i, c in enumerate(feats):
-            scaled = (F.col(c) - F.lit(float(lo[i]))) / F.lit(float(span[i]))
-            expr = expr + (scaled - F.lit(float(mean[i]))) * F.lit(float(basis[i, k]))
-        return expr
-
-    return df.select(
-        F.col(RID),
-        project(0).cast("double").alias("LiDA-1"),
-        project(1).cast("double").alias("LiDA-2"),
-    )
+    return {
+        "cols": feats,
+        "lo": [float(x) for x in lo],
+        "span": [float(x) for x in span],
+        "mean": [float(x) for x in mean],
+        "basis": [[float(basis[i, k]) for k in range(basis.shape[1])] for i in range(len(feats))],
+    }
 
 
 CORE_T_RUNNERS = {

@@ -37,14 +37,17 @@ from .sources.readers import load_table, with_rid
 class QueryDef:
     name: str
     spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    # ANSI SQL for DuckDB; None → rows-only check. A callable is resolved
+    # lazily by oracle_sql() — used when the oracle embeds data-dependent
+    # literals (e.g. an eigenbasis) that must match the Spark plan's.
+    oracle: str | Callable[[], str] | None
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+def register(name: str, oracle: str | Callable[[], str] | None, tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=oracle, tags=tags)
         return fn
@@ -1457,31 +1460,127 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# core-T ML operators + the full recommendation engine (rows-only checks:
-# ML outputs are seed-pinned but not SQL-expressible)
+# core-T ML operators + the full recommendation engine.
+#
+# pca / lida / kmeans ARE oracle-checked: their fit stages are
+# deterministic (exact aggregates + rid-ordered samples + numpy), so the
+# fitted constants (eigenbasis / centers) are re-derived at oracle-build
+# time from the same data and emitted into the SQL as literals — DuckDB
+# then replays the identical per-row double arithmetic (same operation
+# order, same literal bits) and the hash matches exactly. The remaining
+# core-Ts (mds/tsne/umap/dbscan/lda topics) stay rows-only.
 # ---------------------------------------------------------------------------
 
+_CORET_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
-@register("coret_pca", None, tags=("ml",))
+
+def _oracle_sf() -> str:
+    """sf_dir the dynamic oracles fit against. The driver compares at
+    sf0.01; verify_local overrides via env for other scales."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _coret_fit(kind: str) -> dict:
+    """Re-run the deterministic fit stage on the oracle sf_dir — the
+    same code path the registered Spark query uses, so the literal
+    constants agree bit for bit."""
+    from .ml.coret import kmeans_fit, lida_fit, pca_fit
+    from .session import get_spark
+
+    spark = get_spark()
+    li = load_table(spark, _oracle_sf(), "lineitem", rid=True)
+    if kind == "pca":
+        return pca_fit(li.select(RID, *_CORET_COLS))
+    if kind == "lida":
+        return lida_fit(
+            li.select(RID, *_CORET_COLS, "l_linenumber"), label_col="l_linenumber"
+        )
+    return kmeans_fit(li.select(RID, *_CORET_COLS))
+
+
+def _flit(x: float) -> str:
+    """Double literal for DuckDB that round-trips BIT-exactly: scientific
+    notation parses directly as DOUBLE (strtod, correctly rounded). A
+    bare decimal literal would parse as DECIMAL and DuckDB's
+    decimal→double conversion double-rounds (int_value · 10⁻ˢ with an
+    inexact power), off by 1 ulp for some values."""
+    return f"{x:.17e}"
+
+
+def _proj_term_sql(fit: dict, k: int) -> str:
+    """Mirror of ml.coret._project_exprs component k: the same left-
+    folded `0.0 + Σ ((col−lo)/span − mean)·basis` with the same literal
+    double bits."""
+    terms = ["0.0"]
+    for i, c in enumerate(fit["cols"]):
+        terms.append(
+            f"((({c} - {_flit(fit['lo'][i])}) / {_flit(fit['span'][i])}) - {_flit(fit['mean'][i])})"
+            f" * {_flit(fit['basis'][i][k])}"
+        )
+    return " + ".join(terms)
+
+
+def _pca_oracle() -> str:
+    fit = _coret_fit("pca")
+    return (
+        f'SELECT l_orderkey, l_linenumber, {_proj_term_sql(fit, 0)} AS "PC1", '
+        f'{_proj_term_sql(fit, 1)} AS "PC2" FROM lineitem'
+    )
+
+
+def _lida_oracle() -> str:
+    fit = _coret_fit("lida")
+    return (
+        f'SELECT l_orderkey, l_linenumber, {_proj_term_sql(fit, 0)} AS "LiDA-1", '
+        f'{_proj_term_sql(fit, 1)} AS "LiDA-2" FROM lineitem'
+    )
+
+
+def _kmeans_oracle() -> str:
+    fit = _coret_fit("kmeans")
+    dists = []
+    for center in fit["centers"]:
+        terms = ["0.0"]
+        for i, c in enumerate(fit["cols"]):
+            s = f"(({c} - {_flit(fit['lo'][i])}) / {_flit(fit['span'][i])})"
+            terms.append(f"({s} - {_flit(center[i])}) * ({s} - {_flit(center[i])})")
+        dists.append(" + ".join(terms))
+    # argmin with the run_kmeans tie policy: strict < favors the earlier
+    # center on exact ties
+    return f"""WITH d AS (
+  SELECT {dists[0]} AS d0, {dists[1]} AS d1, {dists[2]} AS d2 FROM lineitem
+)
+SELECT CAST(CASE WHEN d2 < (CASE WHEN d1 < d0 THEN d1 ELSE d0 END) THEN 2
+            WHEN d1 < d0 THEN 1 ELSE 0 END AS VARCHAR) AS "Category by KMeans",
+       COUNT(*) AS n
+FROM d GROUP BY 1"""
+
+
+@register("coret_pca", _pca_oracle, tags=("ml",))
 def q_coret_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA core-T (VectorAssembler → MinMaxScaler → PCA k=2)
-    on lineitem's numeric block."""
+    """Distributed PCA core-T: moment-aggregate fit + literal-eigenbasis
+    projection (ml/coret.py pca_fit/run_pca). The oracle re-derives the
+    basis from the same deterministic fit and replays the projection."""
     from .ml.coret import run_pca
     from .operators.steps import RID
 
     li = _t(spark, sf_dir, "lineitem", rid=True)
-    out = run_pca(li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-    return out
+    out = run_pca(li.select(RID, *_CORET_COLS))
+    keys = li.select(RID, "l_orderkey", "l_linenumber")
+    return keys.join(out, RID).select("l_orderkey", "l_linenumber", "PC1", "PC2")
 
 
-@register("coret_kmeans", None, tags=("ml",))
+@register("coret_kmeans", _kmeans_oracle, tags=("ml",))
 def q_coret_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed KMeans core-T (k=3, seed=9): cluster sizes."""
+    """Distributed KMeans core-T (k=3, seed=9): cluster sizes. The
+    oracle replays the literal-center argmin assignment."""
     from .ml.coret import run_kmeans
     from .operators.steps import RID
 
     li = _t(spark, sf_dir, "lineitem", rid=True)
-    out = run_kmeans(li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    out = run_kmeans(li.select(RID, *_CORET_COLS))
     return out.groupBy("Category by KMeans").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1545,20 +1644,25 @@ def q_profile_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(selects_sql)
 
 
-@register("coret_lida", None, tags=("ml",))
+@register("coret_lida", _lida_oracle, tags=("ml",))
 def q_coret_lida(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised linear discriminant (reference's declared-but-
     unreachable lida, T.py:58-74): lineitem numerics vs l_linenumber
-    labels → 2 discriminant components."""
+    labels → 2 discriminant components. Fisher fit on the rid-ordered
+    sample is deterministic, so the oracle replays the projection from
+    the same literal basis."""
     from .ml.coret import run_lida
     from .operators.steps import RID
 
     li = _t(spark, sf_dir, "lineitem", rid=True)
     out = run_lida(
-        li.select(RID, "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"),
+        li.select(RID, *_CORET_COLS, "l_linenumber"),
         label_col="l_linenumber",
     )
-    return out
+    keys = li.select(RID, "l_orderkey", "l_linenumber")
+    return keys.join(out, RID).select(
+        "l_orderkey", "l_linenumber", F.col("LiDA-1"), F.col("LiDA-2")
+    )
 
 
 @register("coret_lda", None, tags=("ml",))
@@ -2191,4 +2295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+    return {
+        name: (qd.oracle() if callable(qd.oracle) else qd.oracle)
+        for name, qd in REGISTRY.items()
+        if qd.oracle is not None
+    }

@@ -73,6 +73,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     spark = get_spark(app_name="verify_local")
+    # dynamic oracles (coret_*) fit their literal constants against this dir
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, oracles = queries(), oracle_sql()
     names = [n for n in qs if not only or n in only]
     n_pass = n_fail = n_weak = 0
