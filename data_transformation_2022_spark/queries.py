@@ -260,6 +260,37 @@ def q_rid_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rid_concat(left, right).select("l_orderkey", "l_linenumber", "hsum")
 
 
+@register(
+    "basic_replace_mode",
+    """SELECT l_quantity + l_extendedprice + l_discount + l_tax AS price_parts_sum
+       FROM lineitem""",
+    tags=("basic", "selector", "output-mode"),
+)
+def q_replace_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`replace` output mode + `like` selector through the pipeline
+    (reference Tengine.py:82-83,128-137; we implement the INTENDED
+    drop+append — the reference's drop is a no-op bug, SURVEY §2.1).
+    Step 2's `like ["float"]` select runs on the REPLACED schema: if the
+    four source doubles were not dropped it would return five columns
+    and fail the oracle's schema compare, so the drop itself is
+    attested, not just the sum values."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = apply_tpath(
+        li,
+        [
+            Step(
+                t="sum",
+                i_type="like",
+                i=["float"],
+                index=["price_parts_sum"],
+                o_type="replace",
+            ),
+            Step(t="select", i_type="like", i=["float"]),
+        ],
+    )
+    return out.select("price_parts_sum")
+
+
 # ---------------------------------------------------------------------------
 # §2.3 aggregation / sort / top-k / set ops
 # ---------------------------------------------------------------------------
