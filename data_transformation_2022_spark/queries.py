@@ -813,12 +813,15 @@ def q_dates_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (their determinism rides on the exact expression tree)
 # ---------------------------------------------------------------------------
 
+# Reference getHist (score.py:32-35) normalizes by (max+1-min) — the +1
+# keeps the max value strictly inside bin 9, so no clip is ever needed;
+# LEAST stays as belt-and-braces for degenerate ranges.
 _sql_both(
     "scoring_hist2d",
     """WITH pts AS (SELECT l_extendedprice AS x, l_quantity AS y FROM lineitem),
             m AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax FROM pts)
-       SELECT LEAST(CAST(FLOOR((x - xmin) / (xmax - xmin) * 10) AS BIGINT), 9) AS bin_x,
-              LEAST(CAST(FLOOR((y - ymin) / (ymax - ymin) * 10) AS BIGINT), 9) AS bin_y,
+       SELECT LEAST(CAST(FLOOR((x - xmin) / (xmax + 1 - xmin) * 10) AS BIGINT), 9) AS bin_x,
+              LEAST(CAST(FLOOR((y - ymin) / (ymax + 1 - ymin) * 10) AS BIGINT), 9) AS bin_y,
               COUNT(*) AS n
        FROM pts, m
        GROUP BY 1, 2""",
@@ -882,8 +885,8 @@ _sql_both(
                          CAST(COUNT(*) AS DOUBLE) AS n
                   FROM pts),
             h AS (SELECT cls,
-                         LEAST(CAST(FLOOR((x - xmin) / (xmax - xmin) * 10) AS BIGINT), 9) AS bin_x,
-                         LEAST(CAST(FLOOR((y - ymin) / (ymax - ymin) * 10) AS BIGINT), 9) AS bin_y,
+                         LEAST(CAST(FLOOR((x - xmin) / (xmax + 1 - xmin) * 10) AS BIGINT), 9) AS bin_x,
+                         LEAST(CAST(FLOOR((y - ymin) / (ymax + 1 - ymin) * 10) AS BIGINT), 9) AS bin_y,
                          COUNT(*) AS cnt
                   FROM pts, m GROUP BY 1, 2, 3),
             cells AS (SELECT DISTINCT bin_x, bin_y FROM h),

@@ -286,11 +286,14 @@ def hist2d_counts(
     bounds: tuple[float, float, float, float] | None = None,
 ) -> np.ndarray:
     """10×10 min-max-normalized 2-D histogram (reference score.py:30-58).
-    ``bounds`` overrides the normalization range (needed for per-class
-    histograms, which must share the GLOBAL bounds)."""
+    The reference normalizes by (max+1−min) — score.py:32-35 — which
+    keeps the max value strictly inside the last bin; the clip remains
+    for degenerate ranges only. ``bounds`` overrides the normalization
+    range (needed for per-class histograms, which must share the GLOBAL
+    bounds) and is expected in the same max+1 convention."""
     x, y = np.asarray(x, float), np.asarray(y, float)
     if bounds is None:
-        bounds = (x.min(), x.max(), y.min(), y.max())
+        bounds = (x.min(), x.max() + 1.0, y.min(), y.max() + 1.0)
     xlo, xhi, ylo, yhi = bounds
 
     def _bin(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
@@ -308,11 +311,17 @@ def cdm_score(x: np.ndarray, y: np.ndarray, classes: np.ndarray, bins: int = 10)
     """Class-separation: mean pairwise L1 distance of per-class 2-D
     histograms over SHARED global bounds, scaled ×100 (reference
     score.py:61-70)."""
-    labels = np.unique(classes)
+    # reference skips negative class labels (DBSCAN outliers, score.py:50-51)
+    # but keeps ALL points in the n denominator (score.py:69)
+    labels = [
+        c
+        for c in np.unique(classes)
+        if not (isinstance(c, (int, float, np.integer, np.floating)) and c < 0)
+    ]
     if len(labels) < 2:
         return 0.0
     x, y = np.asarray(x, float), np.asarray(y, float)
-    bounds = (x.min(), x.max(), y.min(), y.max())
+    bounds = (x.min(), x.max() + 1.0, y.min(), y.max() + 1.0)
     hists = [hist2d_counts(x[classes == c], y[classes == c], bins, bounds) for c in labels]
     n = len(x)
     total = 0.0
