@@ -1,4 +1,4 @@
-"""Benchmark harness: runs the registry's queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs EVERY registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": sf}.
@@ -6,6 +6,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with the "noop" sink (computes every
 output column and row, no driver collect) so timings reflect the full
 plan, not a pruned count(*).
+
+Honesty rules (so round-over-round comparison stays meaningful):
+* Warm-up touches ONLY the smallest scale factor (sf0.001) — it pays the
+  JVM/codegen/Python-worker spin-up once, never pre-reads the timed data.
+* The rid-table build at the bench SF (ingest-time layout work — the
+  cluster equivalent of writing a table bucketed/sorted once at load) is
+  TIMED and reported as the "ingest_rid_tables" entry, included in the
+  total; timed queries then run against the prepared tables at steady
+  state, exactly like a warehouse working set.
 """
 
 from __future__ import annotations
@@ -22,61 +31,13 @@ from __spark_entry__ import queries  # noqa: E402
 
 from data_transformation_2022_spark.session import get_spark  # noqa: E402
 
-# Headline set: one per operator class (scan/project, arithmetic, rank,
-# group-agg, sort/top-k, join, events, profiling, scoring) plus extension
-# queries when present. Names absent from the registry are skipped so the
-# bench never breaks as coverage grows round over round.
-HEADLINE = [
-    "basic_select_like",
-    "basic_hmul",
-    "basic_div",
-    "basic_rank",
-    "basic_nominalize",
-    "basic_rid_concat",
-    "agg_group_sum",
-    "agg_group_count",
-    "sort_with_position",
-    "topk_by_value",
-    "set_union_all",
-    "join_3way_topk",
-    "join_broadcast_dims",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q7",
-    "tpch_q18",
-    "tpch_q19",
-    "agg_rollup",
-    "agg_pivot",
-    "join_semi_anti",
-    "join_asof",
-    "window_moving_avg",
-    "events_sessionize",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "profile_column_stats",
-    "dates_multi_format_parse",
-    "scoring_hist2d",
-    "scoring_moments",
-    "scoring_cdm",
-    "dedup_exact_text",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "sim_cosine_topk",
-    "sim_ann_topk_fast",
-    "sim_lsh_neardup",
-    "dedup_ngram_jaccard",
-    "join_skew_salted",
-    "multimodal_image_meta",
-    "coret_pca",
-    "coret_kmeans",
-]
+WARM_SF_DIR = "/root/testdata/sf0.001"
+# One query per runtime path that needs spin-up: plain agg (JVM+codegen),
+# bucketed window rank (window codegen), Arrow/pandas-UDF (Python workers),
+# streaming (microbatch machinery).
+WARM_QUERIES = ("tpch_q1", "basic_rank", "sim_lsh_neardup", "stream_hourly_rollup")
+
+RID_TABLES = ("lineitem", "orders", "documents", "embeddings", "events")
 
 
 def main() -> None:
@@ -86,33 +47,30 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     qs = queries()
-    names = [n for n in HEADLINE if n in qs]
 
-    # Warm the JVM/codegen paths once so per-query timings are steady-state:
-    # an aggregation query on the bench data, plus a window/rank query on
-    # the SMALLEST scale factor (exercises the windowed-rank codegen and
-    # Python-worker spin-up without touching the timed workload size).
-    qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for warm_q in ("basic_rank", "dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_lsh_neardup"):
+    for warm_q in WARM_QUERIES:
         if warm_q in qs:
-            qs[warm_q](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-                "overwrite"
-            ).save()
-    # Prepare the session's rid tables (ingest-time layout work — the
-    # cluster equivalent is writing the table bucketed/sorted once at
-    # load; queries are then measured at steady state against it).
+            qs[warm_q](spark, WARM_SF_DIR).write.format("noop").mode("overwrite").save()
+
     from data_transformation_2022_spark.sources.readers import load_table
 
-    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
-        load_table(spark, sf_dir, t, rid=True).count()
-
     timings: dict[str, float] = {}
-    for name in names:
+    t0 = time.time()
+    for t in RID_TABLES:
+        load_table(spark, sf_dir, t, rid=True).count()
+    timings["ingest_rid_tables"] = round(time.time() - t0, 3)
+
+    for name in qs:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # a failing query records its name, not a crash
+            timings[name] = -1.0
+            print(f"BENCH_ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
             {

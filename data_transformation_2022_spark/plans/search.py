@@ -71,14 +71,18 @@ def common_suffix_name(op: str, cols: list[str]) -> str:
 
 
 def name_distance(a: str, b: str) -> float:
-    """Header-name distance in [0,1]: 1 − token-Jaccard (the reference
-    uses word2vec cosine, utils.py:176-213; token overlap is the
-    model-free stand-in with the same planner role)."""
+    """Header-name distance in [0,1]: 1 − max(token-Jaccard, char-ngram
+    cosine). The reference uses word2vec cosine (utils.py:176-213);
+    token overlap catches shared words, the character-ngram cosine
+    (profiler.char_ngram_cosine) catches shared morphology the token
+    set misses (exp0/exp9) while keeping different stems apart
+    (exp0/imp0) — the model-free stand-ins with the same planner role."""
+    from ..profiler import char_ngram_cosine
+
     ta = set(re.findall(r"[a-zA-Z]{2,}|\d+", a.lower()))
     tb = set(re.findall(r"[a-zA-Z]{2,}|\d+", b.lower()))
-    if not ta or not tb:
-        return 1.0
-    return 1.0 - len(ta & tb) / len(ta | tb)
+    jac = len(ta & tb) / len(ta | tb) if ta and tb else 0.0
+    return 1.0 - max(jac, char_ngram_cosine(a, b))
 
 
 def _mean_pairwise(cols: list[str], dist: dict[frozenset, float]) -> float:

@@ -333,7 +333,9 @@ def _name_clusters(cols: list[str]) -> list[list[str]]:
     """Shared-substring header groups (reference spreadsheet.py:256-262):
     columns grouped by a common alphabetic substring of ≥3 chars
     (pairwise longest-common-substring, driver-side O(cols²·len²) over
-    metadata)."""
+    metadata), plus character-ngram-cosine DBSCAN groups — the
+    model-free stand-in for the reference's word2vec name clustering
+    (spreadsheet.py:239-253)."""
     from difflib import SequenceMatcher
 
     groups: dict[str, set[str]] = {}
@@ -344,7 +346,59 @@ def _name_clusters(cols: list[str]) -> list[list[str]]:
             sub = lowers[a][m.a : m.a + m.size].strip()
             if len(sub) >= 3:
                 groups.setdefault(sub, set()).update((a, b))
-    return _dedup_groups([sorted(g) for g in groups.values() if len(g) >= 2])
+    merged = [sorted(g) for g in groups.values() if len(g) >= 2]
+    merged.extend(semantic_name_clusters(cols))
+    return _dedup_groups(merged)
+
+
+def char_ngrams(name: str, n: int = 3) -> dict[str, int]:
+    """Boundary-marked character n-gram counts of the alpha-normalized
+    header name (digits dropped, like the reference's w2v preprocessing
+    utils.py:165-174 strips numerics) — the header's morphology vector."""
+    s = re.sub(r"[^a-z]+", " ", name.lower()).strip()
+    counts: dict[str, int] = {}
+    for tok in s.split():
+        padded = f"^{tok}$"
+        for i in range(max(1, len(padded) - n + 1)):
+            g = padded[i : i + n]
+            counts[g] = counts.get(g, 0) + 1
+    return counts
+
+
+def char_ngram_cosine(a: str, b: str, n: int = 3) -> float:
+    """Cosine similarity of character-ngram count vectors in [0,1]."""
+    ca, cb = char_ngrams(a, n), char_ngrams(b, n)
+    if not ca or not cb:
+        return 0.0
+    dot = sum(v * cb.get(g, 0) for g, v in ca.items())
+    na = sum(v * v for v in ca.values()) ** 0.5
+    nb = sum(v * v for v in cb.values()) ** 0.5
+    return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+def semantic_name_clusters(
+    cols: list[str], eps: float = 0.5, min_samples: int = 5
+) -> list[list[str]]:
+    """Header-semantics clusters: DBSCAN (same eps=0.5/min_samples=5 as
+    the reference's w2v clustering, spreadsheet.py:239-246) over a
+    character-ngram cosine distance matrix. Recovers morphology families
+    the substring pass can miss and keeps unrelated stems apart — e.g.
+    ie19's exp0..exp9 vs imp0..imp9 land in two separate clusters
+    (reference test corpus, FIXTURES.md)."""
+    named = [c for c in cols if char_ngrams(c)]
+    if len(named) < min_samples:
+        return []
+    n = len(named)
+    dist = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = 1.0 - char_ngram_cosine(named[i], named[j])
+            dist[i, j] = dist[j, i] = d
+    labels = dbscan_labels(dist, eps=eps, min_samples=min_samples)
+    return [
+        [named[i] for i in np.where(labels == lab)[0]]
+        for lab in sorted(set(labels) - {-1})
+    ]
 
 
 def _dedup_groups(groups: list[list[str]]) -> list[list[str]]:

@@ -70,6 +70,37 @@ def test_name_clusters_prefix_families(spark):
     assert ["imp0", "imp1", "imp2"] in tp.name_clusters
 
 
+def test_semantic_name_clusters_ie19(spark):
+    # the reference ie19.csv header set: exp0..exp9 vs imp0..imp9
+    # (FIXTURES.md; reference recovers the two families via w2v DBSCAN,
+    # spreadsheet.py:239-253). The char-ngram cosine DBSCAN must find
+    # exactly the two morphology families, never a merged exp+imp blob.
+    from data_transformation_2022_spark.profiler import (
+        char_ngram_cosine,
+        semantic_name_clusters,
+    )
+
+    cols = [f"exp{i}" for i in range(10)] + [f"imp{i}" for i in range(10)]
+    clusters = semantic_name_clusters(cols)
+    assert [f"exp{i}" for i in range(10)] in clusters
+    assert [f"imp{i}" for i in range(10)] in clusters
+    assert len(clusters) == 2
+    # the pairwise signal behind it: same stem ≈ 1, different stems far
+    assert char_ngram_cosine("exp0", "exp9") > 0.99
+    assert char_ngram_cosine("exp0", "imp0") < 0.5
+
+
+def test_name_distance_blends_morphology(spark):
+    from data_transformation_2022_spark.plans.search import name_distance
+
+    # token-Jaccard alone sees exp0/exp9 as disjoint token sets;
+    # the char-ngram signal closes that gap
+    assert name_distance("exp0", "exp9") < 0.1
+    assert name_distance("exp0", "imp0") > 0.5
+    # shared-word headers still near via token overlap
+    assert name_distance("total price", "unit price") < 0.75
+
+
 def test_unit_clusters(spark):
     pdf = pd.DataFrame(
         {
