@@ -32,10 +32,25 @@ from __spark_entry__ import queries  # noqa: E402
 from data_transformation_2022_spark.session import get_spark  # noqa: E402
 
 WARM_SF_DIR = "/root/testdata/sf0.001"
-# One query per runtime path that needs spin-up: plain agg (JVM+codegen),
-# bucketed window rank (window codegen), Arrow/pandas-UDF (Python workers),
-# streaming (microbatch machinery).
-WARM_QUERIES = ("tpch_q1", "basic_rank", "sim_lsh_neardup", "stream_hourly_rollup")
+# One query per runtime path that needs spin-up — plain agg (JVM+codegen),
+# broadcast join, bucketed window rank (window codegen), shingle explode +
+# anti/self joins, banded LSH, Arrow/pandas-UDF (Python workers), MLlib
+# iterative fit, streaming microbatch machinery. All run at the SMALLEST
+# scale factor: they compile the plan shapes without ever touching the
+# timed data (first execution of each Catalyst plan shape pays multi-
+# second whole-stage-codegen/JIT costs that would otherwise be billed to
+# whichever sf-sized query happens to run first).
+WARM_QUERIES = (
+    "tpch_q1",
+    "tpch_q7",
+    "basic_rank",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_lsh_neardup",
+    "sim_ivf_topk",
+    "coret_lda",
+    "stream_hourly_rollup",
+)
 
 RID_TABLES = ("lineitem", "orders", "documents", "embeddings", "events")
 

@@ -251,10 +251,16 @@ def run_lda(df: DataFrame) -> DataFrame | None:
     tok_arrays = [
         F.array_repeat(F.lit(c.replace(" ", "_")), F.col(rc).cast("int")) for c, rc in zip(cols, rank_cols)
     ]
-    docs = ranked.select(F.col(RID), F.flatten(F.array(*tok_arrays)).alias("__tokens"))
+    # Persist the token frame: LDA's online optimizer re-reads its input
+    # every iteration, and without a cache each pass would re-run the
+    # whole ranking lineage (windows + exchanges) — 10× the work.
+    docs = ranked.select(F.col(RID), F.flatten(F.array(*tok_arrays)).alias("__tokens")).persist()
     cv = CountVectorizer(inputCol="__tokens", outputCol="__tf").fit(docs)
-    tf = cv.transform(docs)
-    lda = LDA(k=LDA_K, seed=KMEANS_SEED, featuresCol="__tf", maxIter=20).fit(tf)
+    tf = cv.transform(docs).persist()
+    # maxIter=10 = sklearn LatentDirichletAllocation's default, which the
+    # reference uses unchanged (Tfunctions.py:58)
+    lda = LDA(k=LDA_K, seed=KMEANS_SEED, featuresCol="__tf", maxIter=10).fit(tf)
+    docs.unpersist()
     # topic labels: top-3 weighted column names per topic
     topics = lda.describeTopics(3).collect()
     vocab = cv.vocabulary

@@ -47,12 +47,36 @@ def _uh_constants(k: int, seed: int = 42) -> tuple[list[int], list[int]]:
     )
 
 
-def word_shingles(text: F.Column, n: int = DEFAULT_SHINGLE) -> F.Column:
-    """Distinct n-word shingles of lowercase whitespace tokens."""
-    toks = tokens_ws(F.lower(text))
+def shingles_of_tokens(toks: F.Column, n: int = DEFAULT_SHINGLE) -> F.Column:
+    """Distinct n-word shingles of a BOUND token-array column.
+
+    ``toks`` must be an attribute reference (a real column from a prior
+    projection), NOT an inline tokenizer expression: Catalyst performs no
+    subexpression elimination inside higher-order functions, so an inline
+    ``split(...)`` would re-tokenize the document for every
+    ``element_at`` — O(tokens²) per document (measured 15× slower on the
+    documents table)."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
     return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(F.array()))
+
+
+def word_shingles(text: F.Column, n: int = DEFAULT_SHINGLE) -> F.Column:
+    """Distinct n-word shingles of lowercase whitespace tokens. For use
+    on small frames/tests only — operators materialize the token array
+    first and call shingles_of_tokens (see that docstring for why)."""
+    return shingles_of_tokens(tokens_ws(F.lower(text)), n)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle-string) rows via the two-step tokenize→shingle
+    projection that keeps tokenization O(tokens) per document."""
+    toked = fan_out(df).select(
+        F.col(id_col), tokens_ws(F.lower(F.col(text_col))).alias("__toks")
+    )
+    return toked.select(
+        F.col(id_col), F.explode(shingles_of_tokens(F.col("__toks"), n)).alias("sh")
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -77,9 +101,9 @@ def minhash_signatures(
     Explode + single groupBy — one shuffle keyed by doc id; the k hash
     derivations are codegen'd integer arithmetic, not k md5 passes."""
     A, B = _uh_constants(k)
-    sh = fan_out(df).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle)).alias("sh")
-    ).withColumn("h", md5_prefix_long(F.col("sh"), 8))
+    sh = _shingle_rows(df, id_col, text_col, shingle).withColumn(
+        "h", md5_prefix_long(F.col("sh"), 8)
+    )
     aggs = [
         F.min((F.lit(A[i]) * F.col("h") + F.lit(B[i])) % F.lit(MERSENNE_P)).alias(f"sig_{i}")
         for i in range(k)
@@ -179,10 +203,8 @@ def ngram_jaccard_pairs(
                 f"join rows. Pass max_df=<cap> for the stop-shingle "
                 f"bounded form, or gate on lsh_candidate_pairs first."
             )
-    sh = (
-        fan_out(df)
-        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh_raw"))
-        .select(F.col(id_col), F.xxhash64("sh_raw").alias("sh"))
+    sh = _shingle_rows(df, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("sh").alias("sh")
     )
     if max_df is not None:
         # document frequency per shingle (shingles are distinct per doc);

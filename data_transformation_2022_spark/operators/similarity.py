@@ -270,13 +270,18 @@ def lsh_neardup_pairs(
     """Approximate near-dup pairs: bucket by hyperplane signature, then
     exact cosine only within buckets — the 100 TB path (the bucket join
     replaces the all-pairs cross join)."""
-    sigs = lsh_bucket_signatures(df, id_col, vec_col, n_planes)
-    a = sigs.withColumnsRenamed({id_col: "id_a", vec_col: "va"})
-    b = sigs.withColumnsRenamed({id_col: "id_b", vec_col: "vb"})
+    # norms are per-ROW quantities: compute once before the bucket join
+    # (inside the join they would fold the 128-element decimal sum once
+    # per PAIR per side — bucket_size× redundant work)
+    sigs = lsh_bucket_signatures(df, id_col, vec_col, n_planes).withColumn(
+        "nrm", norm_exact(F.col(vec_col))
+    )
+    a = sigs.withColumnsRenamed({id_col: "id_a", vec_col: "va", "nrm": "na"})
+    b = sigs.withColumnsRenamed({id_col: "id_b", vec_col: "vb", "nrm": "nb"})
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     sims = pairs.select(
         "id_a",
         "id_b",
-        F.round(dot_exact(F.col("va"), F.col("vb")) / (norm_exact(F.col("va")) * norm_exact(F.col("vb"))), 6).alias("cosine"),
+        F.round(dot_exact(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
     return sims.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine").distinct()

@@ -1433,10 +1433,17 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The all-pairs exact form is quadratic in the corpus by construction —
+# it exists as the oracle anchor for the LSH path, so it runs on an
+# explicitly bounded slice (vec_id < 1000 covers the whole sf0.01 table
+# the driver checks; at larger SFs the bound keeps the anchor an anchor
+# instead of an accidental n² benchmark).
+_NEARDUP_CAP = 1000
+
 _NEARDUP_SQL = f"""WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_NEARDUP_CAP}
 ), c AS (
-  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id < {_NEARDUP_CAP}
 ), {_COS_ELEMS},
 sims AS (
   SELECT query_id AS id_a, cand_id AS id_b,
@@ -1448,11 +1455,12 @@ SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.4"""
 
 @register("emb_neardup_pairs", _NEARDUP_SQL, tags=("similarity", "dedup"))
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all-pairs exact form; the
-    LSH-bucketed variant is the scale path, see similarity.py)."""
+    """Embedding-cosine near-duplicate pairs (all-pairs exact form on a
+    bounded slice; the LSH-bucketed variant is the scale path, see
+    similarity.py)."""
     from .operators.similarity import cosine_neardup_pairs
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _NEARDUP_CAP)
     return cosine_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
 
 
