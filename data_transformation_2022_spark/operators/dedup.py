@@ -161,6 +161,55 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return weights.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash fingerprints: band the ``bits``
+    fingerprint into ``bands`` equal slices, bucket-join on (band index,
+    band value) — by pigeonhole, any pair within ``max_hamming`` <
+    ``bands`` bit flips shares at least one identical band — then keep
+    candidates whose exact Hamming distance (bit_count of xor) is within
+    the bound. Candidate generation is a bucket equi-join (bands × docs
+    rows), never all-pairs; the Hamming check is one integer expression
+    per candidate. 100 TB-shaped like the MinHash LSH path, but over a
+    single 8-byte fingerprint per document."""
+    width = bits // bands
+    fp = simhash(df, id_col, text_col, bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.floor(F.col("simhash") / F.lit(2 ** (b * width))) % F.lit(2**width))
+            .cast("bigint")
+            .alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.filter(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("bigint").alias("hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -2249,6 +2249,184 @@ def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic sampling, simhash pairing, corpus pipeline, io roundtrips
+# ---------------------------------------------------------------------------
+
+_SAMPLE_KEY_SQL = (
+    "('0x' || substr(md5(concat_ws('|', concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+    "CAST(l_linenumber AS VARCHAR)), '')), 1, 8))::BIGINT % 1000000"
+)
+
+
+@register(
+    "sample_hash_bernoulli",
+    f"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE {_SAMPLE_KEY_SQL} < 100000""",
+    tags=("sampling",),
+)
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample keyed on the row key: the
+    md5-bucket decision is stable under retries/repartitioning and
+    engine-portable, unlike TABLESAMPLE. Pure pushed-down filter."""
+    from .operators.sampling import hash_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hash_sample(li, ["l_orderkey", "l_linenumber"], 0.1).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""SELECT l_returnflag, COUNT(*) AS n_kept FROM lineitem
+        WHERE {_SAMPLE_KEY_SQL} <
+              CASE l_returnflag WHEN 'A' THEN 50000 WHEN 'N' THEN 200000
+                                WHEN 'R' THEN 500000 ELSE 0 END
+        GROUP BY l_returnflag""",
+    tags=("sampling",),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus balancing: different
+    keep-rates per class) — one codegen'd predicate, no per-group pass,
+    no shuffle before the verification count."""
+    from .operators.sampling import stratified_hash_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    kept = stratified_hash_sample(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        "l_returnflag",
+        {"A": 0.05, "N": 0.2, "R": 0.5},
+    )
+    return kept.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_SIMHASH_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, (simhash // {2 ** (b * 8)}) % 256 AS bv FROM fps"
+    for b in range(4)
+)
+
+_SIMHASH_PAIRS_SQL = f"""WITH fps AS ({_SIMHASH_SQL}),
+banded AS (
+  {_SIMHASH_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS fa, b.simhash AS fb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL, tags=("dedup",))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit fingerprint (pigeonhole:
+    ≤3 flips across 4 bands ⇒ one band identical), bucket-join, exact
+    Hamming filter — candidate generation never goes all-pairs."""
+    from .operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=_SIMHASH_BITS, bands=4,
+        max_hamming=3,
+    )
+
+
+@register(
+    "corpus_language_stats",
+    f"""WITH feats AS (
+          SELECT doc_id,
+                 {_lang_case} AS lang,
+                 LENGTH(text) AS n_chars,
+                 LEN({_DD_TOKS.format(t='text')}) AS n_tokens
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(n_tokens AS DECIMAL(18,6))) AS DOUBLE) AS sum_tokens,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS sum_chars
+        FROM feats WHERE n_tokens >= 20
+        GROUP BY lang""",
+    tags=("text", "pipeline"),
+)
+def q_corpus_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM-corpus pipeline composition: quality gate
+    (min token count) → language ID → per-language token/char budget —
+    one pass, pure codegen, map-side combine into a 5-row aggregate."""
+    from .functions.text import langid_heuristic, tokens_ws
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_ws(F.lower(F.col("text")))
+    feats = d.select(
+        langid_heuristic(F.col("text")).alias("lang"),
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+    )
+    return (
+        feats.filter(F.col("n_tokens") >= 20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_dec("n_tokens")).cast("double").alias("sum_tokens"),
+            F.sum(_dec("n_chars")).cast("double").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "io_csv_roundtrip",
+    """SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum,
+              MIN(n_name) AS first_name
+       FROM nation GROUP BY n_regionkey""",
+    tags=("io", "csv"),
+)
+def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source path (read_csv ≈ the reference's pd.read_csv
+    ingestion, spreadsheet.py:25): write nation to CSV, read it back
+    with header+inferSchema, aggregate. The oracle reads the ORIGINAL
+    parquet — the roundtrip must be lossless for ints/strings."""
+    import hashlib
+
+    from .sources.readers import read_csv
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_io/nation_csv_{tag}"
+    _t(spark, sf_dir, "nation").write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, header=True, infer_schema=True)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_nationkey").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+@register(
+    "io_json_roundtrip",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+       FROM customer GROUP BY c_mktsegment""",
+    tags=("io", "json"),
+)
+def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source path (read_json ≈ pd.read_json,
+    spreadsheet.py:23-24): write customer to JSON, read back with schema
+    inference, aggregate. Doubles survive exactly (shortest-round-trip
+    serialization both ways); the oracle reads the original parquet."""
+    import hashlib
+
+    from .sources.readers import read_json
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_io/customer_json_{tag}"
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    c.write.mode("overwrite").json(path)
+    back = read_json(spark, path, multiline=False)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 #

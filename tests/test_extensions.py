@@ -178,6 +178,45 @@ def test_ann_fast_matches_exact(vecs):
     assert e == f
 
 
+def test_hash_sample_deterministic_and_proportional(spark, sf_dir):
+    from data_transformation_2022_spark.operators.sampling import hash_sample
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    a = hash_sample(li, ["l_orderkey", "l_linenumber"], 0.2)
+    b = hash_sample(li, ["l_orderkey", "l_linenumber"], 0.2)
+    ka, kb = a.count(), b.count()
+    assert ka == kb  # same keys → same decisions, every run
+    assert abs(ka / n - 0.2) < 0.02  # rate holds in expectation
+    # different salt → decorrelated (not identical) sample
+    c = hash_sample(li, ["l_orderkey", "l_linenumber"], 0.2, salt="other")
+    assert c.count() != 0 and c.exceptAll(a).count() > 0
+
+
+def test_split_train_eval_disjoint_exhaustive(spark, sf_dir):
+    from data_transformation_2022_spark.operators.sampling import split_train_eval
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    train, ev = split_train_eval(li, ["l_orderkey", "l_linenumber"], 0.1)
+    nt, ne, n = train.count(), ev.count(), li.count()
+    assert nt + ne == n  # exhaustive
+    assert train.intersect(ev).count() == 0  # disjoint
+    assert 0.05 < ne / n < 0.15
+
+
+def test_simhash_pairs_find_near_dups(docs):
+    from data_transformation_2022_spark.operators.dedup import simhash_neardup_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical docs: distance 0
+    assert all(h <= 3 for h in pairs.values())
+
+
 def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     from data_transformation_2022_spark.operators.similarity import ivf_topk
     from data_transformation_2022_spark.sources.readers import load_table
