@@ -2426,6 +2426,109 @@ def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_static_enrich",
+    """SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:00:00') AS hour,
+              c.c_mktsegment,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1, 2""",
+    tags=("streaming", "join"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static broadcast join (events stream enriched with the
+    customer dim) + watermarked hourly rollup per market segment — a
+    REAL streaming query drained against the batch-join oracle."""
+    from .streaming.pipelines import stream_static_enrich
+
+    dim = _t(spark, sf_dir, "customer")
+    out = stream_static_enrich(
+        spark, sf_dir, dim, "c_custkey", "c_mktsegment", query_name="q_enrich_gate"
+    )
+    return out.select(
+        "hour",
+        "c_mktsegment",
+        "n",
+        F.col("sum_value").cast("decimal(18,6)").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "window_cume_ntile",
+    """SELECT user_id, event_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+              NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+       FROM events""",
+    tags=("window",),
+)
+def q_window_cume_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative windowed sum (decimal-exact running total) + NTILE
+    bucketing per user — frame-based and rank-family window functions
+    over a deterministic total order."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_value"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def _outlier_sql(quantile_fn: str, index_base: int) -> tuple[str, str]:
+    """(quantile-agg SQL, per-column IQR-fence branch SQL over view
+    ``ol_q``): Tukey 1.5×IQR outlier counts per numeric column. Both
+    engines use the same (n−1)p interpolated quantiles; fences are
+    derived with identical arithmetic so boundary counts agree."""
+    qcols = ", ".join(
+        f"{quantile_fn}({c}, {'array(0.25, 0.75)' if index_base == 0 else '[0.25, 0.75]'}) AS q_{i}"
+        for i, c in enumerate(_W1_COLS)
+    )
+    branches = []
+    for i, c in enumerate(_W1_COLS):
+        q1, q3 = f"q_{i}[{index_base}]", f"q_{i}[{index_base + 1}]"
+        lo = f"({q1} - 1.5 * ({q3} - {q1}))"
+        hi = f"({q3} + 1.5 * ({q3} - {q1}))"
+        branches.append(
+            f"SELECT '{c}' AS col, ROUND({q1}, 6) AS q1, ROUND({q3}, 6) AS q3,\n"
+            f"       SUM(CASE WHEN {c} < {lo} THEN 1 ELSE 0 END) AS n_low,\n"
+            f"       SUM(CASE WHEN {c} > {hi} THEN 1 ELSE 0 END) AS n_high\n"
+            f"FROM lineitem, ol_q GROUP BY 1, 2, 3"
+        )
+    return f"SELECT {qcols} FROM lineitem", "\nUNION ALL ".join(branches)
+
+
+_OL_AGG_DD, _OL_BRANCHES_DD = _outlier_sql("quantile_cont", 1)
+
+
+@register(
+    "profile_outliers",
+    f"WITH ol_q AS ({_OL_AGG_DD})\n{_OL_BRANCHES_DD}",
+    tags=("profile",),
+)
+def q_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per numeric column (quartiles + 1.5×
+    IQR counts) — the data-quality pass a corpus pipeline runs before
+    training. Quantile aggregation materialized once (persist) and
+    shared by the per-column fence branches."""
+    from .sources.readers import fan_out
+
+    fan_out(_t(spark, sf_dir, "lineitem").select(*_W1_COLS)).createOrReplaceTempView(
+        "lineitem"
+    )
+    agg_sql, branches_sql = _outlier_sql("percentile", 0)
+    spark.sql(agg_sql).persist().createOrReplaceTempView("ol_q")
+    return spark.sql(branches_sql)
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

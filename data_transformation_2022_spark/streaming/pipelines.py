@@ -142,6 +142,48 @@ def stream_sessionize(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def stream_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: DataFrame,
+    dim_key: str,
+    dim_attr: str,
+    query_name: str = "enriched",
+) -> DataFrame:
+    """Stream–static join: the events stream enriched with a static
+    dimension (broadcast — a static side never shuffles the stream),
+    then a watermarked tumbling-window count/sum per dimension
+    attribute. The canonical 'join facts to dims on the way in' shape:
+    at 100 TB the stream side stays partitioned by source, the dim is
+    broadcast per microbatch, and state is bounded by the watermark."""
+    e = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    enriched = e.join(
+        F.broadcast(dim.select(F.col(dim_key).alias("user_id"), F.col(dim_attr))),
+        "user_id",
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), dim_attr)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            dim_attr,
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 STATE_SCHEMA = "n_events bigint, sum_value double, last_ts double"
 RUNNING_OUT_SCHEMA = T.StructType(
     [
