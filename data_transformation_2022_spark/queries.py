@@ -2566,32 +2566,32 @@ _PRIORITY: list[str] = [
     "coret_pca",
     "coret_lida",
     "coret_kmeans",
+    "sample_hash_bernoulli",
+    "sample_stratified",
+    "dedup_simhash_pairs",
+    "corpus_language_stats",
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
+    "stream_static_enrich",
+    "window_cume_ntile",
+    "profile_outliers",
     # --- representative already-green mix (one-per-family coverage) ---
-    "basic_select_like",
     "basic_rank",
-    "basic_div",
     "basic_nominalize",
     "basic_rid_concat",
     "agg_group_sum",
     "topk_by_value",
-    "set_union_all",
-    "join_3way_topk",
     "join_skew_salted",
     "tpch_q1",
-    "tpch_q3",
     "events_hourly_rollup",
-    "events_json_extract",
     "profile_column_stats",
-    "profile_key_detection",
     "dates_multi_format_parse",
     "scoring_hist2d",
     "scoring_cdm",
     "sig_outstanding1_fstat",
-    "text_quality_score",
     "text_langid",
     "dedup_exact_text",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "multimodal_image_meta",
     "multimodal_frame_sample",
     "stream_hourly_rollup",
