@@ -2529,6 +2529,56 @@ def q_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(branches_sql)
 
 
+_sql_both(
+    "agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+    ("lineitem",),
+    tags=("agg", "grouping"),
+)
+
+
+@register(
+    "emb_centroid_by_bucket",
+    """WITH e AS (
+         SELECT vec_id % 8 AS bucket, i - 1 AS dim, embedding[i] AS val
+         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+       )
+       SELECT bucket, dim,
+              CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                / (1000000000.0 * COUNT(*)) AS centroid_val
+       FROM e GROUP BY 1, 2""",
+    tags=("similarity", "embedding"),
+)
+def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed element-wise centroid per vector bucket (the IVF /
+    cluster-summary primitive): posexplode the embedding, one partial-
+    then-final aggregation keyed by (bucket, dimension) — decimal-exact
+    sums so the centroid is engine-identical. At scale this is the
+    shape that computes per-cluster means without ever collecting
+    vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        (F.col("vec_id") % 8).alias("bucket"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    )
+    # Fixed-point accumulation: FLOOR(val·1e9) is computed on the exact
+    # binary double in BOTH engines (decimal casts are not — Spark
+    # quantizes the shortest-string rendering, DuckDB the binary value,
+    # 1 ulp apart for some floats), bigint sums are order-free, and the
+    # final division is shared IEEE arithmetic. The centroid is exact at
+    # 1e-9 resolution — far below float32 embedding noise.
+    q = F.floor(F.col("val").cast("double") * F.lit(1000000000.0)).cast("bigint")
+    return ex.groupBy("bucket", "dim").agg(
+        (
+            F.sum(q).cast("double") / (F.lit(1000000000.0) * F.count(F.lit(1)))
+        ).alias("centroid_val")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
