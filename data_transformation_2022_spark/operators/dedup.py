@@ -161,6 +161,60 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return weights.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over candidate-pair edges — the dedup
+    completion step: near-dup pairs → duplicate CLUSTERS, each labeled
+    by its minimum member id (the canonical representative).
+
+    Min-label propagation: every node starts as its own label; each
+    round joins labels across (symmetrized) edges and takes the min —
+    pure join+groupBy rounds, fully distributed, converging in
+    graph-diameter rounds (near-dup clusters are shallow, so a handful).
+    Each round persists its frame and drops the previous one, keeping
+    lineage flat; at 100 TB add periodic checkpointing, swap in the
+    large-star/small-star contraction for adversarially long chains,
+    and stop on the `changed == 0` counter exactly as here."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    ).persist()
+    labels.count()
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("comp"))
+        )
+        new_labels = (
+            labels.select("id", "comp")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1323,6 +1323,38 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
 
 
+_CC_SQL = f"""WITH RECURSIVE
+  e AS ({_MH_PAIRS_SQL}),
+  sym AS (SELECT id_a AS src, id_b AS dst FROM e
+          UNION ALL SELECT id_b, id_a FROM e),
+  nodes AS (SELECT DISTINCT src AS id FROM sym),
+  reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+  )
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id"""
+
+
+@register("dedup_components", _CC_SQL, tags=("dedup", "graph"))
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly: MinHash-LSH candidate pairs →
+    connected components by distributed min-label propagation
+    (join+groupBy rounds, no driver graph). The oracle computes the
+    same components via a recursive transitive-closure CTE."""
+    from .operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", k=_MINHASH_K)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 _SIMHASH_BITS = 32
 _sh_weights = ",\n".join(
     f"  SUM((h // {2**j}) % 2 * 2 - 1) AS w{j}" for j in range(_SIMHASH_BITS)

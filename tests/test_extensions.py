@@ -206,6 +206,17 @@ def test_split_train_eval_disjoint_exhaustive(spark, sf_dir):
     assert 0.05 < ne / n < 0.15
 
 
+def test_connected_components_min_labels(spark):
+    from data_transformation_2022_spark.operators.dedup import connected_components
+
+    # two chains + an isolated pair: {1-2-3-4}, {10-11}, {20-21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_simhash_pairs_find_near_dups(docs):
     from data_transformation_2022_spark.operators.dedup import simhash_neardup_pairs
 
