@@ -2561,6 +2561,43 @@ def q_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(branches_sql)
 
 
+@register(
+    "events_resample_ffill",
+    """WITH daily AS (
+         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS bucket, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events
+       ),
+       last_daily AS (SELECT user_id, bucket, value FROM daily WHERE rn = 1),
+       b AS (SELECT MIN(bucket) AS d0, MAX(bucket) AS d1 FROM last_daily),
+       grid AS (SELECT u.user_id, CAST(g.g AS DATE) AS bucket
+                FROM (SELECT DISTINCT user_id FROM events) u,
+                     (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS g FROM b) g),
+       f AS (SELECT g.user_id, g.bucket, l.value
+             FROM grid g LEFT JOIN last_daily l USING (user_id, bucket))
+       SELECT user_id, CAST(bucket AS VARCHAR) AS day,
+              LAST_VALUE(value IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                AS value_ffill
+       FROM f""",
+    tags=("timeseries", "window"),
+)
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resampling + forward fill per user (the hypertable
+    gap-fill op): irregular events → dense daily grid carrying the last
+    observed value forward. Every stage partitions by user."""
+    from .operators.timeseries import resample_ffill
+
+    e = _events(spark, sf_dir)
+    out = resample_ffill(e, "user_id", "ts", "value", tie_col="event_id", unit="day")
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("string").alias("day"),
+        F.col("value_ffill"),
+    )
+
+
 _sql_both(
     "agg_grouping_sets",
     """SELECT l_returnflag, l_linestatus,
