@@ -2694,17 +2694,18 @@ _PRIORITY: list[str] = [
     "stream_static_enrich",
     "window_cume_ntile",
     "profile_outliers",
+    "agg_grouping_sets",
+    "emb_centroid_by_bucket",
+    "dedup_components",
+    "events_resample_ffill",
     # --- representative already-green mix (one-per-family coverage) ---
     "basic_rank",
     "basic_nominalize",
     "basic_rid_concat",
     "agg_group_sum",
-    "topk_by_value",
-    "join_skew_salted",
     "tpch_q1",
     "events_hourly_rollup",
     "profile_column_stats",
-    "dates_multi_format_parse",
     "scoring_hist2d",
     "scoring_cdm",
     "sig_outstanding1_fstat",
@@ -2712,7 +2713,6 @@ _PRIORITY: list[str] = [
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "multimodal_image_meta",
-    "multimodal_frame_sample",
     "stream_hourly_rollup",
 ]
 

@@ -90,6 +90,22 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, qs):
     assert m and "l_returnflag" in m.group(1)
 
 
+def test_hash_sample_is_narrow(spark, sf_dir, qs):
+    # the deterministic sample is a pure filter over the scan: no
+    # Exchange anywhere — at 100 TB a sampling pass that shuffles is
+    # a bug, not an implementation detail
+    plan = plan_of(qs["sample_hash_bernoulli"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_emb_centroid_partial_agg(spark, sf_dir, qs):
+    # the element-wise centroid must combine map-side: one partial_sum
+    # before the (bucket, dim) exchange, final after
+    plan = plan_of(qs["emb_centroid_by_bucket"](spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "Exchange" in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, qs):
     # both sides bucketed+sorted on the join key: with broadcast off the
     # SortMergeJoin must consume bucket layout directly — no Exchange
