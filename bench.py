@@ -42,15 +42,17 @@ WARM_SF_DIR = "/root/testdata/sf0.001"
 # whichever sf-sized query happens to run first).
 WARM_QUERIES = (
     "tpch_q1",
-    "tpch_q7",
     "basic_rank",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_lsh_neardup",
-    "sim_ivf_topk",
-    "coret_lda",
     "stream_hourly_rollup",
 )
+
+# Soft wall-clock budget: this VM has multi-minute slow phases (see
+# BENCH variance notes); rather than risk the whole run being killed
+# with no output, queries past the budget are recorded as -2.0
+# ("skipped, out of budget") and the JSON line still prints.
+SOFT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
 
 RID_TABLES = ("lineitem", "orders", "documents", "embeddings", "events")
 
@@ -75,7 +77,12 @@ def main() -> None:
         load_table(spark, sf_dir, t, rid=True).count()
     timings["ingest_rid_tables"] = round(time.time() - t0, 3)
 
+    start = time.time()
     for name in qs:
+        if time.time() - start > SOFT_BUDGET_S:
+            timings[name] = -2.0
+            print(f"BENCH_SKIP {name}: out of {SOFT_BUDGET_S}s budget", file=sys.stderr)
+            continue
         t0 = time.time()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -84,6 +91,7 @@ def main() -> None:
             print(f"BENCH_ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
             continue
         timings[name] = round(time.time() - t0, 3)
+        print(f"BENCH_OK {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
