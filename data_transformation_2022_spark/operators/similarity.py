@@ -198,6 +198,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 9,
+    exact_scoring: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: score each query only against the
     ``n_probe`` inverted lists whose centroids are nearest to it — the
@@ -226,19 +227,39 @@ def ivf_topk(
         F.col(id_col) != F.col("query_id")
     )
 
-    @F.pandas_udf("double")
-    def cos(qids: pd.Series, vecs: pd.Series) -> pd.Series:
-        qv = bq.value
-        mat = np.array(vecs.tolist(), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        qm = np.vstack([qv[q] for q in qids])
-        return pd.Series(np.einsum("ij,ij->i", mat, qm))
+    if exact_scoring:
+        # decimal-exact cosine over the probed candidate set: with
+        # n_probe == n_lists the result must reproduce the brute-force
+        # oracle BIT-exactly — attesting the assignment + probe-join
+        # mechanics, not just float-level agreement
+        qdf = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        joined = cand.join(F.broadcast(qdf), "query_id")
+        scored = joined.select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(
+                dot_exact(F.col("qv"), F.col(vec_col))
+                / (norm_exact(F.col("qv")) * norm_exact(F.col(vec_col))),
+                6,
+            ).alias("cosine"),
+        )
+    else:
 
-    scored = cand.select(
-        "query_id",
-        F.col(id_col).alias("cand_id"),
-        F.round(cos(F.col("query_id"), F.col(vec_col)), 6).alias("cosine"),
-    )
+        @F.pandas_udf("double")
+        def cos(qids: pd.Series, vecs: pd.Series) -> pd.Series:
+            qv = bq.value
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            qm = np.vstack([qv[q] for q in qids])
+            return pd.Series(np.einsum("ij,ij->i", mat, qm))
+
+        scored = cand.select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(cos(F.col("query_id"), F.col(vec_col)), 6).alias("cosine"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

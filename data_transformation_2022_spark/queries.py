@@ -1852,6 +1852,22 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ivf_full_probe", _SIM_TOPK_SQL, tags=("similarity",))
+def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe == n_lists and decimal-exact scoring: probing
+    every list must reproduce the brute-force top-k oracle BIT-exactly —
+    the quantizer-assignment and probe-join mechanics get a real
+    hash-checked gate instead of a rows-only pass (recall<1 variants
+    stay rows-only by design in sim_ivf_topk)."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_lists=16, n_probe=16, exact_scoring=True,
+    )
+
+
 @register("sim_lsh_neardup", None, tags=("similarity", "approx"))
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup via random-hyperplane LSH buckets (recall<1
