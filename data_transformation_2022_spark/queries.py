@@ -2421,6 +2421,46 @@ def q_corpus_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_topk_docs_per_lang",
+    f"""WITH feats AS (
+          SELECT doc_id,
+                 {_lang_case} AS lang,
+                 LEN({_DD_TOKS.format(t='text')}) AS n_tokens
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, lang, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY n_tokens DESC, doc_id) AS rnk
+          FROM feats
+        )
+        SELECT lang, doc_id, n_tokens, rnk FROM ranked WHERE rnk <= 5""",
+    tags=("text", "pipeline", "topk"),
+)
+def q_corpus_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group selection: the top-5 longest documents per language —
+    the 'pick the best exemplars per stratum' pipeline step, one
+    partitioned window with a deterministic tie-break (never a global
+    sort)."""
+    from pyspark.sql import Window
+
+    from .functions.text import langid_heuristic, tokens_ws
+
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        langid_heuristic(F.col("text")).alias("lang"),
+        F.size(tokens_ws(F.lower(F.col("text")))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    return (
+        feats.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "doc_id", "n_tokens", "rnk")
+    )
+
+
+@register(
     "io_csv_roundtrip",
     """SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum,
               MIN(n_name) AS first_name
