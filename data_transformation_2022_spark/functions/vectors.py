@@ -39,3 +39,21 @@ def norm_exact(a: Column) -> Column:
 
 def cosine_similarity_exact(a: Column, b: Column) -> Column:
     return dot_exact(a, b) / (norm_exact(a) * norm_exact(b))
+
+
+def quantize_scale_int8(a: Column) -> Column:
+    """Per-vector int8 quantization scale: max|x| / 127 (symmetric
+    scalar quantization). max is order-free and exact, the division is
+    one IEEE op — deterministic on any engine."""
+    mx = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    return mx / F.lit(127.0)
+
+
+def quantize_int8_value(val: Column, scale: Column) -> Column:
+    """Quantized code for one element: FLOOR(val/scale + 0.5) clamped to
+    [-127, 127]. FLOOR(x+0.5) is round-half-up computed on the exact
+    binary double — identical across engines, unlike ROUND (Spark
+    rounds the shortest-string decimal of a double, DuckDB the binary;
+    they disagree 1 ulp from a .5 boundary)."""
+    q = F.floor(val.cast("double") / scale + F.lit(0.5))
+    return F.greatest(F.lit(-127), F.least(F.lit(127), q)).cast("bigint")

@@ -1868,6 +1868,42 @@ def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_quantize_int8",
+    """WITH m AS (
+         SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         FROM embeddings
+       ),
+       e AS (
+         SELECT vec_id, scale, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+         FROM m, unnest(range(1, len(embedding) + 1)) AS t(i)
+       )
+       SELECT vec_id, dim,
+              CAST(GREATEST(-127, LEAST(127, FLOOR(val / scale + 0.5))) AS BIGINT) AS q
+       FROM e WHERE scale > 0""",
+    tags=("similarity", "embedding", "quantization"),
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× storage/bandwidth compression step before ANN at scale. Pure
+    codegen per row (array_max + one division + floor), engine-exact
+    codes via FLOOR(x+0.5) on the binary double."""
+    from .functions.vectors import quantize_int8_value, quantize_scale_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    withscale = e.select(
+        "vec_id",
+        quantize_scale_int8(F.col("embedding")).alias("scale"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    )
+    return withscale.filter(F.col("scale") > 0).select(
+        "vec_id",
+        "dim",
+        quantize_int8_value(F.col("val"), F.col("scale")).alias("q"),
+    )
+
+
 @register("sim_lsh_neardup", None, tags=("similarity", "approx"))
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup via random-hyperplane LSH buckets (recall<1
