@@ -1355,6 +1355,38 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_keep_list",
+    f"""WITH cc AS ({_CC_SQL})
+        SELECT d.doc_id,
+               (cc.component IS NULL OR cc.component = d.doc_id) AS keep
+        FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id""",
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final deliverable: a keep/drop verdict per
+    document — keep every singleton and each duplicate cluster's
+    canonical (minimum-id) representative. MinHash → LSH pairs →
+    connected components → left join back to the corpus."""
+    from .operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K)
+    comp = connected_components(
+        lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
+    ).select(F.col("id").alias("doc_id"), "component")
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        (F.col("component").isNull() | (F.col("component") == F.col("doc_id"))).alias(
+            "keep"
+        ),
+    )
+
+
 _SIMHASH_BITS = 32
 _sh_weights = ",\n".join(
     f"  SUM((h // {2**j}) % 2 * 2 - 1) AS w{j}" for j in range(_SIMHASH_BITS)

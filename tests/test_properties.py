@@ -133,3 +133,76 @@ class TestScalableRankEquivalence:
         )
         uniq = {v: i for i, v in enumerate(np.unique(vals))}
         assert list(out.sort_values("rid")["code"]) == [uniq[v] for v in vals]
+
+
+class TestExtensionProperties:
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(rate=st.sampled_from([0.05, 0.25, 0.5, 0.9]))
+    def test_hash_sample_nested(self, spark, rate):
+        # a hash sample at rate r is a SUBSET of the same-salt sample at
+        # any higher rate (thresholding one shared uniform bucket), and
+        # rates compose monotonically — the property that makes
+        # incremental corpus scaling (5% -> 25% -> 100%) re-use work
+        from data_transformation_2022_spark.operators.sampling import hash_sample
+
+        pdf = pd.DataFrame({"k": range(400)})
+        df = spark.createDataFrame(pdf)
+        small = {r["k"] for r in hash_sample(df, ["k"], rate).collect()}
+        big = {r["k"] for r in hash_sample(df, ["k"], min(1.0, rate + 0.1)).collect()}
+        assert small <= big
+
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(seed=st.integers(0, 3))
+    def test_quantize_int8_roundtrip_error_bounded(self, spark, seed):
+        # |dequantized - original| <= scale/2 for every element: the
+        # defining guarantee of symmetric scalar quantization
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from data_transformation_2022_spark.functions.vectors import (
+            quantize_int8_value,
+            quantize_scale_int8,
+        )
+
+        rng = np.random.RandomState(seed)
+        vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = (
+            df.select(
+                "vec_id",
+                quantize_scale_int8(F.col("embedding")).alias("scale"),
+                F.posexplode("embedding").alias("dim", "val"),
+            )
+            .select(
+                "val",
+                "scale",
+                quantize_int8_value(F.col("val"), F.col("scale")).alias("q"),
+            )
+            .collect()
+        )
+        for r in out:
+            assert abs(r["q"] * r["scale"] - r["val"]) <= r["scale"] / 2 + 1e-12
+
+    def test_ngram_cap_pairs_subset_of_uncapped(self, spark):
+        # stop-shingle capping can only REMOVE pairs (never invent
+        # overlap): capped candidate-pair set is a subset of uncapped
+        from data_transformation_2022_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(i, f"shared phrase here tail{i} word{i} extra{i % 3}") for i in range(12)],
+            "doc_id long, text string",
+        )
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.0, max_df=4
+            ).collect()
+        }
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.0, max_df=None, max_rows=None
+            ).collect()
+        }
+        assert capped <= uncapped
