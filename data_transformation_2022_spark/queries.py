@@ -2722,6 +2722,55 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_range_cooccur",
+    """WITH pairs AS (
+         SELECT a.event_id, COUNT(*) AS n
+         FROM events a JOIN events b
+           ON abs(epoch(b.ts) - epoch(a.ts)) <= 300.0
+          AND b.event_id <> a.event_id
+         GROUP BY a.event_id
+       )
+       SELECT e.event_id, COALESCE(p.n, 0) AS n_cooccur
+       FROM events e LEFT JOIN pairs p ON p.event_id = e.event_id""",
+    tags=("join", "range"),
+)
+def q_join_range_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, binned: events co-occurring within ±5 minutes.
+    A naive |Δt| ≤ w self-join is O(n²); the scalable shape bins both
+    sides by w, explodes one side into its 3 candidate bins, equi-joins
+    on the bin, and applies the range predicate as a residual filter —
+    each true pair matches exactly once (|bin distance| ≤ 1), so no
+    dedup pass. The oracle runs the plain range-predicate join."""
+    e = _events(spark, sf_dir)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
+    base = e.select("event_id", epoch.alias("ep"), F.floor(epoch / 300.0).alias("bin"))
+    left = base.select(
+        F.col("event_id").alias("id_a"),
+        F.col("ep").alias("ep_a"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("jb"),
+    )
+    right = base.select(
+        F.col("event_id").alias("id_b"), F.col("ep").alias("ep_b"), F.col("bin").alias("jb")
+    )
+    pairs = (
+        left.join(right, "jb")
+        .filter(
+            (F.abs(F.col("ep_b") - F.col("ep_a")) <= 300.0)
+            & (F.col("id_b") != F.col("id_a"))
+        )
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        e.select("event_id")
+        .join(pairs, e.event_id == pairs.id_a, "left")
+        .select("event_id", F.coalesce(F.col("n"), F.lit(0)).alias("n_cooccur"))
+    )
+
+
 _sql_both(
     "agg_grouping_sets",
     """SELECT l_returnflag, l_linestatus,

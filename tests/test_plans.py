@@ -106,6 +106,14 @@ def test_emb_centroid_partial_agg(spark, sf_dir, qs):
     assert "Exchange" in plan
 
 
+def test_range_join_is_binned_equi_join(spark, sf_dir, qs):
+    # the ±w self-join must ride the bin equi-key — a nested-loop /
+    # cartesian plan here is the O(n²) failure mode the binning exists
+    # to prevent
+    plan = plan_of(qs["join_range_cooccur"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, qs):
     # both sides bucketed+sorted on the join key: with broadcast off the
     # SortMergeJoin must consume bucket layout directly — no Exchange
