@@ -2722,6 +2722,32 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _median_mode_sql(quantile_fn: str) -> str:
+    return f"""WITH med AS (
+         SELECT l_returnflag, ROUND({quantile_fn}(l_quantity, 0.5), 6) AS median_qty
+         FROM lineitem GROUP BY l_returnflag
+       ),
+       freq AS (
+         SELECT l_returnflag, l_quantity AS mode_qty,
+                ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY COUNT(*) DESC, l_quantity) AS rn
+         FROM lineitem GROUP BY l_returnflag, l_quantity
+       )
+       SELECT m.l_returnflag, m.median_qty, f.mode_qty
+       FROM med m JOIN freq f ON f.l_returnflag = m.l_returnflag AND f.rn = 1"""
+
+
+@register("agg_median_mode", _median_mode_sql("quantile_cont"), tags=("agg", "stats"))
+def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact median (interpolated, matching quantile_cont) and
+    mode (most frequent value, deterministic min-value tie-break) — the
+    summary-statistics pair every profiling pass wants. Mode is a
+    two-level aggregation: count per (group, value), then a per-group
+    top-1 window over the tiny counted frame."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_median_mode_sql("percentile"))
+
+
 @register(
     "join_range_cooccur",
     """WITH pairs AS (
