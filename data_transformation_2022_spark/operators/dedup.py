@@ -166,29 +166,53 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    algorithm: str = "auto",
+    star_threshold: int = 50_000,
 ) -> DataFrame:
     """Connected components over candidate-pair edges — the dedup
     completion step: near-dup pairs → duplicate CLUSTERS, each labeled
     by its minimum member id (the canonical representative).
 
-    Min-label propagation: every node starts as its own label; each
-    round joins labels across (symmetrized) edges and takes the min —
-    pure join+groupBy rounds, fully distributed, converging in
-    graph-diameter rounds (near-dup clusters are shallow, so a handful).
-    Each round persists its frame and drops the previous one, keeping
-    lineage flat; at 100 TB add periodic checkpointing, swap in the
-    large-star/small-star contraction for adversarially long chains,
-    and stop on the `changed == 0` counter exactly as here."""
-    edges = (
+    Two interchangeable engines (identical output):
+
+    * ``propagation`` — min-label propagation: join labels across the
+      symmetrized edges each round, take the min. O(diameter) rounds;
+      the cheap path for the shallow clusters LSH emits.
+    * ``star`` — alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+      O(log n) rounds even on adversarially long chains, with
+      ``localCheckpoint`` per round to keep lineage flat. The 100 TB
+      path.
+
+    ``auto`` counts the edges once and picks ``star`` beyond
+    ``star_threshold``. Either way, a graph that has not converged
+    after ``max_iters`` raises instead of returning a silently wrong
+    labeling (the oracle computes the full transitive closure — a
+    truncated result is data corruption, not an approximation)."""
+    edges0 = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .persist()
+    )
+    n_edges = edges0.count()
+    algo = algorithm
+    if algo == "auto":
+        algo = "star" if n_edges > star_threshold else "propagation"
+    if algo == "star":
+        try:
+            return _cc_star(edges0, max_iters)
+        finally:
+            edges0.unpersist()
+    edges = (
+        edges0.union(edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .persist()
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     ).persist()
     labels.count()
+    converged = False
     for _ in range(max_iters):
         msgs = (
             edges.join(labels, edges.src == labels.id)
@@ -210,9 +234,90 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    edges0.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(propagation) did not converge within "
+            f"{max_iters} rounds — component diameter exceeds the budget; "
+            f"use algorithm='star' (O(log n) rounds) or raise max_iters."
+        )
     return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges toward the smaller endpoint,
+    then connect every smaller neighbor (and the center) to the min."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(mins, "u")
+    out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        mins.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _cc_star(edges0: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star contraction to a fixpoint of
+    disjoint min-rooted stars; O(log n) rounds on any graph. Each round
+    is localCheckpoint'ed: iterative self-referencing lineage otherwise
+    grows exponentially and re-plans every round."""
+    nodes = (
+        edges0.select(F.col("src").alias("id"))
+        .union(edges0.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    edges = edges0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    edges = edges.localCheckpoint(eager=True)
+    prev_count = edges.count()
+    converged = False
+    for _ in range(max_iters):
+        new_edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint(eager=True)
+        n = new_edges.count()
+        # star fixpoint test: same edge set (sets are distinct by
+        # construction, so equal count + empty difference ⇔ equality)
+        if n == prev_count and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
+            converged = True
+            break
+        edges, prev_count = new_edges, n
+    if not converged:
+        nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components(star) did not converge within {max_iters} "
+            f"rounds (theoretical bound is O(log n) ≈ 2·log2(n) star rounds)."
+        )
+    # fixpoint edges are (child → component-min root) stars
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = nodes.join(
+        labels.select(F.col("id")), "id", "left_anti"
+    ).select(F.col("id"), F.col("id").alias("component"))
+    out = labels.union(roots)
+    nodes.unpersist()
+    return out
 
 
 def simhash_neardup_pairs(

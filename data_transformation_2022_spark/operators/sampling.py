@@ -26,16 +26,26 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_prefix_long
 
-# 8 hex digits = 32 bits of hash → rate granularity 1/2^32; the modulus
-# keeps the arithmetic in exact int64 territory on any engine.
+# 15 hex digits = 60 bits of hash, still exact int64 arithmetic on any
+# engine. 2^60 % 1e6 leaves a relative bucket-rate bias of ~1e-12
+# (with a 32-bit prefix the bias was ~2.3e-4 — buckets below
+# 2^32 % 1e6 = 967296 were each hit one extra time per 4295 draws).
 _BUCKETS = 1_000_000
+_HASH_HEX_DIGITS = 15
 
 
 def hash_bucket(key: Column, salt: str = "") -> Column:
     """Uniform bucket in [0, 1e6) derived from md5(key || salt). The salt
     decorrelates independent samples drawn from the same keys (e.g. a
     train/validation split followed by a 1% eval subsample)."""
-    return md5_prefix_long(F.concat_ws("|", key, F.lit(salt)), 8) % _BUCKETS
+    return md5_prefix_long(F.concat_ws("|", key, F.lit(salt)), _HASH_HEX_DIGITS) % _BUCKETS
+
+
+def _threshold(rate: float) -> int:
+    # round(), not int(): float rate literals like 0.7 sit just below
+    # the exact product (0.7 * 1e6 = 699999.9999...) and truncation
+    # would shave a full bucket off the requested rate.
+    return round(rate * _BUCKETS)
 
 
 def hash_sample(
@@ -43,7 +53,7 @@ def hash_sample(
 ) -> DataFrame:
     """Deterministic Bernoulli(rate) sample keyed on ``key_cols``."""
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    return df.filter(hash_bucket(key, salt) < int(rate * _BUCKETS))
+    return df.filter(hash_bucket(key, salt) < _threshold(rate))
 
 
 def stratified_hash_sample(
@@ -59,10 +69,10 @@ def stratified_hash_sample(
     are literals in the plan; the filter stays a single codegen'd
     predicate with no shuffle and no per-group pass."""
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    threshold: Column = F.lit(int(default_rate * _BUCKETS))
+    threshold: Column = F.lit(_threshold(default_rate))
     for value, rate in rates.items():
         threshold = (
-            F.when(F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))).otherwise(
+            F.when(F.col(strata_col) == value, F.lit(_threshold(rate))).otherwise(
                 threshold
             )
         )
@@ -76,6 +86,6 @@ def split_train_eval(
     complementary predicates, so every row lands in exactly one side on
     every engine and every re-run."""
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    cut = int(eval_fraction * _BUCKETS)
+    cut = _threshold(eval_fraction)
     bucket = hash_bucket(key, salt)
     return df.filter(bucket >= cut), df.filter(bucket < cut)

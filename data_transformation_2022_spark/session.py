@@ -48,6 +48,9 @@ def get_spark(
         # heap under 32 threads GC-thrashes and makes timings swing 5×).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: the bench/driver parse a one-line JSON from
+        # stdout and stage progress bars would interleave with it
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

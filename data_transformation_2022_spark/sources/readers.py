@@ -112,12 +112,18 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     Single-file parquet with one row group scans as ONE partition no
     matter how many executors exist — file-split knobs can't split
     inside a row group. On a real cluster inputs arrive in thousands of
-    partitions and this is a no-op (gated on the current partition
-    count); on small scans it costs one tiny round-robin shuffle and
-    buys full parallelism for the expensive stage above it."""
+    partitions and this is a no-op (gated on the scan's file count —
+    NOT ``df.rdd.getNumPartitions()``, which re-runs physical planning
+    and builds a Python-serialized RDD lineage per call); on small scans
+    it costs one tiny round-robin shuffle and buys full parallelism for
+    the expensive stage above it."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
 

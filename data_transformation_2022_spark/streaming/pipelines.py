@@ -163,7 +163,15 @@ def stream_static_enrich(
     )
     agg = (
         enriched.groupBy(F.window("ts", "1 hour").alias("w"), dim_attr)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        # sum DECIMAL, not double: decimal addition is exact and therefore
+        # partition-order-independent, so the drained result matches the
+        # batch oracle bit-for-bit on every run (a double sum landing near
+        # a 0.5e-6 rounding boundary would flip the 6th decimal
+        # intermittently)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour"),
             dim_attr,

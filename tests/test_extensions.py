@@ -217,6 +217,50 @@ def test_connected_components_min_labels(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    from data_transformation_2022_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (4, 1)], "id_a long, id_b long"
+    )
+    prop = {r["id"]: r["component"] for r in connected_components(pairs, algorithm="propagation").collect()}
+    star = {r["id"]: r["component"] for r in connected_components(pairs, algorithm="star").collect()}
+    assert prop == star == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_star_path_graph_olog_rounds(spark):
+    """A 1000-node path (diameter 999) — min-label propagation would
+    need ~999 rounds; star contraction must converge within its
+    O(log n) bound (2·log2(1000) ≈ 20 alternating rounds)."""
+    from data_transformation_2022_spark.operators.dedup import connected_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    labels = connected_components(pairs, algorithm="star", max_iters=25)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 1 for r in rows)
+
+
+def test_connected_components_raises_instead_of_truncating(spark):
+    """A silently-truncated labeling is data corruption (the dedup
+    keep-list drops the wrong rows) — both engines must raise when the
+    round budget is exhausted before convergence."""
+    import pytest
+
+    from data_transformation_2022_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, algorithm="propagation", max_iters=3)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, algorithm="star", max_iters=1)
+
+
 def test_simhash_pairs_find_near_dups(docs):
     from data_transformation_2022_spark.operators.dedup import simhash_neardup_pairs
 
