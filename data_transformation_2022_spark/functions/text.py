@@ -77,6 +77,42 @@ def langid_heuristic(text: Column) -> Column:
     return out
 
 
+# Engine-portable PII patterns (same semantics under Java regex and RE2:
+# no backrefs, no lookaround, leftmost non-overlapping greedy matching).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONEISH_RE = r"\+?[0-9][0-9 -]{6,}[0-9]"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Counts of email-like and phone-like spans — the detection half of
+    the standard pre-training PII scrub, as pure codegen'd regexes."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        "n_phoneish": F.size(F.regexp_extract_all(text, F.lit(PHONEISH_RE), 0)),
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact email-like then phone-like spans with typed placeholders
+    (the transform half of the scrub; order fixed so the output is
+    deterministic — emails can contain digit runs, not vice versa)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONEISH_RE, "<PHONE>")
+
+
+def repetition_stats(toks: Column, shingles_distinct: Column, n: int = 3) -> dict[str, Column]:
+    """Within-document repetition: fraction of duplicate word n-grams
+    (1 − distinct/total) — the boilerplate/spam filter every corpus
+    pipeline runs before training. ``toks``/``shingles_distinct`` must be
+    bound attribute references (see dedup.shingles_of_tokens on why)."""
+    total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    n_distinct = F.size(shingles_distinct)
+    ratio = F.when(
+        total > 0, F.lit(1.0) - n_distinct.cast("double") / total
+    ).otherwise(F.lit(0.0))
+    return {"n_shingles": total, "n_distinct": n_distinct, "rep_ratio": ratio}
+
+
 def md5_prefix_long(col: Column, hex_digits: int = 15) -> Column:
     """First ``hex_digits`` hex chars of md5 as a non-negative BIGINT.
     15 hex digits = 60 bits, safely inside int64 — and reproducible in

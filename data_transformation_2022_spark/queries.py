@@ -1098,6 +1098,89 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint64(F.col("text")).alias("fp"))
 
 
+_REP_SHINGLES_ALL = (
+    "list_transform(range(1, len({w}) - 1),"
+    " i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])"
+)
+
+
+@register(
+    "text_repetition_filter",
+    f"""WITH toks AS (
+          SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
+        ), st AS (
+          SELECT doc_id,
+                 GREATEST(LEN(w) - 2, 0) AS n_shingles,
+                 LEN({_DD_SHINGLES.format(w='w')}) AS n_distinct
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               CASE WHEN n_shingles > 0
+                    THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_shingles
+                    ELSE 0.0 END AS rep_ratio,
+               (CASE WHEN n_shingles > 0
+                     THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_shingles
+                     ELSE 0.0 END) <= 0.3 AS keep
+        FROM st""",
+    tags=("text", "quality", "dedup"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter: fraction of duplicate word
+    3-grams (1 − distinct/total) + the keep decision at a 0.3 cap — the
+    boilerplate/spam gate a corpus pipeline runs before training.
+    Narrow codegen'd expressions, no shuffle; the ratio arithmetic is
+    the identical double expression in both engines."""
+    from .functions.text import repetition_stats, tokens_ws
+    from .operators.dedup import shingles_of_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens_ws(F.lower(F.col("text"))).alias("__toks"))
+    sh = toked.select(
+        "doc_id", "__toks", shingles_of_tokens(F.col("__toks")).alias("__sh")
+    )
+    st = repetition_stats(F.col("__toks"), F.col("__sh"))
+    return sh.select(
+        "doc_id",
+        st["n_shingles"].cast("bigint").alias("n_shingles"),
+        st["n_distinct"].cast("bigint").alias("n_distinct"),
+        st["rep_ratio"].alias("rep_ratio"),
+        (st["rep_ratio"] <= 0.3).alias("keep"),
+    )
+
+
+@register(
+    "events_retention_cohort",
+    """WITH ev AS (
+         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+       ), f AS (
+         SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY user_id
+       )
+       SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+              date_diff('day', f.d0, ev.d) AS day_offset,
+              COUNT(DISTINCT ev.user_id) AS n_users
+       FROM ev JOIN f USING (user_id)
+       GROUP BY 1, 2""",
+    tags=("events", "analytics", "cohort"),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users bucketed by first-active day, distinct
+    actives per (cohort, day-offset) — the classic product-analytics
+    rollup. Both aggregations shuffle on user_id (co-partitioned
+    self-join), then one output-bounded groupBy."""
+    ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "d0").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 @register(
     "dedup_exact_text",
     f"""WITH fp AS (
@@ -2883,6 +2966,9 @@ _PRIORITY: list[str] = [
     "corpus_topk_docs_per_lang",
     "agg_median_mode",
     "join_range_cooccur",
+    # --- (a') new this round (oracle-backed) ---
+    "text_repetition_filter",
+    "events_retention_cohort",
     # --- (b) round-2 red, fixed this round ---
     "events_sessionize",
     "io_csv_roundtrip",

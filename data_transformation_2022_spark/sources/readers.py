@@ -123,7 +123,15 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files >= target:
+    if n_files:
+        # file-sourced plan: file count bounds the scan's parallelism
+        # without touching df.rdd (which re-runs physical planning)
+        if n_files >= target:
+            return df
+        return df.repartition(target)
+    # non-file plan (in-memory relation, shuffle output): no scan
+    # relation exists, so the RDD probe is cheap here
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

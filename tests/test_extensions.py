@@ -261,6 +261,37 @@ def test_connected_components_raises_instead_of_truncating(spark):
         connected_components(pairs, algorithm="star", max_iters=1)
 
 
+def test_pii_scrub_counts_and_redaction(spark):
+    from data_transformation_2022_spark.functions.text import pii_counts, pii_scrub
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@example.co.uk or +1 415-555-0199 ok"),
+            (2, "no pii here, just words and the number 7"),
+            (3, "two mails: a@b.io c.d@e-f.org and phone 020 7946 0958"),
+        ],
+        "id long, text string",
+    )
+    c = pii_counts(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            c["n_emails"].alias("e"),
+            c["n_phoneish"].alias("p"),
+            pii_scrub(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["p"]) == (1, 1)
+    assert (rows[2]["e"], rows[2]["p"]) == (0, 0)
+    assert (rows[3]["e"], rows[3]["p"]) == (2, 1)
+    assert "<EMAIL>" in rows[1]["clean"] and "<PHONE>" in rows[1]["clean"]
+    assert "@" not in rows[3]["clean"] and "0958" not in rows[3]["clean"]
+    assert rows[2]["clean"] == "no pii here, just words and the number 7"
+
+
 def test_simhash_pairs_find_near_dups(docs):
     from data_transformation_2022_spark.operators.dedup import simhash_neardup_pairs
 

@@ -67,3 +67,22 @@ def test_fan_out_noop_on_wide_input(spark):
     assert fan_out(df).rdd.getNumPartitions() == 64  # already wide: untouched
     narrow = spark.range(1000).coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() > 1
+
+
+def test_fan_out_file_source_never_touches_rdd(spark, sf_dir, monkeypatch):
+    """On file-sourced plans fan_out must decide from the scan's file
+    list, never df.rdd (which re-runs physical planning per call and
+    builds a Python-serialized lineage — the round-1 perf nit)."""
+    from pyspark.sql import DataFrame
+
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def boom(self):  # pragma: no cover - called only on regression
+        raise AssertionError("fan_out touched df.rdd on a file-sourced plan")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    out = fan_out(df)
+    monkeypatch.undo()
+    assert out.count() == 25
