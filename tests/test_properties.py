@@ -206,3 +206,48 @@ class TestExtensionProperties:
             ).collect()
         }
         assert capped <= uncapped
+
+
+@pytest.mark.usefixtures("spark")
+class TestConnectedComponentsEquivalence:
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_star_and_propagation_match_union_find(self, spark, edges):
+        """Both distributed engines must agree with a driver union-find
+        oracle on arbitrary graphs (self-loops and duplicates included)."""
+        from data_transformation_2022_spark.operators.dedup import (
+            connected_components,
+        )
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        # union-find oracle
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        for algo in ("propagation", "star"):
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components(pairs, algorithm=algo).collect()
+            }
+            assert got == expected, algo
