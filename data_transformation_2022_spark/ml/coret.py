@@ -314,6 +314,92 @@ def classical_mds(x: np.ndarray, k: int = 2) -> np.ndarray:
     return comp
 
 
+def numpy_tsne(
+    x: np.ndarray,
+    perplexity: float = 5.0,
+    n_iter: int = 500,
+    early_exaggeration: float = 12.0,
+    learning_rate: float = 200.0,
+) -> np.ndarray:
+    """Exact t-SNE (van der Maaten & Hinton 2008) in pure numpy —
+    sklearn is absent from this environment, so the real algorithm is
+    implemented here rather than falling back to MDS. Matches the
+    reference's configuration (perplexity=5, method="exact", pca init —
+    reference Tfunctions.py:18-25) in semantics, not bit-for-bit.
+
+    Fully deterministic: PCA initialization (sign-fixed, scaled to 1e-4
+    std as in the standard implementation), no random sampling anywhere.
+    O(n²) per iteration — the input is the ≤400-row sample the reference
+    itself is bound to, never the full table."""
+    n = x.shape[0]
+    if n < 4:
+        return np.zeros((n, 2))
+    perplexity = min(perplexity, (n - 1) / 3.0)
+    target_h = np.log(perplexity)
+
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    p = np.zeros((n, n))
+    for i in range(n):
+        di = np.delete(d2[i], i)
+        beta, beta_lo, beta_hi = 1.0, 0.0, np.inf
+        pn = np.full(n - 1, 1.0 / (n - 1))
+        for _ in range(64):
+            w = np.exp(-di * beta)
+            s = w.sum()
+            if s <= 1e-300:
+                h = 0.0
+                pn = np.zeros_like(w)
+            else:
+                pn = w / s
+                nz = pn > 0
+                h = -(pn[nz] * np.log(pn[nz])).sum()
+            if abs(h - target_h) < 1e-6:
+                break
+            if h > target_h:  # too flat → sharpen
+                beta_lo = beta
+                beta = beta * 2.0 if beta_hi == np.inf else (beta + beta_hi) / 2.0
+            else:
+                beta_hi = beta
+                beta = (beta + beta_lo) / 2.0
+        p[i] = np.insert(pn, i, 0.0)
+    p = (p + p.T) / (2.0 * n)
+    p = np.maximum(p, 1e-12)
+
+    # deterministic PCA init scaled to std 1e-4 on the first component
+    xc = x - x.mean(axis=0)
+    _, _, vt = np.linalg.svd(xc, full_matrices=False)
+    basis = vt[:2].T
+    for d in range(basis.shape[1]):
+        j = np.argmax(np.abs(basis[:, d]))
+        if basis[j, d] < 0:
+            basis[:, d] = -basis[:, d]
+    y = xc @ basis
+    s0 = y[:, 0].std()
+    y = y / (s0 if s0 > 0 else 1.0) * 1e-4
+
+    exaggeration_until = 250
+    update = np.zeros_like(y)
+    gains = np.ones_like(y)
+    for it in range(n_iter):
+        pe = p * early_exaggeration if it < exaggeration_until else p
+        num = 1.0 / (1.0 + ((y[:, None, :] - y[None, :, :]) ** 2).sum(-1))
+        np.fill_diagonal(num, 0.0)
+        q = np.maximum(num / num.sum(), 1e-12)
+        pq = (pe - q) * num
+        grad = 4.0 * ((np.diag(pq.sum(axis=1)) - pq) @ y)
+        momentum = 0.5 if it < exaggeration_until else 0.8
+        gains = np.where(np.sign(grad) != np.sign(update), gains + 0.2, gains * 0.8)
+        gains = np.maximum(gains, 0.01)
+        update = momentum * update - learning_rate * gains * grad
+        y = y + update
+        y = y - y.mean(axis=0)
+    for d in range(y.shape[1]):  # deterministic sign convention
+        j = np.argmax(np.abs(y[:, d]))
+        if y[j, d] < 0:
+            y[:, d] = -y[:, d]
+    return y
+
+
 def numpy_dbscan(x: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
     """DBSCAN over points (vectorized distance matrix) — the profiler's
     matrix DBSCAN reused on data points."""
@@ -341,11 +427,12 @@ def run_mds(df: DataFrame) -> DataFrame | None:
 
 
 def run_tsne(df: DataFrame) -> DataFrame | None:
-    """t-SNE when sklearn is available (reference perplexity=5); else a
-    documented deterministic fallback to classical MDS under the t-SNE
-    column names so downstream signatures hold."""
+    """t-SNE with the reference's configuration (perplexity=5,
+    method="exact" — Tfunctions.py:18-25): sklearn's implementation when
+    the library exists, else the in-repo exact numpy implementation
+    (``numpy_tsne``, same algorithm, deterministic PCA init)."""
     try:
-        from sklearn.manifold import TSNE  # gated: not in this environment
+        from sklearn.manifold import TSNE  # optional: absent from this env
 
         def fn(x: np.ndarray) -> np.ndarray:
             init = "pca" if len(x) < 100 else "random"
@@ -354,7 +441,7 @@ def run_tsne(df: DataFrame) -> DataFrame | None:
             ).fit_transform(x)
 
     except ImportError:
-        fn = classical_mds
+        fn = numpy_tsne
     return _sample_transform(df, ["tSNE-1", "tSNE-2"], fn)
 
 

@@ -14,6 +14,7 @@ from data_transformation_2022_spark.ml.coret import (
     run_lda,
     run_mds,
     run_pca,
+    run_tsne,
 )
 
 RID = "__rid"
@@ -55,6 +56,34 @@ def test_mds_two_components(num_df):
     out = run_mds(df).toPandas()
     assert list(out.columns) == [RID, "MDS-1", "MDS-2"]
     assert len(out) == 300 and out["MDS-1"].std() > 0
+
+
+def test_numpy_tsne_deterministic_and_cluster_preserving():
+    import numpy as np
+
+    from data_transformation_2022_spark.ml.coret import numpy_tsne
+
+    rng = np.random.RandomState(1)
+    x = np.vstack([rng.randn(60, 4) * 0.3, rng.randn(60, 4) * 0.3 + 5.0])
+    labels = np.array([0] * 60 + [1] * 60)
+    y1, y2 = numpy_tsne(x), numpy_tsne(x)
+    assert np.array_equal(y1, y2)  # no randomness anywhere
+    assert y1.shape == (120, 2) and np.isfinite(y1).all()
+    # neighborhood preservation: 1-NN in embedding stays within class
+    d = ((y1[:, None, :] - y1[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    assert (labels[d.argmin(1)] == labels).mean() >= 0.9
+
+
+def test_run_tsne_emits_real_embedding(num_df):
+    df, _ = num_df
+    out = run_tsne(df).orderBy(RID).toPandas()
+    assert list(out.columns) == [RID, "tSNE-1", "tSNE-2"]
+    assert len(out) == 300 and out["tSNE-1"].std() > 0
+    # distinguishable from the former MDS fallback: t-SNE output is not
+    # a linear projection of the input, MDS on these points is
+    mds = run_mds(df).orderBy(RID).toPandas()
+    assert not (out["tSNE-1"].to_numpy() == mds["MDS-1"].to_numpy()).all()
 
 
 def test_dbscan_labels_strings(num_df):
