@@ -400,6 +400,94 @@ def numpy_tsne(
     return y
 
 
+def numpy_umap(
+    x: np.ndarray,
+    n_neighbors: int = 15,
+    min_dist: float = 0.1,
+    n_iter: int = 500,
+    learning_rate: float = 1.0,
+) -> np.ndarray:
+    """UMAP (McInnes, Healy & Melville 2018) in pure numpy — umap-learn
+    is absent from this environment. The graph construction and loss are
+    the real algorithm: kNN fuzzy simplicial set (per-point rho = nearest
+    -neighbor distance, sigma binary-searched to sum = log2(k),
+    probabilistic t-conorm symmetrization) and the standard a/b low-dim
+    curve for min_dist=0.1/spread=1.0. The optimizer differs on purpose:
+    full-batch gradient descent over all pairs instead of
+    negative-sampling SGD, which removes every source of randomness —
+    deterministic spectral init (sign-fixed Laplacian eigenvectors) and
+    a linearly decaying learning rate. O(n²) per iteration; input is the
+    ≤400-row sample the reference is bound to."""
+    n = x.shape[0]
+    if n < 4:
+        return np.zeros((n, 2))
+    k = min(n_neighbors, n - 1)
+    # a, b fitted to the min_dist=0.1 / spread=1.0 membership curve
+    # (the canonical defaults; values match umap-learn's find_ab_params)
+    a, b = 1.5769434603113077, 0.8950608779109733
+
+    d = np.sqrt(np.maximum(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1), 0.0))
+    np.fill_diagonal(d, np.inf)
+    knn_idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    knn_d = np.take_along_axis(d, knn_idx, axis=1)
+    rho = knn_d[:, 0]
+    target = np.log2(k)
+    p = np.zeros((n, n))
+    for i in range(n):
+        di = np.maximum(knn_d[i] - rho[i], 0.0)
+        lo, hi, sigma = 0.0, np.inf, 1.0
+        for _ in range(64):
+            s = np.exp(-di / sigma).sum()
+            if abs(s - target) < 1e-5:
+                break
+            if s > target:
+                hi = sigma
+                sigma = (lo + sigma) / 2.0
+            else:
+                lo = sigma
+                sigma = sigma * 2.0 if hi == np.inf else (sigma + hi) / 2.0
+        p[i, knn_idx[i]] = np.exp(-di / max(sigma, 1e-12))
+    p = p + p.T - p * p.T  # probabilistic t-conorm (fuzzy set union)
+
+    # deterministic spectral init: bottom non-trivial eigenvectors of the
+    # symmetric normalized Laplacian of the membership graph
+    deg = p.sum(axis=1)
+    inv_sqrt = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    lap = np.eye(n) - (inv_sqrt[:, None] * p) * inv_sqrt[None, :]
+    vals, vecs = np.linalg.eigh(lap)
+    order = np.argsort(vals)
+    y = vecs[:, order[1:3]]
+    for dd in range(y.shape[1]):
+        j = np.argmax(np.abs(y[:, dd]))
+        if y[j, dd] < 0:
+            y[:, dd] = -y[:, dd]
+    span = np.abs(y).max()
+    y = y / (span if span > 0 else 1.0) * 10.0
+
+    for it in range(n_iter):
+        alpha = learning_rate * (1.0 - it / n_iter)
+        diff = y[:, None, :] - y[None, :, :]
+        d2 = np.maximum((diff**2).sum(-1), 1e-12)  # guards 0/0 at d→0
+        pow_b = d2**b
+        # attractive along graph edges, repulsive everywhere else — the
+        # exact per-pair UMAP gradient coefficients
+        att = (-2.0 * a * b * pow_b / d2 / (1.0 + a * pow_b)) * p
+        rep = (2.0 * b / ((0.001 + d2) * (1.0 + a * pow_b))) * (1.0 - p)
+        coeff = att + rep
+        np.fill_diagonal(coeff, 0.0)  # no self-force
+        grad = (coeff[:, :, None] * diff).sum(axis=1)
+        norm = np.abs(grad).max()
+        if norm > 4.0:  # gradient clip, mirrors umap-learn's clamp
+            grad = grad * (4.0 / norm)
+        y = y + alpha * grad
+        y = y - y.mean(axis=0)
+    for dd in range(y.shape[1]):
+        j = np.argmax(np.abs(y[:, dd]))
+        if y[j, dd] < 0:
+            y[:, dd] = -y[:, dd]
+    return y
+
+
 def numpy_dbscan(x: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
     """DBSCAN over points (vectorized distance matrix) — the profiler's
     matrix DBSCAN reused on data points."""
@@ -446,15 +534,17 @@ def run_tsne(df: DataFrame) -> DataFrame | None:
 
 
 def run_umap(df: DataFrame) -> DataFrame | None:
-    """UMAP when umap-learn is available; else classical-MDS fallback."""
+    """UMAP: umap-learn's implementation when the library exists, else
+    the in-repo implementation (``numpy_umap`` — real fuzzy-simplicial
+    graph and loss, deterministic full-batch optimizer)."""
     try:
-        import umap  # gated: not in this environment
+        import umap  # optional: absent from this env
 
         def fn(x: np.ndarray) -> np.ndarray:
             return umap.UMAP(n_components=2, random_state=0).fit_transform(x)
 
     except ImportError:
-        fn = classical_mds
+        fn = numpy_umap
     return _sample_transform(df, ["UMAP-1", "UMAP-2"], fn)
 
 

@@ -189,29 +189,33 @@ def connected_components(
     after ``max_iters`` raises instead of returning a silently wrong
     labeling (the oracle computes the full transitive closure — a
     truncated result is data corruption, not an approximation)."""
+    # localCheckpoint (not persist): iterative algorithms that only cache
+    # keep the FULL logical plan under every round — each round's plan
+    # embeds the previous round's, so Catalyst analysis grows
+    # exponentially and round wall-time is dominated by re-planning the
+    # upstream LSH pipeline, not by the (tiny) data. Checkpointing
+    # truncates the lineage so every round plans against a leaf.
     edges0 = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_edges = edges0.count()
     algo = algorithm
     if algo == "auto":
         algo = "star" if n_edges > star_threshold else "propagation"
     if algo == "star":
-        try:
-            return _cc_star(edges0, max_iters)
-        finally:
-            edges0.unpersist()
-    edges = (
-        edges0.union(edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .persist()
+        return _cc_star(edges0, max_iters)
+    edges = edges0.union(
+        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
-    ).persist()
-    labels.count()
     converged = False
     for _ in range(max_iters):
         msgs = (
@@ -223,7 +227,7 @@ def connected_components(
             .union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -231,13 +235,10 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
-    edges0.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components(propagation) did not converge within "

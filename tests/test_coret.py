@@ -86,6 +86,33 @@ def test_run_tsne_emits_real_embedding(num_df):
     assert not (out["tSNE-1"].to_numpy() == mds["MDS-1"].to_numpy()).all()
 
 
+def test_numpy_umap_deterministic_and_cluster_preserving():
+    import numpy as np
+
+    from data_transformation_2022_spark.ml.coret import numpy_umap
+
+    rng = np.random.RandomState(1)
+    x = np.vstack([rng.randn(60, 4) * 0.3, rng.randn(60, 4) * 0.3 + 5.0])
+    labels = np.array([0] * 60 + [1] * 60)
+    y1, y2 = numpy_umap(x), numpy_umap(x)
+    assert np.array_equal(y1, y2)  # full-batch optimizer: no randomness
+    assert y1.shape == (120, 2) and np.isfinite(y1).all()
+    d = ((y1[:, None, :] - y1[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    assert (labels[d.argmin(1)] == labels).mean() >= 0.9
+
+
+def test_run_umap_emits_real_embedding(num_df):
+    from data_transformation_2022_spark.ml.coret import run_umap
+
+    df, _ = num_df
+    out = run_umap(df).orderBy(RID).toPandas()
+    assert list(out.columns) == [RID, "UMAP-1", "UMAP-2"]
+    assert len(out) == 300 and out["UMAP-1"].std() > 0
+    mds = run_mds(df).orderBy(RID).toPandas()
+    assert not (out["UMAP-1"].to_numpy() == mds["MDS-1"].to_numpy()).all()
+
+
 def test_dbscan_labels_strings(num_df):
     df, _ = num_df
     out = run_dbscan(df).toPandas()
