@@ -32,28 +32,18 @@ from __spark_entry__ import queries  # noqa: E402
 from data_transformation_2022_spark.session import get_spark  # noqa: E402
 
 WARM_SF_DIR = "/root/testdata/sf0.001"
-# One query per runtime path that needs spin-up — plain agg (JVM+codegen),
-# broadcast join, bucketed window rank (window codegen), shingle explode +
-# anti/self joins, banded LSH, Arrow/pandas-UDF (Python workers), MLlib
-# iterative fit, streaming microbatch machinery. All run at the SMALLEST
-# scale factor: they compile the plan shapes without ever touching the
-# timed data (first execution of each Catalyst plan shape pays multi-
-# second whole-stage-codegen/JIT costs that would otherwise be billed to
-# whichever sf-sized query happens to run first).
-WARM_QUERIES = (
-    "tpch_q1",
-    "basic_rank",
-    "dedup_minhash_lsh",
-    "sim_lsh_neardup",
-    "stream_hourly_rollup",
-    # the recommendation engine executes ~15 distinct plan shapes
-    # (profile mega-aggregate, multi-column rank, percentile sketches,
-    # pivot-style bar aggs) whose first-ever codegen/JIT costs tens of
-    # seconds; compiling them once at sf0.001 keeps the timed sf run
-    # measuring data-path cost, not JVM warm-up (measured: 89 s cold →
-    # ~25 s warm at sf0.1 with identical output)
-    "engine_recommend",
-)
+# EVERY query warms once at the SMALLEST scale factor before the timed
+# loop: first execution of each Catalyst plan shape pays multi-second
+# whole-stage-codegen/JIT costs (measured 5-9× the steady-state time on
+# narrow queries, 89 s vs ~20 s on engine_recommend), and with the
+# attestation-driven registry reorder those one-off costs would land on
+# whichever queries happen to run first — round-over-round deltas would
+# track suite ORDER, not plan quality. Warm-up never touches the timed
+# data; at the 100 TB design point codegen is noise, so steady state is
+# the number that transfers. Bounded by WARM_BUDGET_S so a pathological
+# warm-up cannot eat the whole run (unwarmed queries just run cold,
+# as before).
+WARM_BUDGET_S = float(os.environ.get("SPARK_GRAFT_WARM_BUDGET", "300"))
 
 # Soft wall-clock budget: this VM has multi-minute slow phases (see
 # BENCH variance notes); rather than risk the whole run being killed
@@ -72,9 +62,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = queries()
 
-    for warm_q in WARM_QUERIES:
-        if warm_q in qs:
+    warm_t0 = time.time()
+    for warm_q in qs:
+        if time.time() - warm_t0 > WARM_BUDGET_S:
+            print(f"BENCH_WARM budget hit at {warm_q}", file=sys.stderr)
+            break
+        try:
             qs[warm_q](spark, WARM_SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception as e:
+            print(f"BENCH_WARM_ERROR {warm_q}: {type(e).__name__}", file=sys.stderr)
+    print(f"BENCH_WARM done in {time.time() - warm_t0:.0f}s", file=sys.stderr)
 
     from data_transformation_2022_spark.sources.readers import load_table
 

@@ -1328,14 +1328,43 @@ def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("hour", "event_type", "n")
 
 
-@register("stream_sessionize", None, tags=("streaming",))
+@register(
+    "stream_sessionize",
+    """WITH marked AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+       ), sess AS (
+         SELECT user_id, value, ts,
+                CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         FROM marked
+       )
+       SELECT user_id,
+              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM sess GROUP BY user_id, session_seq""",
+    tags=("streaming",),
+)
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window streaming sessionization (stateful,
-    watermark-bounded) — rows-only check; the batch twin
-    events_sessionize carries the exact oracle."""
+    watermark-bounded), drained and hash-checked against the batch
+    gap-based oracle: a session is identified by (user, start), so the
+    two formulations must agree row-for-row. session_window's ``end``
+    (last event + gap padding) is intentionally not emitted — the batch
+    definition ends a session at its last event."""
     from .streaming.pipelines import stream_sessionize
 
-    return stream_sessionize(spark, sf_dir, query_name="q_sessions_gate")
+    out = stream_sessionize(spark, sf_dir, query_name="q_sessions_gate")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
 
 
 _MINHASH_K = 16
@@ -2966,9 +2995,10 @@ _PRIORITY: list[str] = [
     "corpus_topk_docs_per_lang",
     "agg_median_mode",
     "join_range_cooccur",
-    # --- (a') new this round (oracle-backed) ---
+    # --- (a') new or newly-oracled this round ---
     "text_repetition_filter",
     "events_retention_cohort",
+    "stream_sessionize",
     # --- (b) round-2 red, fixed this round ---
     "events_sessionize",
     "io_csv_roundtrip",

@@ -126,7 +126,12 @@ def stream_sessionize(
     e = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     agg = (
         e.groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        # decimal sum: exact, partition-order-independent — the drained
+        # result hash-matches the batch oracle on every run
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
         .select("user_id", F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "n_events", "sum_value")
     )
     q = (
