@@ -666,6 +666,75 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- subquery-shaped TPC-H adaptations (EXISTS / NOT IN / correlated
+# scalar / scalar-threshold) — the testdata lacks partsupp and the
+# commit/receipt dates, so each query keeps its original's SHAPE (the
+# part Catalyst must decorrelate) over the columns that exist. Same SQL
+# text runs on both engines.
+
+_sql_both(
+    "tpch_q4_exists",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+         )
+       GROUP BY o_orderpriority""",
+    ("orders", "lineitem"),
+    tags=("tpch", "subquery", "semi"),
+)
+
+_sql_both(
+    "tpch_q16_notin",
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#13'
+         AND l_suppkey NOT IN (
+           SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+         )
+       GROUP BY p_brand, p_type, p_size""",
+    ("lineitem", "part", "supplier"),
+    tags=("tpch", "subquery", "anti"),
+)
+
+_sql_both(
+    "tpch_q22_antijoin",
+    # exact threshold comparison: acctbal·n > Σacctbal in DECIMAL, so the
+    # above-average test is order-independent on both engines (a double
+    # AVG could flip a boundary customer by one ulp)
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+       FROM customer c
+       WHERE CAST(c.c_acctbal AS DECIMAL(18,6))
+               * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+             > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                FROM customer WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0
+         )
+       GROUP BY c_mktsegment""",
+    ("customer", "orders"),
+    tags=("tpch", "subquery", "anti", "scalar-subquery"),
+)
+
+_sql_both(
+    "tpch_q2_corr_min",
+    """SELECT p.p_partkey, p.p_name, l.l_suppkey, l.l_extendedprice
+       FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+       WHERE l.l_extendedprice = (
+         SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+         WHERE l2.l_partkey = p.p_partkey
+       )""",
+    ("part", "lineitem"),
+    tags=("tpch", "subquery", "correlated-scalar"),
+)
+
+
 # ---------------------------------------------------------------------------
 # events: time-window aggregation + JSON extraction
 # ---------------------------------------------------------------------------
@@ -2999,6 +3068,10 @@ _PRIORITY: list[str] = [
     "text_repetition_filter",
     "events_retention_cohort",
     "stream_sessionize",
+    "tpch_q4_exists",
+    "tpch_q16_notin",
+    "tpch_q22_antijoin",
+    "tpch_q2_corr_min",
     # --- (b) round-2 red, fixed this round ---
     "events_sessionize",
     "io_csv_roundtrip",

@@ -114,6 +114,24 @@ def test_range_join_is_binned_equi_join(spark, sf_dir, qs):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_subquery_tpch_shapes_decorrelate(spark, sf_dir, qs):
+    # EXISTS → LeftSemi hash join, NOT IN → LeftAnti hash join,
+    # correlated scalar MIN → aggregate + equi join. If Catalyst ever
+    # falls back to BroadcastNestedLoop/Cartesian for any of these, the
+    # query is O(n²) at scale — exactly what decorrelation exists to
+    # prevent.
+    expectations = {
+        "tpch_q4_exists": "LeftSemi",
+        "tpch_q16_notin": "LeftAnti",
+        "tpch_q22_antijoin": "LeftAnti",
+        "tpch_q2_corr_min": "Join Inner",
+    }
+    for name, marker in expectations.items():
+        plan = plan_of(qs[name](spark, sf_dir))
+        assert marker in plan, f"{name}: expected {marker}\n{plan}"
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, name
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, qs):
     # both sides bucketed+sorted on the join key: with broadcast off the
     # SortMergeJoin must consume bucket layout directly — no Exchange
