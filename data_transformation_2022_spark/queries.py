@@ -2256,6 +2256,62 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    """SELECT event_id, user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                   OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS sum_1h
+       FROM events""",
+    tags=("window", "frame", "range"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: trailing 1-hour sum per user keyed by event
+    TIME, not row count — the frame a ROWS window cannot express (gaps
+    and ties change the peer set). Epoch seconds as the range key;
+    decimal running sum; ties all enter the frame together, so the
+    result is independent of tie order."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    secs = F.col("ts").cast("timestamp_ltz").cast("bigint")
+    w = Window.partitionBy("user_id").orderBy(secs.alias("s")).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+@register(
+    "agg_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem""",
+    tags=("agg", "unpivot", "reshape"),
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native unpivot operator (the inverse of
+    agg_pivot): one narrow Expand node, no shuffle, column pruning still
+    reaches the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "discount", "tax"],
+        "measure",
+        "val",
+    )
+    return out
+
+
+@register(
     "window_lag_delta",
     """SELECT event_id, user_id,
               value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
@@ -3072,6 +3128,8 @@ _PRIORITY: list[str] = [
     "tpch_q16_notin",
     "tpch_q22_antijoin",
     "tpch_q2_corr_min",
+    "window_range_frame",
+    "agg_unpivot",
     # --- (b) round-2 red, fixed this round ---
     "events_sessionize",
     "io_csv_roundtrip",
