@@ -370,6 +370,51 @@ def simhash_neardup_pairs(
     )
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_hits`` distinct word n-grams with ANY benchmark document — the
+    train/test-overlap scrub every pretraining pipeline runs before
+    training (long n-grams, n≈8-13, are near-unique outside true
+    overlap).
+
+    Shape for 100 TB: both sides reduce to (id, 60-bit md5 shingle hash)
+    rows; the benchmark side collapses to a DISTINCT hash set that is
+    tiny relative to the corpus (benchmarks are small by definition), so
+    the equi-join broadcasts and the corpus is never shuffled; one
+    output-bounded groupBy counts hits per document. The hash is
+    md5-based so a SQL oracle reproduces the decision bit-for-bit."""
+    c_sh = _shingle_rows(corpus, id_col, text_col, n).select(
+        F.col(id_col), md5_prefix_long(F.col("sh"), 15).alias("sh")
+    )
+    b_sh = (
+        _shingle_rows(bench, id_col, text_col, n)
+        .select(md5_prefix_long(F.col("sh"), 15).alias("sh"))
+        .distinct()
+    )
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))  # shingles are distinct per doc
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_hits.alias("n_hits"),
+            (n_hits >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1250,6 +1250,56 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_shingles_n(w: str, n: int) -> str:
+    """DuckDB distinct word-n-gram fragment for arbitrary n (the module
+    constant _DD_SHINGLES is this with n=3)."""
+    terms = " || ' ' || ".join(f"{w}[i]" if j == 0 else f"{w}[i+{j}]" for j in range(n))
+    return f"list_distinct(list_transform(range(1, len({w}) - {n - 2}), i -> {terms}))"
+
+
+# mirrors operators.sampling.hash_bucket(doc_id, salt='bench') < 0.02
+_DECON_BENCH_PRED = (
+    "('0x' || substr(md5(concat_ws('|', concat_ws('|', CAST(doc_id AS VARCHAR)), "
+    "'bench')), 1, 15))::BIGINT % 1000000 < 20000"
+)
+
+
+@register(
+    "corpus_decontaminate",
+    f"""WITH toks AS (
+          SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
+        ), sh AS (
+          SELECT doc_id, UNNEST({_dd_shingles_n('w', 8)}) AS s FROM toks
+        ), h AS (
+          SELECT doc_id, {_dd_md5_long('s', 15)} AS sh FROM sh
+        ), bench_ids AS (
+          SELECT doc_id FROM documents WHERE {_DECON_BENCH_PRED}
+        ), b AS (
+          SELECT DISTINCT h2.sh FROM h h2 JOIN bench_ids USING (doc_id)
+        ), hits AS (
+          SELECT h.doc_id, COUNT(*) AS n_hits
+          FROM h JOIN b ON h.sh = b.sh GROUP BY h.doc_id
+        )
+        SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,
+               COALESCE(hits.n_hits, 0) >= 3 AS contaminated
+        FROM documents d LEFT JOIN hits USING (doc_id)""",
+    tags=("dedup", "pipeline", "decontamination"),
+)
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥3
+    distinct word-8-grams with a held-out benchmark set (here: a
+    deterministic 2% hash-sample of the corpus standing in for the
+    benchmark, so self-overlap and duplicate clusters light up). The
+    benchmark shingle-hash set is DISTINCT and tiny → broadcast join;
+    the corpus side is never shuffled."""
+    from .operators.dedup import contamination_flags
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = hash_sample(docs, ["doc_id"], 0.02, salt="bench")
+    return contamination_flags(docs, bench, "doc_id", "text", n=8, min_hits=3)
+
+
 @register(
     "dedup_exact_text",
     f"""WITH fp AS (
@@ -3130,6 +3180,7 @@ _PRIORITY: list[str] = [
     "tpch_q2_corr_min",
     "window_range_frame",
     "agg_unpivot",
+    "corpus_decontaminate",
     # --- (b) round-2 red, fixed this round ---
     "events_sessionize",
     "io_csv_roundtrip",
