@@ -2362,6 +2362,95 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_ordered",
+    """WITH firsts AS (
+         SELECT user_id,
+                MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+         FROM events GROUP BY user_id
+       )
+       SELECT COUNT(*) AS n_users,
+              CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+              CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+              CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                             AND t_purchase > t_click
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+       FROM firsts""",
+    tags=("events", "analytics", "funnel"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per-user
+    first-occurrence timestamps via one conditional aggregation (no
+    joins, no windows — a single shuffle on user_id), then the strict
+    time-ordering test per stage. The conditional-MIN trick is the
+    scalable funnel shape: event volume reduces to one row per user
+    before any comparison happens."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+
+    firsts = ev.groupBy("user_id").agg(first_of("view"), first_of("click"), first_of("purchase"))
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(stage1.cast("int")).cast("bigint").alias("n_view"),
+        F.sum(stage2.cast("int")).cast("bigint").alias("n_view_click"),
+        F.sum(stage3.cast("int")).cast("bigint").alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "delta_upsert_merge",
+    """WITH updates AS (
+         SELECT o_orderkey, 'P' AS o_orderstatus,
+                CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6))
+                           * CAST('1.1' AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  AS o_totalprice
+         FROM orders WHERE o_orderkey % 10 = 3
+       )
+       SELECT o.o_orderkey,
+              COALESCE(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+              COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice,
+              (u.o_orderkey IS NOT NULL) AS updated
+       FROM orders o LEFT JOIN updates u USING (o_orderkey)""",
+    tags=("io", "merge", "upsert"),
+)
+def q_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics as a pure-DataFrame composition (no table
+    format required): updates win per key via a left join + coalesce —
+    the 'apply CDC batch to snapshot' shape. Both sides shuffle on the
+    merge key once; with a bucketed base table the join would be
+    shuffle-free (see io_bucketed_join)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            F.lit("P").alias("u_status"),
+            # decimal multiply + decimal ROUND: double rounding diverges
+            # across engines at half-way representations (BigDecimal
+            # HALF_UP vs scaled-nearbyint); decimal arithmetic is exact
+            # in both, so the rounded cent value is engine-identical
+            F.round(_dec("o_totalprice") * F.lit("1.1").cast("decimal(2,1)"), 2)
+            .cast("double")
+            .alias("u_price"),
+        )
+    )
+    merged = o.join(updates, "o_orderkey", "left")
+    return merged.select(
+        "o_orderkey",
+        F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("u_price", "o_totalprice").alias("o_totalprice"),
+        F.col("u_status").isNotNull().alias("updated"),
+    )
+
+
+@register(
     "window_lag_delta",
     """SELECT event_id, user_id,
               value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
@@ -3181,6 +3270,8 @@ _PRIORITY: list[str] = [
     "window_range_frame",
     "agg_unpivot",
     "corpus_decontaminate",
+    "events_funnel_ordered",
+    "delta_upsert_merge",
     # --- (b) round-2 red, fixed this round ---
     "events_sessionize",
     "io_csv_roundtrip",
