@@ -1486,6 +1486,21 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_running_totals", None, tags=("streaming", "stateful"))
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum) with idle-timeout state reclamation —
+    semantics session_window cannot express (running updates + a final
+    CLOSED row). Rows-only check by design: the per-user double
+    accumulation order across microbatches is not engine-portable; the
+    count/row surface is pinned here and the operator's value semantics
+    are pinned by tests/test_streaming_multimodal.py against the batch
+    aggregate."""
+    from .streaming.pipelines import stream_running_totals
+
+    return stream_running_totals(spark, sf_dir, query_name="q_running_gate")
+
+
 _MINHASH_K = 16
 
 
