@@ -251,3 +251,81 @@ class TestConnectedComponentsEquivalence:
                 for r in connected_components(pairs, algorithm=algo).collect()
             }
             assert got == expected, algo
+
+
+@pytest.mark.usefixtures("spark")
+class TestTextPrimitiveEquivalence:
+    """The oracle story rests on a handful of primitives being
+    bit-identical to their portable definitions; pin them against pure
+    Python over arbitrary inputs."""
+
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.sampled_from("ab c\tD0!.\n"),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_tokens_and_shingles_match_python(self, spark, texts):
+        from pyspark.sql import functions as F
+
+        from data_transformation_2022_spark.functions.text import tokens_ws
+        from data_transformation_2022_spark.operators.dedup import (
+            shingles_of_tokens,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        toked = df.select(
+            "id", tokens_ws(F.lower(F.col("text"))).alias("toks")
+        )
+        out = {
+            r["id"]: (r["toks"], r["sh"])
+            for r in toked.select(
+                "id", "toks", shingles_of_tokens(F.col("toks")).alias("sh")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            ptoks = [w for w in t.lower().split() if w]
+            psh = []
+            for j in range(len(ptoks) - 2):
+                s = " ".join(ptoks[j : j + 3])
+                if s not in psh:
+                    psh.append(s)
+            assert out[i][0] == ptoks, t
+            assert out[i][1] == psh, t
+
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        keys=st.lists(
+            st.text(alphabet=st.sampled_from("abc019_-"), min_size=1, max_size=20),
+            min_size=1,
+            max_size=10,
+            unique=True,
+        ),
+        salt=st.sampled_from(["", "bench", "split"]),
+    )
+    def test_hash_bucket_matches_python_md5(self, spark, keys, salt):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from data_transformation_2022_spark.operators.sampling import (
+            _BUCKETS,
+            hash_bucket,
+        )
+
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        got = {
+            r["k"]: r["b"]
+            for r in df.select("k", hash_bucket(F.col("k"), salt).alias("b")).collect()
+        }
+        for k in keys:
+            key = f"{k}|{salt}"
+            expect = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % _BUCKETS
+            assert got[k] == expect, (k, salt)
