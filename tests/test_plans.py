@@ -132,6 +132,35 @@ def test_subquery_tpch_shapes_decorrelate(spark, sf_dir, qs):
         assert "NestedLoop" not in plan and "Cartesian" not in plan, name
 
 
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir, qs):
+    # the benchmark shingle-hash set must broadcast — shuffling the
+    # corpus shingles against a tiny benchmark is the wrong join order
+    # at any scale
+    plan = plan_of(qs["corpus_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_unpivot_is_narrow(spark, sf_dir, qs):
+    # wide→long reshape is a per-row Expand: any Exchange means it
+    # shuffled 3× the data for nothing
+    plan = plan_of(qs["agg_unpivot"](spark, sf_dir))
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_funnel_single_shuffle(spark, sf_dir, qs):
+    # conditional-MIN funnel: exactly one hash-partitioned exchange (on
+    # user_id) feeding the per-user aggregate; the final global fold is
+    # a SinglePartition exchange over ONE row per partition, which is
+    # the correct terminal shape (not a data-sized single reducer)
+    plan = plan_of(qs["events_funnel_ordered"](spark, sf_dir))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 2, plan  # user_id shuffle + terminal fold
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" in plan  # folds ONE row per partition — fine
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, qs):
     # both sides bucketed+sorted on the join key: with broadcast off the
     # SortMergeJoin must consume bucket layout directly — no Exchange
