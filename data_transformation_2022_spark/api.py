@@ -145,7 +145,14 @@ class EngineSession:
             slist=payload.get("slist"),
             sample_cap=self.sample_cap,
         )
-        return json.loads(self.result.to_json())
+        ret = json.loads(self.result.to_json())
+        # presentation reorder (reference BEAUTIFYCASEFLAG=True default,
+        # config.py:23; utils.decorate applied at main.py:106-107)
+        if payload.get("beautify", True):
+            from .engine import decorate
+
+            ret["provenance"] = decorate(ret["provenance"])
+        return ret
 
     # ---- EP3a: addT (reference /vis/addT, main.py:111-125) ----
 

@@ -578,6 +578,23 @@ def _rank_dedup(charts: list[ChartCandidate]) -> list[ChartCandidate]:
     return out
 
 
+def decorate(ret: dict[str, Any]) -> dict[str, Any]:
+    """Presentation reorder of the recommendation payload's ``vis_list``
+    (reference ``utils.decorate``, utils.py:215-222, applied behind
+    BEAUTIFYCASEFLAG, config.py:23 / main.py:106-107): a fixed priority
+    order of indices chosen for the reference's demo cases, then every
+    remaining chart in original order. Pure presentation — scores and
+    provenance are untouched."""
+    vis_list = ret.get("vis_list", [])
+    order = [0, 2, 3, 6, 12] if len(vis_list) >= 13 else [3, 2, 0, 4, 8, 7]
+    for i in range(len(vis_list)):
+        if i not in order:
+            order.append(i)
+    ret = dict(ret)
+    ret["vis_list"] = [vis_list[i] for i in order if i < len(vis_list)]
+    return ret
+
+
 def _provenance(charts: list[ChartCandidate]) -> dict[str, Any]:
     """Provenance DAG (reference assembleTtree, search.py:1301-1443):
     D-nodes are data states keyed by canonical step-path JSON (replacing

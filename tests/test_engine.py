@@ -75,3 +75,17 @@ def test_recommend_empty_numeric_table(spark):
     res = recommend(df, dm_ts=["pca"], sample_cap=100)
     # count_bar on the nominal column is still producible; no crash
     assert all(ch.chart_type in MAX_PER_TYPE for ch in res.charts)
+
+
+def test_decorate_presentation_reorder():
+    from data_transformation_2022_spark.engine import decorate
+
+    vl = [{"id": f"V{i}"} for i in range(6)]
+    out = decorate({"vis_list": vl, "nodes": []})
+    # reference order for <13 charts: [3, 2, 0, 4, 8, 7] then the rest
+    assert [v["id"] for v in out["vis_list"]] == ["V3", "V2", "V0", "V4", "V1", "V5"]
+    assert out["nodes"] == []  # provenance untouched
+    big = [{"id": f"V{i}"} for i in range(14)]
+    out2 = decorate({"vis_list": big})
+    assert [v["id"] for v in out2["vis_list"]][:5] == ["V0", "V2", "V3", "V6", "V12"]
+    assert len(out2["vis_list"]) == 14  # permutation, nothing dropped
