@@ -387,6 +387,66 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+@register(
+    "set_intersect_except",
+    """SELECT 'both' AS bucket, COUNT(*) AS n FROM (
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       )
+       UNION ALL
+       SELECT 'open_only', COUNT(*) FROM (
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       )""",
+    tags=("set", "intersect", "except"),
+)
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (customers with both open and
+    finished orders vs open-only) — Catalyst compiles both to
+    semi/anti joins over the distinct sets, never a materialized
+    intersection."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    done = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = open_.intersect(done).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    only = open_.exceptAll(done).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("open_only").alias("bucket"), "n"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "text_fuzzy_name_pairs",
+    """SELECT a.n_name AS name_a, b.n_name AS name_b,
+              CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+       FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+       WHERE levenshtein(a.n_name, b.n_name) <= 1""",
+    tags=("text", "fuzzy", "join"),
+)
+def q_text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching on a dimension (entity-resolution
+    shape): levenshtein is a built-in in both engines with identical
+    semantics. The all-pairs join is over a DIMENSION (bounded domain);
+    for fact-scale fuzzy matching the LSH/banded paths in dedup.py are
+    the candidate generators."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .filter(dist <= 1)
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # multi-table joins (beyond-reference relational surface; SURVEY §2.3 notes
 # the reference has only positional concat — a real engine needs real joins)
@@ -3287,6 +3347,8 @@ _PRIORITY: list[str] = [
     "corpus_decontaminate",
     "events_funnel_ordered",
     "delta_upsert_merge",
+    "set_intersect_except",
+    "text_fuzzy_name_pairs",
     # --- (b) round-2 red, fixed this round ---
     "events_sessionize",
     "io_csv_roundtrip",
