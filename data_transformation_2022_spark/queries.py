@@ -388,6 +388,58 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer_reconcile",
+    """WITH snap_a AS (
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+       ), snap_b AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 5 = 0
+                     THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6))
+                                     * CAST('1.1' AS DECIMAL(2,1)), 2) AS DOUBLE)
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 11 <> 0
+       )
+       SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                   WHEN b.o_orderkey IS NULL THEN 'removed'
+                   WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+                   ELSE 'same' END AS status,
+              COUNT(*) AS n
+       FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+       GROUP BY 1""",
+    tags=("join", "full-outer", "reconcile"),
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER JOIN: classify every key
+    as added/removed/changed/same between two table versions — the
+    audit/diff op a warehouse runs after every load. One co-partitioned
+    shuffle on the key; the changed-value test uses decimal-rounded
+    arithmetic so both engines agree bit-for-bit."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snap_a = o.filter(F.col("o_orderkey") % 7 != 0)
+    snap_b = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.round(_dec("o_totalprice") * F.lit("1.1").cast("decimal(2,1)"), 2).cast(
+                "double"
+            ),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = snap_a.alias("a").join(
+        snap_b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "changed")
+        .otherwise("same")
+    )
+    return j.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "set_intersect_except",
     """SELECT 'both' AS bucket, COUNT(*) AS n FROM (
          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -3349,6 +3401,7 @@ _PRIORITY: list[str] = [
     "delta_upsert_merge",
     "set_intersect_except",
     "text_fuzzy_name_pairs",
+    "join_full_outer_reconcile",
     # --- (b) round-2 red, fixed this round ---
     "events_sessionize",
     "io_csv_roundtrip",
