@@ -122,3 +122,20 @@ def test_mini_dbscan_two_blobs():
     assert labels[0] == labels[1] == labels[2] != -1
     assert labels[3] == labels[4] != -1 and labels[3] != labels[0]
     assert labels[5] == -1
+
+
+def test_profile_degenerate_tables(spark):
+    # empty and single-row tables must profile without crashing, with
+    # reference key-election semantics (str key precedence) on the
+    # single-row case
+    from data_transformation_2022_spark.profiler import profile_table
+
+    empty = spark.createDataFrame([], "a bigint, b string, c double")
+    tp0 = profile_table(empty)
+    assert tp0.n_rows == 0 and set(tp0.columns) == {"a", "b", "c"}
+
+    one = spark.createDataFrame([(1, "x", 1.5)], "a bigint, b string, c double")
+    tp1 = profile_table(one)
+    assert tp1.n_rows == 1
+    assert tp1.columns["b"].semantic == "str" and tp1.key == "b"
+    assert tp1.columns["c"].semantic == "real"
