@@ -264,6 +264,84 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_lists: int = 16,
+    seed: int = 9,
+) -> None:
+    """Persist an IVF index: the inverted lists land as parquet
+    PARTITIONED BY list_id — the layout that turns probing into
+    partition-pruned reads (a query touching n_probe of n_lists lists
+    reads only those directories, never the whole corpus) — plus the
+    centroid table as metadata. Build once, query many: at 100 TB the
+    index build is the one full pass; every query afterwards is a
+    fraction-of-corpus scan."""
+    assigned, cents = ivf_assign_lists(corpus, id_col, vec_col, n_lists, seed)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    spark = corpus.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    )
+    cents_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: rank centroids per query (driver
+    numpy over the metadata-sized centroid table), STATICALLY filter the
+    lists scan to the probed list_ids — a compile-time partition filter,
+    so the read provably touches only n_probe directories per query
+    set — then exact cosine over candidates and a per-query top-k."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.vstack(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["list_id"])]
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [int(r[id_col]) for r in q_rows]
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]
+    probed = sorted({int(l) for row in order for l in row})
+    probes = spark.createDataFrame(
+        [(qid, int(l)) for qid, row in zip(q_ids, order) for l in row],
+        schema="query_id long, list_id int",
+    )
+    bq = spark.sparkContext.broadcast({qid: q_mat[i] for i, qid in enumerate(q_ids)})
+
+    lists = spark.read.parquet(f"{path}/lists").filter(F.col("list_id").isin(probed))
+    cand = lists.join(F.broadcast(probes), "list_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    @F.pandas_udf("double")
+    def cos(qids: pd.Series, vecs: pd.Series) -> pd.Series:
+        qv = bq.value
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        qm = np.vstack([qv[q] for q in qids])
+        return pd.Series(np.einsum("ij,ij->i", mat, qm))
+
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        F.round(cos(F.col("query_id"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucket_signatures(
     df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, seed: int = 42
 ) -> DataFrame:

@@ -2245,6 +2245,28 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ivf_persisted", None, tags=("similarity", "approx", "index"))
+def q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/query-many IVF: the inverted lists are WRITTEN
+    partitioned by list_id and queried through a static partition
+    filter, so probing reads only the probed directories — the serving
+    shape at 100 TB (the build is the one full pass). Equality with the
+    live path at full probe and the partition-pruned plan are pytest-
+    gated; this rows-only entry keeps the persisted path on the bench."""
+    import hashlib
+
+    from .operators.similarity import ivf_build_index, ivf_query_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_io/ivf_idx_{tag}"
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_build_index(e, "vec_id", "embedding", path, n_lists=16)
+    return ivf_query_index(
+        spark, path, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_probe=4,
+    )
+
+
 @register("sim_ivf_full_probe", _SIM_TOPK_SQL, tags=("similarity",))
 def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with n_probe == n_lists and decimal-exact scoring: probing

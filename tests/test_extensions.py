@@ -335,3 +335,40 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     # clustered synthetic embeddings: probing 1/4 of the lists must keep
     # most true neighbors (they share the query's list by construction)
     assert hits / total >= 0.6
+
+
+def test_ivf_persisted_index_full_probe_matches_live(spark, sf_dir, tmp_path):
+    """Build-once/query-many IVF: a persisted index queried with
+    n_probe == n_lists must return exactly what the live ivf_topk
+    returns, and the lists scan must be partition-pruned to the probed
+    list_ids (static PartitionFilters, not a full-index read)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_idx")
+    ivf_build_index(e, "vec_id", "embedding", path, n_lists=8)
+
+    got = ivf_query_index(spark, path, q, "vec_id", "embedding", k=3, n_probe=8)
+    live = ivf_topk(e, q, "vec_id", "embedding", k=3, n_lists=8, n_probe=8)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, got.select("query_id", "cand_id", "rank").collect()), key=lambda t: (t[0], t[2])) == \
+           sorted(map(tuple, live.select("query_id", "cand_id", "rank").collect()), key=lambda t: (t[0], t[2]))
+
+    # pruning: with n_probe=2 the scan must carry a list_id partition filter
+    pruned = ivf_query_index(spark, path, q, "vec_id", "embedding", k=3, n_probe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]
