@@ -188,16 +188,26 @@ def connected_components(
     ``star_threshold``. Either way, a graph that has not converged
     after ``max_iters`` raises instead of returning a silently wrong
     labeling (the oracle computes the full transitive closure — a
-    truncated result is data corruption, not an approximation)."""
+    truncated result is data corruption, not an approximation).
+
+    Self-pairs (``id_a == id_b``) are dropped as edges but their node
+    is still emitted as a singleton component, so every id appearing
+    anywhere in ``pairs`` appears exactly once in the output."""
     # localCheckpoint (not persist): iterative algorithms that only cache
     # keep the FULL logical plan under every round — each round's plan
     # embeds the previous round's, so Catalyst analysis grows
     # exponentially and round wall-time is dominated by re-planning the
     # upstream LSH pipeline, not by the (tiny) data. Checkpointing
     # truncates the lineage so every round plans against a leaf.
+    # materialize the raw candidate pairs ONCE — both the edge set and
+    # the node universe derive from it, and `pairs` is typically the
+    # whole upstream LSH pipeline (re-planning it per consumer would
+    # triple the dominant cost)
+    raw = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     edges0 = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+        raw.filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -205,8 +215,23 @@ def connected_components(
     algo = algorithm
     if algo == "auto":
         algo = "star" if n_edges > star_threshold else "propagation"
+
+    def _with_isolated(labeled: DataFrame) -> DataFrame:
+        # nodes whose only pairs were reflexive never reach the edge set;
+        # re-attach them as singleton roots via one left-anti over the
+        # (tiny, checkpointed) label table
+        nodes = (
+            raw.select(F.col("src").alias("id"))
+            .union(raw.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        singles = nodes.join(labeled.select("id"), "id", "left_anti").select(
+            F.col("id"), F.col("id").alias("component")
+        )
+        return labeled.union(singles)
+
     if algo == "star":
-        return _cc_star(edges0, max_iters)
+        return _with_isolated(_cc_star(edges0, max_iters))
     edges = edges0.union(
         edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -245,7 +270,7 @@ def connected_components(
             f"{max_iters} rounds — component diameter exceeds the budget; "
             f"use algorithm='star' (O(log n) rounds) or raise max_iters."
         )
-    return labels.select(F.col("id"), F.col("comp").alias("component"))
+    return _with_isolated(labels.select(F.col("id"), F.col("comp").alias("component")))
 
 
 def _cc_large_star(edges: DataFrame) -> DataFrame:

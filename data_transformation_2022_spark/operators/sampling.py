@@ -42,10 +42,12 @@ def hash_bucket(key: Column, salt: str = "") -> Column:
 
 
 def _threshold(rate: float) -> int:
-    # round(), not int(): float rate literals like 0.7 sit just below
-    # the exact product (0.7 * 1e6 = 699999.9999...) and truncation
-    # would shave a full bucket off the requested rate.
-    return round(rate * _BUCKETS)
+    # half-up, not int() truncation and not round(): float rate literals
+    # like 0.7 sit just below the exact product (0.7 * 1e6 =
+    # 699999.9999...) so truncation would shave a full bucket off the
+    # requested rate, while round() is banker's half-to-even, which
+    # rounds an exact .5 product (e.g. 5e-7 * 1e6) DOWN to 0.
+    return int(rate * _BUCKETS + 0.5)
 
 
 def hash_sample(

@@ -101,6 +101,10 @@ def sessionize_batch(
     # difference is tz-independent either way).
     secs = F.col("ts").cast("timestamp_ltz").cast("double")
     gap = secs - F.lag(secs).over(w)
+    # STRICT >: session_window merges an event landing exactly at the
+    # previous window's end (closed-interval merge, pinned by
+    # tests/test_streaming_multimodal.py::test_sessionize_exact_gap_boundary),
+    # so an exactly-gap-second gap must NOT start a new session here either.
     marked = events.withColumn(
         "new_session", F.when(gap.isNull() | (gap > gap_minutes * 60.0), 1).otherwise(0)
     )

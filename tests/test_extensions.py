@@ -217,6 +217,32 @@ def test_connected_components_min_labels(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_self_pair_singletons(spark):
+    from data_transformation_2022_spark.operators.dedup import connected_components
+
+    # node 5's ONLY pair is reflexive; it must survive as a singleton
+    # component on both engines (self-edges are dropped, nodes are not)
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 5), (2, 2)], "id_a long, id_b long"
+    )
+    want = {1: 1, 2: 1, 5: 5}
+    for algo in ("propagation", "star"):
+        comp = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        assert comp == want, algo
+
+
+def test_sampling_threshold_half_up():
+    from data_transformation_2022_spark.operators.sampling import _BUCKETS, _threshold
+
+    assert _threshold(0.7) == 700_000  # 0.7*1e6 = 699999.999... must not truncate
+    assert _threshold(5e-7) == 1  # exact .5 product must round UP, not to even
+    assert _threshold(0.0) == 0
+    assert _threshold(1.0) == _BUCKETS
+
+
 def test_connected_components_star_matches_propagation(spark):
     from data_transformation_2022_spark.operators.dedup import connected_components
 

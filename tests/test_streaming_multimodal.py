@@ -41,6 +41,46 @@ def test_sessionize_batch(spark, sf_dir):
     assert bad == 0
 
 
+def test_sessionize_exact_gap_boundary(spark):
+    """Pin the session boundary at a gap of EXACTLY ``gap`` seconds.
+
+    Empirically (Spark 4.1.2): ``session_window`` MERGES an event landing
+    exactly at the previous window's end (closed-interval merge), so an
+    1800 s gap with a 30-minute window is ONE session; only a strictly
+    larger gap splits. The batch twin and the DuckDB oracles therefore
+    use the strict predicate ``gap > 1800`` — this test goes red if
+    either side's inclusivity ever drifts."""
+    import datetime as dt
+
+    t0 = dt.datetime(2022, 1, 1, 0, 0, 0)
+    rows = [
+        ("u_eq", "e1", t0, 1.0),
+        ("u_eq", "e2", t0 + dt.timedelta(seconds=1800), 1.0),  # == gap: merge
+        ("u_gt", "e1", t0, 1.0),
+        ("u_gt", "e2", t0 + dt.timedelta(seconds=1801), 1.0),  # > gap: split
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_id string, ts timestamp, value double"
+    )
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got_native = {r["user_id"]: r["n_sessions"] for r in native.collect()}
+    assert got_native == {"u_eq": 1, "u_gt": 2}
+
+    batch = sessionize_batch(ev, gap_minutes=30)
+    got_batch = {
+        r["user_id"]: r["n_sessions"]
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .collect()
+    }
+    assert got_batch == got_native
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
