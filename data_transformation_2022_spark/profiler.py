@@ -306,6 +306,304 @@ def wasserstein_from_quantiles(
     return mat
 
 
+def exact_quantile_grid(
+    df: DataFrame,
+    cols: list[str],
+    probs: list[float],
+    n_buckets: int = 128,
+    bucket_row_cap: int = 1 << 22,
+    max_refine: int = 10,
+) -> dict[str, list[float]]:
+    """EXACT interpolated quantiles ((n-1)*p linear interpolation — the
+    quantile_cont / numpy-linear definition) for many columns at many
+    probabilities, computed at scale: range-partition + rank-pick, never
+    buffering a whole column anywhere.
+
+    Spark's exact ``percentile`` aggregate buffers every value of a
+    partition in one ArrayBuffer — a per-executor OOM at real scale.
+    This instead runs a fixed number of narrow codegen'd passes:
+
+    1. one wide aggregate gets per-column (count, min, max);
+    2. one pass buckets every value with pure arithmetic
+       (``floor((v - lo) * scale)`` — no sketch, no branching) and
+       aggregates per-bucket (count, min, max);
+    3. the driver converts the 2*|probs| target ranks per column into
+       bucket addresses from the cumulative counts. A bucket whose
+       min == max resolves its ranks immediately (tie-dominated buckets
+       never need sorting — the heavy-hitter skew case). Oversized
+       unresolved buckets are re-split over their ACTUAL [min, max]
+       (bisection-style, one extra pass per refinement level, rarely
+       taken — uniform splits already bound buckets by n/n_buckets
+       unless the distribution is pathologically peaked);
+    4. one bucket-partitioned ``row_number`` window (parallel per
+       bucket — NOT a single-partition global sort) picks the few
+       remaining order statistics.
+
+    Interpolation happens driver-side in IEEE double with the same
+    ``v_lo + (k-lo)*(v_hi-v_lo)`` formula both engines use, so results
+    are bit-compatible with a quantile_cont oracle.
+    """
+    import math as _math
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"n::{c}"),
+            F.min(c).alias(f"lo::{c}"),
+            F.max(c).alias(f"hi::{c}"),
+        ]
+    head = df.agg(*aggs).collect()[0]
+    n_by_cid = {c: int(head[f"n::{c}"] or 0) for c in cols}
+    range_by_cid = {
+        c: (head[f"lo::{c}"], head[f"hi::{c}"]) for c in cols if n_by_cid[c] > 0
+    }
+
+    # global 0-based target ranks per column: floor and ceil of (n-1)p
+    ranks_by_cid: dict[str, set[int]] = {}
+    for cid, n in n_by_cid.items():
+        if n == 0:
+            continue
+        want: set[int] = set()
+        for p in probs:
+            k = (n - 1) * p
+            want.add(int(_math.floor(k)))
+            want.add(int(_math.ceil(k)))
+        ranks_by_cid[cid] = want
+
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in cols)
+    # bucket parameters travel as broadcast DATA (not plan literals):
+    # every invocation then reuses the same physical plan shape and its
+    # already-compiled codegen — data-dependent literals would force a
+    # fresh janino compile per call, which dominates at interactive scale
+    params = spark.createDataFrame(
+        [
+            (
+                c,
+                float(range_by_cid[c][0]),
+                (
+                    n_buckets / (range_by_cid[c][1] - range_by_cid[c][0])
+                    if range_by_cid[c][1] > range_by_cid[c][0]
+                    else 0.0
+                ),
+            )
+            for c in range_by_cid
+        ],
+        "cid string, plo double, pscale double",
+    )
+    bucket_col = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.col("plo")) * F.col("pscale")).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    long_df = (
+        df.selectExpr(f"stack({len(cols)}, {stack_args}) as (cid, value)")
+        .filter(F.col("value").isNotNull())
+        .join(F.broadcast(params), "cid")
+        .withColumn("b", bucket_col)
+        .select("cid", "value", "b")
+        .persist()
+    )
+
+    # (cid, grank) -> value, filled as ranks resolve
+    val_at: dict[str, dict[int, float]] = {c: {} for c in cols}
+
+    # segments awaiting resolution: key = (cid, path) where path is the
+    # tuple of bucket ids chosen at each refinement level; value =
+    # (start_rank, cnt, lo, hi, ranks_inside)
+    counted = (
+        long_df.groupBy("cid", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("blo"),
+            F.max("value").alias("bhi"),
+        )
+        .collect()
+    )
+
+    def _address(cid, rows, parent_start, parent_key, ranks):
+        """Turn one segment's per-bucket stats into resolved values /
+        still-unresolved child segments. ``rows``: [(b, cnt, lo, hi)]
+        for THIS segment only; ``ranks``: global ranks inside it."""
+        unresolved = {}
+        offset = parent_start
+        spans = []
+        for b, cnt, blo, bhi in sorted(rows):
+            spans.append((b, offset, int(cnt), blo, bhi))
+            offset += int(cnt)
+        for r in ranks:
+            for b, start, cnt, blo, bhi in spans:
+                if start <= r < start + cnt:
+                    if blo == bhi:
+                        val_at[cid][r] = float(blo)
+                    else:
+                        key = parent_key + (b,)
+                        unresolved.setdefault(
+                            key, (start, cnt, float(blo), float(bhi), set())
+                        )[4].add(r)
+                    break
+        return unresolved
+
+    # pending: (cid, path) -> (start, cnt, lo, hi, ranks, parent_ordinal)
+    # parent_ordinal identifies the parent segment row-set at level >= 2
+    # (cid alone is ambiguous once two same-cid segments both refine)
+    pending: dict[tuple, tuple] = {}
+    by_cid: dict[str, list] = {}
+    for r in counted:
+        by_cid.setdefault(r["cid"], []).append(
+            (r["b"], r["cnt"], r["blo"], r["bhi"])
+        )
+    for cid, rows in by_cid.items():
+        for key, seg in _address(cid, rows, 0, (), ranks_by_cid[cid]).items():
+            pending[(cid, key)] = seg + (None,)
+
+    # refinement loop: re-split only oversized unresolved segments over
+    # their actual value range; small ones go straight to the sort pass
+    level = 1
+    current = long_df
+    sortable: dict[tuple, tuple] = {}
+    while pending and level <= max_refine:
+        oversized = {k: v for k, v in pending.items() if v[1] > bucket_row_cap}
+        for k, v in pending.items():
+            if k not in oversized:
+                sortable[k] = v[:5]
+        if not oversized:
+            break
+        ordered = sorted(oversized.items(), key=lambda kv: kv[0])
+        seg_expr = F.lit(-1)
+        sub_expr = F.lit(0)
+        cond = None
+        for i, ((cid, key), (start, cnt, lo, hi, ranks, pord)) in enumerate(ordered):
+            if pord is None:
+                is_seg = (F.col("cid") == cid) & (F.col("b") == key[-1])
+            else:
+                is_seg = (F.col("pseg") == pord) & (F.col("b") == key[-1])
+            cond = is_seg if cond is None else (cond | is_seg)
+            seg_expr = F.when(is_seg, i).otherwise(seg_expr)
+            scale = n_buckets / (hi - lo)
+            sub_expr = F.when(
+                is_seg,
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("value") - lo) * scale).cast("int"),
+                        F.lit(0),
+                    ),
+                    F.lit(n_buckets - 1),
+                ),
+            ).otherwise(sub_expr)
+        # localCheckpoint: each level's seg/b2 WHEN-trees would otherwise
+        # be INLINED into the next level's expressions by project
+        # collapse — plan size grows multiplicatively per round (same
+        # iterative-lineage failure mode as connected_components)
+        sub = (
+            current.filter(cond)
+            .withColumn("seg", seg_expr)
+            .withColumn("b2", sub_expr)
+            .localCheckpoint(eager=True)
+        )
+        counted = (
+            sub.groupBy("seg", "b2")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("value").alias("blo"),
+                F.max("value").alias("bhi"),
+            )
+            .collect()
+        )
+        by_seg: dict[int, list] = {}
+        for r in counted:
+            by_seg.setdefault(r["seg"], []).append(
+                (r["b2"], r["cnt"], r["blo"], r["bhi"])
+            )
+        nxt: dict[tuple, tuple] = {}
+        for i, ((cid, key), (start, cnt, lo, hi, ranks, pord)) in enumerate(ordered):
+            for k2, seg in _address(
+                cid, by_seg.get(i, []), start, key, ranks
+            ).items():
+                nxt[(cid, k2)] = seg + (i,)
+        pending = nxt
+        current = sub.select(
+            "cid", "value", F.col("seg").alias("pseg"), F.col("b2").alias("b")
+        )
+        level += 1
+    # anything still pending after max_refine: sort it anyway (bounded
+    # only by the data's FP density — in practice unreachable)
+    sortable.update({k: v[:5] for k, v in pending.items()})
+
+    if sortable:
+        # one windowed rank-pick over the union of small segments: tag
+        # each row with its segment ordinal via a range condition, then
+        # row_number within segment
+        # depth-1 segments ARE level-0 buckets: address them with a
+        # broadcast hash equi-join on (cid, b). Deeper segments (rare —
+        # only after refinement) need a range join; keep the two paths
+        # separate so the common case never pays a nested-loop join.
+        eq_rows, eq_targets, rg_rows, rg_targets = [], [], [], []
+        for i, ((cid, key), (start, cnt, lo, hi, ranks)) in enumerate(
+            sorted(sortable.items())
+        ):
+            if len(key) == 1:
+                eq_rows.append((cid, int(key[0]), i))
+            else:
+                rg_rows.append((cid, i, float(lo), float(hi)))
+            dst = eq_targets if len(key) == 1 else rg_targets
+            for r in sorted(ranks):
+                dst.append((i, r - start + 1, r))
+        w = Window.partitionBy("seg").orderBy("value")
+        picked = []
+        if eq_rows:
+            segs = spark.createDataFrame(eq_rows, "cid string, b int, seg int")
+            tdf = spark.createDataFrame(eq_targets, "seg int, rn int, grank long")
+            picked += (
+                long_df.join(F.broadcast(segs), ["cid", "b"])
+                .select("cid", "seg", "value")
+                .withColumn("rn", F.row_number().over(w))
+                .join(F.broadcast(tdf), ["seg", "rn"])
+                .select("cid", "grank", "value")
+                .collect()
+            )
+        if rg_rows:
+            segs = spark.createDataFrame(
+                rg_rows, "cid string, seg int, slo double, shi double"
+            )
+            tdf = spark.createDataFrame(rg_targets, "seg int, rn int, grank long")
+            picked += (
+                long_df.join(
+                    F.broadcast(segs),
+                    (long_df["cid"] == segs["cid"])
+                    & (F.col("value") >= F.col("slo"))
+                    & (F.col("value") <= F.col("shi")),
+                )
+                .select(long_df["cid"], "seg", "value")
+                .withColumn("rn", F.row_number().over(w))
+                .join(F.broadcast(tdf), ["seg", "rn"])
+                .select("cid", "grank", "value")
+                .collect()
+            )
+        for r in picked:
+            val_at[r["cid"]][int(r["grank"])] = float(r["value"])
+    long_df.unpersist()
+
+    out: dict[str, list[float]] = {}
+    for c in cols:
+        n = n_by_cid.get(c, 0)
+        if n == 0:
+            out[c] = []
+            continue
+        grid = []
+        for p in probs:
+            k = (n - 1) * p
+            lo_i, hi_i = int(_math.floor(k)), int(_math.ceil(k))
+            v_lo, v_hi = val_at[c][lo_i], val_at[c][hi_i]
+            grid.append(v_lo + (k - lo_i) * (v_hi - v_lo))
+        out[c] = grid
+    return out
+
+
 def dbscan_labels(dist: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
     """Minimal DBSCAN over a precomputed distance matrix (sklearn-free;
     the matrix is #columns², i.e. metadata-sized)."""

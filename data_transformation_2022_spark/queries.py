@@ -2083,32 +2083,39 @@ def _w1_sql(quantile_fn: str, index_base: int) -> str:
     return f"WITH q AS (SELECT {qcols} FROM lineitem)\n" + "\nUNION ALL ".join(selects)
 
 
-def _w1_parts(quantile_fn: str, index_base: int) -> tuple[str, str]:
-    """(aggregation SQL, pair-selects SQL over view ``w1_q``) — split so
-    Spark materializes the quantile aggregation ONCE; an inlined CTE
-    would re-run the 4 heavy percentile aggregates for each of the 6
-    UNION ALL branches (Catalyst inlines CTEs; DuckDB materializes)."""
-    full = _w1_sql(quantile_fn, index_base)
-    with_part, selects = full.split(")\n", 1)
-    agg_sql = with_part.replace("WITH q AS (", "")
-    return agg_sql, selects.replace(" FROM q", " FROM w1_q")
-
-
 @register("profile_wasserstein", _w1_sql("quantile_cont", 1), tags=("profile",))
 def q_profile_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-distribution distance matrix (quantile-grid W1) — computed
-    with Spark's exact percentile; DuckDB's quantile_cont is the oracle.
-    The scan fans out so the per-partition percentile partials run on
-    every core (exact percentile buffers values — at real scale the
-    profiler itself uses approxQuantile sketches instead)."""
+    """Column-distribution distance matrix (quantile-grid W1) — EXACT
+    quantiles computed scale-honestly: sketch-bucketed range partition +
+    per-bucket rank pick (``profiler.exact_quantile_grid``), never the
+    buffering ``percentile`` aggregate. DuckDB's quantile_cont is the
+    oracle; both sides interpolate with the same (n−1)p formula, and the
+    pairwise |Δ| sums run through the identical SQL shape on the picked
+    grid, so ROUND(…, 6) hash-matches exactly."""
+    from .profiler import exact_quantile_grid
     from .sources.readers import fan_out
 
-    fan_out(_t(spark, sf_dir, "lineitem").select(*_W1_COLS)).createOrReplaceTempView(
-        "lineitem"
+    li = fan_out(_t(spark, sf_dir, "lineitem").select(*_W1_COLS))
+    grid = exact_quantile_grid(li, list(_W1_COLS), list(_W1_PROBS))
+    # the 6 pairwise grid sums are 33-number arithmetic — do them
+    # driver-side in the SAME left-associated IEEE order the oracle's
+    # `ABS(..) + ABS(..) + ...` chain uses (bit-identical doubles), and
+    # keep only the final ROUND in a constant-shape one-row plan (a
+    # literal 6x33-term SQL costs ~2 s of analysis per call)
+    rows = []
+    for ai, a in enumerate(_W1_COLS):
+        for bi, b in enumerate(_W1_COLS):
+            if ai >= bi:
+                continue
+            diff = 0.0
+            for qa, qb in zip(grid[a], grid[b]):
+                diff = diff + abs(qa - qb)
+            rows.append((f"{a}|{b}", diff))
+    n = len(_W1_PROBS)
+    return (
+        spark.createDataFrame(rows, "pair string, d double")
+        .select("pair", F.round(F.col("d") / float(n), 6).alias("w1"))
     )
-    agg_sql, selects_sql = _w1_parts("percentile", 0)
-    spark.sql(agg_sql).persist().createOrReplaceTempView("w1_q")
-    return spark.sql(selects_sql)
 
 
 @register("coret_lida", _lida_oracle, tags=("ml",))

@@ -139,3 +139,50 @@ def test_profile_degenerate_tables(spark):
     assert tp1.n_rows == 1
     assert tp1.columns["b"].semantic == "str" and tp1.key == "b"
     assert tp1.columns["c"].semantic == "real"
+
+
+def test_exact_quantile_grid_matches_numpy(spark):
+    """exact_quantile_grid == numpy linear quantiles on adversarial
+    shapes: 90%-tied heavy hitter (min==max shortcut), lognormal skew
+    (forces the refinement loop at a tiny bucket cap), uniform, and a
+    7-value column padded with nulls."""
+    import pandas as pd
+
+    from data_transformation_2022_spark.profiler import exact_quantile_grid
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    a = np.where(rng.rand(n) < 0.9, 42.0, rng.rand(n) * 100)
+    b = np.exp(rng.randn(n) * 3)
+    c = rng.rand(n)
+    d = np.concatenate([rng.randn(7), np.full(n - 7, np.nan)])
+    df = spark.createDataFrame(pd.DataFrame({"a": a, "b": b, "c": c, "d": d}))
+    probs = [i / 16 for i in range(17)]
+
+    # tiny cap: forces multi-level refinement on the skewed columns
+    grid = exact_quantile_grid(
+        df, ["a", "b", "c", "d"], probs, n_buckets=16, bucket_row_cap=1000
+    )
+    for name, arr in (("a", a), ("b", b), ("c", c), ("d", d[:7])):
+        want = np.quantile(arr[~np.isnan(arr)], probs, method="linear")
+        assert np.allclose(grid[name], want, rtol=0, atol=1e-9), name
+
+    # default parameters: no refinement path
+    grid2 = exact_quantile_grid(df, ["a", "b"], probs)
+    for name, arr in (("a", a), ("b", b)):
+        want = np.quantile(arr, probs, method="linear")
+        assert np.allclose(grid2[name], want, rtol=0, atol=1e-9), name
+
+
+def test_exact_quantile_grid_empty_and_constant(spark):
+    import pandas as pd
+
+    from data_transformation_2022_spark.profiler import exact_quantile_grid
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"e": np.full(10, np.nan), "k": np.full(10, 3.5)})
+    )
+    probs = [0.0, 0.5, 1.0]
+    grid = exact_quantile_grid(df, ["e", "k"], probs)
+    assert grid["e"] == []
+    assert grid["k"] == [3.5, 3.5, 3.5]
