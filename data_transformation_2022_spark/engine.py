@@ -180,35 +180,160 @@ class Executor:
         """Concurrent job submission (replaces the reference's optional
         MULTIPROCESS search parallelism, config.py:15 / search.py:55-63):
         fill the memo tables with a thread pool — Spark schedules the
-        resulting jobs concurrently on idle executor slots."""
+        resulting jobs concurrently on idle executor slots.
+
+        Bar aggregates are BATCHED: every y-candidate sharing the same
+        (derived base, x column) folds into one groupBy job computing
+        the union of their sum columns (+ the count_bar COUNT), then the
+        combined frame is sliced back into the per-candidate memo
+        entries. 40 one-agg jobs become ~#bases × #x jobs with identical
+        memo contents."""
         from concurrent.futures import ThreadPoolExecutor
 
         uniq_frames: dict[tuple, tuple[Candidate, str | None]] = {}
         for cand, coret in frame_jobs:
             uniq_frames[(cand.signature(), coret)] = (cand, coret)
+        # step-only frames (no core-T) are all row-aligned projections of
+        # the same cached sample: collect them in ONE outer-join job
+        # instead of one toPandas job each; anything the batch can't
+        # serve falls through to the per-frame pool path below
+        null_frames = {
+            k: v for k, v in uniq_frames.items() if v[1] is None and k not in self._frames
+        }
+        if len(null_frames) > 1:
+            self._batch_step_frames(null_frames)
         uniq_bars: dict[tuple, tuple[str, Candidate | None, str]] = {}
         for x_col, y_cand, agg in bar_jobs:
             key = (x_col, y_cand.signature() if y_cand is not None else None, agg)
             uniq_bars[key] = (x_col, y_cand, agg)
-        # derived bases first (serial: they persist shared prefixes the
-        # bar jobs reuse — racing them would materialize duplicates)
+        # derived bases first, MATERIALIZED bottom-up (the recursive
+        # prefix memo means ('rank','sub') reuses the cached ('rank',)
+        # table — previously each arithmetic variant re-ran the whole
+        # rank window); serial so racing threads never duplicate work
         for _, y_cand, agg in uniq_bars.values():
             if agg == "sum" and y_cand is not None:
-                self._derived_base([s for s in y_cand.steps if s.o_type == "append"])
+                self._derived_base(
+                    [s for s in y_cand.steps if s.o_type == "append"]
+                )
+        for base in list(self._derived_bases.values()):
+            base.count()  # materialize the persisted base once
+
+        # group bar jobs by (base, x) and build one combined agg per group
+        grouped: dict[tuple, list[tuple[tuple, str, Candidate | None, str]]] = {}
+        for key, (x_col, y_cand, agg) in uniq_bars.items():
+            derive_key = tuple(
+                (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index))
+                for s in (y_cand.steps if (agg == "sum" and y_cand) else [])
+                if s.o_type == "append"
+            )
+            grouped.setdefault((derive_key, x_col), []).append(
+                (key, x_col, y_cand, agg)
+            )
+
+        def _batched_bars(entries) -> None:
+            _, x_col, some_y, _ = entries[0]
+            try:
+                aggs: dict[str, F.Column] = {}
+                per_entry: list[tuple[tuple, list[str]]] = []
+                base = self.df
+                for key, _x, y_cand, agg in entries:
+                    if agg == "count":
+                        aggs.setdefault("COUNT", F.count(F.lit(1)).alias("COUNT"))
+                        per_entry.append((key, ["COUNT"]))
+                    else:
+                        base = self._derived_base(
+                            [s for s in y_cand.steps if s.o_type == "append"]
+                        )
+                        ys = _prefer_derived(y_cand)[:MAX_SERIES]
+                        names = []
+                        for c in ys:
+                            alias = f"SUM({c})"
+                            aggs.setdefault(alias, F.sum(F.col(c)).alias(alias))
+                            names.append(alias)
+                        per_entry.append((key, names))
+                combined = base.groupBy(x_col).agg(*aggs.values()).toPandas()
+                for key, names in per_entry:
+                    self._bar_frames[key] = combined[[x_col] + names].copy()
+            except Exception:
+                # isolate failures: replay each entry through the
+                # original one-agg path so a single bad candidate can't
+                # null its whole batch
+                for key, _x, y_cand, agg in entries:
+                    self._bar_frames.pop(key, None)
+                    self.bar_aggregate(_x, y_cand, agg)
+
         with ThreadPoolExecutor(workers) as pool:
             fs = [pool.submit(self.channel_frame, c, t) for c, t in uniq_frames.values()]
-            fs += [pool.submit(self.bar_aggregate, x, y, a) for x, y, a in uniq_bars.values()]
+            fs += [pool.submit(_batched_bars, entries) for entries in grouped.values()]
             for f in fs:
                 f.result()
 
+    def _batch_step_frames(
+        self, jobs: dict[tuple, tuple[Candidate, str | None]]
+    ) -> None:
+        """Fill the frame memo for step-only candidates with ONE Spark
+        job: every frame is RID-keyed over the same ≤sample_cap cached
+        sample, so an outer join on RID (plus a per-frame presence
+        marker, in case a path ever drops rows) reconstructs each frame
+        exactly. Build-time failures skip that candidate; an
+        execution-time failure abandons the whole batch — either way the
+        per-frame path re-runs whatever is still missing."""
+        import functools
+
+        pieces, meta = [], []
+        for i, (key, (cand, _)) in enumerate(jobs.items()):
+            try:
+                with small_input_mode():
+                    d = apply_tpath(self.sample, cand.steps)
+                sel = d.select(
+                    F.col(RID),
+                    F.lit(1).alias(f"f{i}__p"),
+                    *[
+                        F.col(c).alias(f"f{i}__{j}")
+                        for j, c in enumerate(cand.out_cols)
+                    ],
+                )
+            except Exception:
+                continue
+            pieces.append(sel)
+            meta.append((key, list(cand.out_cols), i))
+        if not pieces:
+            return
+        try:
+            joined = functools.reduce(
+                lambda a, b: a.join(b, RID, "outer"), pieces
+            )
+            pdf = joined.toPandas()
+        except Exception:
+            return
+        for key, out_cols, i in meta:
+            mask = pdf[f"f{i}__p"] == 1
+            renames = {f"f{i}__{j}": c for j, c in enumerate(out_cols)}
+            fr = (
+                pdf.loc[mask, [RID] + list(renames)]
+                .rename(columns=renames)
+                .reset_index(drop=True)
+            )
+            if mask.all():
+                # aligned batch: restore the exact per-frame dtypes a
+                # solo toPandas would produce (outer join can't have
+                # introduced nulls when every row is present)
+                fr = fr.infer_objects()
+            self._frames[key] = fr
+
     def _derived_base(self, derive: list[Step]) -> DataFrame:
+        """Persisted derived table for an append-step chain, memoized on
+        the FULL chain key but built from the longest shared prefix —
+        sibling paths like (rank, sub) / (rank, div) / (rank, mul) share
+        one cached rank table instead of re-running the expensive rank."""
         if not derive:
             return self.df
         key = tuple(
             (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index)) for s in derive
         )
         if key not in self._derived_bases:
-            self._derived_bases[key] = apply_tpath(self.df, derive).persist()
+            parent = self._derived_base(derive[:-1])
+            self._derived_bases[key] = apply_tpath(parent, derive[-1:]).persist()
         return self._derived_bases[key]
 
 
