@@ -44,6 +44,13 @@ WARM_SF_DIR = "/root/testdata/sf0.001"
 # warm-up cannot eat the whole run (unwarmed queries just run cold,
 # as before).
 WARM_BUDGET_S = float(os.environ.get("SPARK_GRAFT_WARM_BUDGET", "300"))
+# Per-query warm cap: one hung warm query (a stuck streaming drain, a
+# pathological plan) must not eat the whole warm budget and leave every
+# LATER query cold — that would skew round-over-round comparisons by
+# registry order, exactly what warm-up exists to prevent. On timeout the
+# query's jobs/streams are cancelled and the query is logged UNWARMED so
+# a cold-start outlier in the timed section is attributable.
+WARM_QUERY_S = float(os.environ.get("SPARK_GRAFT_WARM_QUERY_BUDGET", "60"))
 
 # Soft wall-clock budget: this VM has multi-minute slow phases (see
 # BENCH variance notes); rather than risk the whole run being killed
@@ -62,15 +69,44 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = queries()
 
+    import threading
+
+    def _warm_one(name: str) -> None:
+        qs[name](spark, WARM_SF_DIR).write.format("noop").mode("overwrite").save()
+
     warm_t0 = time.time()
-    for warm_q in qs:
+    unwarmed: list[str] = []
+    names = list(qs)
+    for qi, warm_q in enumerate(names):
         if time.time() - warm_t0 > WARM_BUDGET_S:
+            unwarmed.extend(names[qi:])
             print(f"BENCH_WARM budget hit at {warm_q}", file=sys.stderr)
             break
-        try:
-            qs[warm_q](spark, WARM_SF_DIR).write.format("noop").mode("overwrite").save()
-        except Exception as e:
-            print(f"BENCH_WARM_ERROR {warm_q}: {type(e).__name__}", file=sys.stderr)
+        err: list[str] = []
+
+        def _guarded(name=warm_q, err=err):
+            try:
+                _warm_one(name)
+            except Exception as e:
+                err.append(type(e).__name__)
+
+        th = threading.Thread(target=_guarded, daemon=True)
+        th.start()
+        th.join(WARM_QUERY_S)
+        if th.is_alive():
+            unwarmed.append(warm_q)
+            print(f"BENCH_WARM_TIMEOUT {warm_q}: cancelling", file=sys.stderr)
+            for s in spark.streams.active:
+                try:
+                    s.stop()
+                except Exception:
+                    pass
+            spark.sparkContext.cancelAllJobs()
+            th.join(10)
+        elif err:
+            print(f"BENCH_WARM_ERROR {warm_q}: {err[0]}", file=sys.stderr)
+    if unwarmed:
+        print(f"BENCH_UNWARMED ({len(unwarmed)}): {' '.join(unwarmed)}", file=sys.stderr)
     print(f"BENCH_WARM done in {time.time() - warm_t0:.0f}s", file=sys.stderr)
 
     from data_transformation_2022_spark.sources.readers import load_table
