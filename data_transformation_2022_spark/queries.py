@@ -3400,75 +3400,29 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 #
 # The correctness driver attests the first 50 registry entries per round.
-# Rounds 1+2 together attested 80/100; this round's prefix leads with
-# (a) the 6 oracle-backed queries that have never received a driver row,
-# (b) the 3 round-2 hash-mismatch queries, now fixed (DuckDB HUGEINT
-#     sums cast to BIGINT so the oracle's pandas dtype matches Spark's),
-# (c) the 4 queries whose code changed this round (60-bit sample hash,
-#     decimal streaming sum, connected-components rework) and therefore
-#     need re-attestation — "attested" means attested for the code that
-#     ships, not an earlier version.
-# The rest of the 50 backfills with round-1-attested queries (their
-# attestation is oldest) plus a handful of round-2 heavy hitters for
-# continuity. Everything not listed keeps registration order after the
-# prefix.
+# Rounds 1-3 together attested all 104 oracle-backed queries at least
+# once. The round-4 prefix leads with the queries whose code or oracle
+# changed this round ("attested" means attested for the code that
+# ships): exact-quantile wasserstein rework, even-id neardup anchor
+# slice, connected-components singleton handling + checkpointed pair
+# list, half-up sampling threshold, session-boundary pin, IVF module
+# edit. It backfills with the 41 oracle-backed queries whose last
+# driver row is oldest (r01/r02 — absent from the r03 prefix), rotating
+# the attestation floor upward each round. Everything not listed keeps
+# registration order after the prefix.
 
 _PRIORITY: list[str] = [
-    # --- (a) never attested by the driver (oracle-backed) ---
+    # --- code or oracle changed in round 4 ---
+    "profile_wasserstein",
+    "emb_neardup_pairs",
+    "dedup_components",
     "dedup_keep_list",
-    "sim_ivf_full_probe",
-    "emb_quantize_int8",
-    "corpus_topk_docs_per_lang",
-    "agg_median_mode",
-    "join_range_cooccur",
-    # --- (a') new or newly-oracled this round ---
-    "text_repetition_filter",
-    "events_retention_cohort",
-    "stream_sessionize",
-    "tpch_q4_exists",
-    "tpch_q16_notin",
-    "tpch_q22_antijoin",
-    "tpch_q2_corr_min",
-    "window_range_frame",
-    "agg_unpivot",
-    "corpus_decontaminate",
-    "events_funnel_ordered",
-    "delta_upsert_merge",
-    "set_intersect_except",
-    "text_fuzzy_name_pairs",
-    "join_full_outer_reconcile",
-    # --- (b) round-2 red, fixed this round ---
-    "events_sessionize",
-    "io_csv_roundtrip",
-    "profile_outliers",
-    # --- (c) code changed this round ---
+    "dedup_minhash_lsh",
     "sample_hash_bernoulli",
     "sample_stratified",
-    "stream_static_enrich",
-    "dedup_components",
-    # --- backfill: round-1-attested family representatives ---
-    "basic_select_like",
-    "basic_astype",
-    "basic_hsum",
-    "basic_hmul",
-    "basic_sub",
-    "basic_div",
-    "basic_filter",
-    "agg_group_count",
-    "sort_with_position",
-    "topk_by_value",
-    "distinct_domain",
-    "set_union_all",
-    "join_3way_topk",
-    "join_broadcast_dims",
-    "join_skew_salted",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q14",
-    "events_json_extract",
-    "dates_multi_format_parse",
+    "stream_sessionize",
+    "sim_ivf_full_probe",
+    # --- stalest driver attestations (r01/r02 only) ---
     "profile_key_detection",
     "scoring_moments",
     "scoring_correlation",
@@ -3480,17 +3434,37 @@ _PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "dedup_minhash_signatures",
     "dedup_simhash",
-    # --- backfill: round-2 continuity picks ---
     "tpch_q7",
     "coret_pca",
     "window_moving_avg",
-    "dedup_minhash_lsh",
     "io_bucketed_join",
     "events_hourly_rollup",
     "stream_hourly_rollup",
     "basic_rank",
+    "basic_nominalize",
+    "basic_rid_concat",
+    "basic_replace_mode",
+    "agg_group_sum",
+    "tpch_q1",
+    "profile_column_stats",
+    "scoring_hist2d",
+    "scoring_cdm",
+    "sig_outstanding1_fstat",
+    "text_langid",
+    "dedup_exact_text",
+    "multimodal_image_meta",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "coret_kmeans",
+    "coret_lida",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "join_semi_anti",
+    "window_lag_delta",
+    "join_asof",
+    "agg_percentiles",
 ]
-
 
 def _reorder_registry() -> None:
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

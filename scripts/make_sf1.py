@@ -1,0 +1,91 @@
+"""Generate an sf1-scale working set at /tmp/spark_graft_sf1 by
+replicating the driver's sf0.1 parquet 10x with key offsets.
+
+The driver only ships sf{0.001,0.01,0.1}; the scaling-curve evidence in
+BENCH_NOTES.md needs one more decade. Replication preserves the column
+distributions exactly while keeping keys unique and joins consistent
+(every replica joins its own replica: orders/lineitem share the same
+orderkey offset scheme). Two deliberate perturbations keep workload
+shape honest instead of artificially quadratic:
+
+* documents.text gets a per-replica suffix tag — otherwise every doc
+  acquires 9 verbatim clones and the near-dup pair count scales ~100x
+  instead of ~10x (a different workload, not a bigger one);
+* embeddings get a tiny deterministic per-replica rotation of one
+  coordinate, for the same reason.
+
+Usage: python scripts/make_sf1.py [copies] (default 10)
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_transformation_2022_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/spark_graft_sf1"
+
+# key columns that must stay unique across replicas; offset = replica *
+# (1 + global max of the column) so ranges never collide
+OFFSETS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+COPY_ONLY = ("region", "nation", "supplier", "part")
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="make_sf1")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    os.makedirs(DST, exist_ok=True)
+
+    for t in COPY_ONLY:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        df.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        print(f"{t}: copied", flush=True)
+
+    for t, keys in OFFSETS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        maxima = df.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
+        rep = spark.range(copies).select(F.col("id").alias("__rep"))
+        out = df.crossJoin(F.broadcast(rep))
+        for k in keys:
+            out = out.withColumn(k, F.col(k) + F.col("__rep") * (int(maxima[k]) + 1))
+        if t == "documents":
+            out = out.withColumn(
+                "text",
+                F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" rep"), F.col("__rep").cast("string"))
+                ),
+            )
+        if t == "embeddings":
+            # perturb element 0 by rep * 1e-3: breaks verbatim clone
+            # pairs while leaving the cosine geometry essentially intact
+            out = out.withColumn(
+                "embedding",
+                F.concat(
+                    F.array(
+                        F.element_at("embedding", 1) + F.col("__rep").cast("float") * F.lit(0.001)
+                    ),
+                    F.slice("embedding", 2, 10_000),
+                ),
+            )
+        out = out.drop("__rep")
+        out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        n = spark.read.parquet(f"{DST}/{t}.parquet").count()
+        print(f"{t}: {n} rows", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
