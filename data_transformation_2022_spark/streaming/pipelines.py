@@ -34,10 +34,27 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    table = f"{sf_dir}/events.parquet"
+    if os.path.isdir(table):
+        # directory-shaped table (how warehouse tables actually land):
+        # stream the directory itself. Probe the static footer for the
+        # ts physical type — engine-written copies carry nanos as int64.
+        static = spark.read.parquet(table).schema
+        raw = (
+            spark.readStream.format("parquet")
+            .schema(static)
+            .option("path", table)
+            .load()
+        )
+        if dict((f.name, f.dataType.simpleString()) for f in static)["ts"] == "bigint":
+            return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
-        # the events file only — a bare sf_dir would stream every table's
+        # single-file table: a bare sf_dir would stream every table's
         # parquet through the events schema (nulls silently dropped by
         # the watermark, a trap rather than a feature); file sources need
         # a directory base path, so filter by name
