@@ -309,3 +309,49 @@ def attach_global_rank(
         zero_based=dense,
     ).select(rid_col, out_col)
     return df.join(ranked, rid_col)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = inclusive running sum of ``value_col`` under
+    the global ``order_by`` — the prefix-sum primitive (sequence
+    packing, offset assignment) with NO single-reducer window.
+
+    Same three-stage shape as ``global_row_number``: frozen quantile
+    boundaries of the leading key → one per-bucket SUM pass (map-side
+    combinable, P rows collected) → a bucket-PARTITIONED cumulative
+    window plus the broadcast bucket-offset. Ties across the remaining
+    keys stay inside one bucket, so the local window sees the full tie
+    group and the result is exactly the single-window answer."""
+    sc = df.sparkSession.sparkContext
+    n = num_partitions or sc.defaultParallelism
+    lead = order_by[0]
+    bounds = _boundaries(df, lead, n)
+    part = df.withColumn(_BUCKET, _bucket_expr(lead, bounds))
+
+    per_part = part.groupBy(_BUCKET).agg(F.sum(value_col).alias("__s")).collect()
+    sums = {r[_BUCKET]: r["__s"] for r in per_part}
+    offsets: dict[int, float] = {}
+    acc = 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b] or 0
+
+    pairs: list = []
+    for b, off in offsets.items():
+        pairs.extend([F.lit(b), F.lit(off)])
+    off_col = F.create_map(*pairs)[F.col(_BUCKET)] if pairs else F.lit(0)
+
+    w = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(*[F.col(c) for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return part.withColumn(
+        out_col, F.sum(value_col).over(w) + off_col
+    ).drop(_BUCKET)

@@ -124,3 +124,100 @@ def fingerprint64(text: Column) -> Column:
     """Content fingerprint of whitespace-normalized lowercase text."""
     norm = F.concat_ws(" ", tokens_ws(F.lower(text)))
     return md5_prefix_long(norm, 15)
+
+
+def scrub_boilerplate_segments(
+    df,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 8,
+    max_df: int = 2,
+):
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb
+    line-dedup shape, applied to fixed ``seg_words``-word segments since
+    this corpus has no line structure): a segment whose exact text
+    appears in more than ``max_df`` DISTINCT documents is dropped from
+    every document, and each document is reassembled from its surviving
+    segments in order.
+
+    Scale shape: the hot-segment set is small by construction (only
+    repeated-across-docs text qualifies) → broadcast left-anti join;
+    everything else is explode → two keyed aggregations. Documents whose
+    every segment was scrubbed disappear from the output (deliberate —
+    they were pure boilerplate).
+
+    Returns (id_col, n_segments_kept, clean_text).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("ord", "word"),
+    )
+    segs = words.groupBy(
+        id_col, F.floor(F.col("ord") / seg_words).alias("seg_id")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("seg")
+    )
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(hot), "seg", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+):
+    """Overlapping character-window chunking (the RAG indexing shape):
+    chunk i covers ``substr(i*step + 1, chunk_chars)`` with
+    ``step = chunk_chars - overlap``; every document yields
+    ``max(ceil((len - overlap) / step), 1)`` chunks, so short documents
+    produce exactly one. Pure narrow expressions — posexplode of a
+    per-row sequence, no shuffle, no UDF.
+
+    Returns (id_col, chunk_id, chunk_len, chunk_md5)."""
+    step = chunk_chars - overlap
+    if step <= 0:
+        raise ValueError("chunk_chars must exceed overlap")
+    n = F.length(F.col(text_col))
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / step).cast("int"), F.lit(1)
+    )
+    chunked = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.substring(
+            F.col(text_col), F.col("chunk_id") * step + 1, chunk_chars
+        ).alias("chunk"),
+    )
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.length("chunk").alias("chunk_len"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    )

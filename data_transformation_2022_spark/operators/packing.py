@@ -1,0 +1,51 @@
+"""Sequence packing: assign documents to fixed-token-budget packs — the
+pretraining data-prep step that concatenates documents in a canonical
+order and cuts the stream every ``budget`` tokens.
+
+A document belongs to the pack where it STARTS (offset = exclusive
+prefix sum of token counts in ``order_by`` order), which is the
+deterministic, shuffle-friendly formulation: the assignment is a pure
+function of the prefix sum, and the prefix sum comes from
+``functions.order.global_running_sum`` — bucketed, never a
+single-reducer window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.order import global_running_sum
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Per-document pack assignment: (id_col, n_tokens, pack_id).
+
+    Tokens are whitespace tokens (the engine's base tokenization);
+    ``pack_id = floor(start_offset / budget)`` where ``start_offset``
+    is the exclusive running sum of token counts ordered by ``id_col``.
+    """
+    toks = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    summed = global_running_sum(toks, [id_col], "n_tokens", "__cum")
+    return summed.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.floor((F.col("__cum") - F.col("n_tokens")) / budget)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+def pack_stats(packed: DataFrame) -> DataFrame:
+    """Aggregate view of a packing: (pack_id, n_docs, pack_tokens)."""
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )

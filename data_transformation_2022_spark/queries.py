@@ -3399,6 +3399,105 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry ordering
 # ---------------------------------------------------------------------------
 #
+# ---------------------------------------------------------------------------
+# round-4 LLM-pipeline additions: boilerplate scrub, sequence packing,
+# RAG chunking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_boilerplate_scrub",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       words AS (
+         SELECT doc_id, t.ord, w[t.ord] AS word
+         FROM docs, UNNEST(range(1, len(w) + 1)) AS t(ord)
+       ), segs AS (
+         SELECT doc_id, CAST(floor((ord - 1) / 8) AS BIGINT) AS seg_id,
+                string_agg(word, ' ' ORDER BY ord) AS seg
+         FROM words GROUP BY doc_id, 2
+       ), hot AS (
+         SELECT seg FROM (
+           SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+         ) WHERE df > 2
+       ), kept AS (
+         SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM hot)
+       )
+       SELECT doc_id, count(*) AS n_segments_kept,
+              md5(string_agg(seg, ' ' ORDER BY seg_id)) AS clean_md5
+       FROM kept GROUP BY doc_id""",
+    tags=("text", "dedup", "pipeline"),
+)
+def q_corpus_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line
+    dedup shape on 8-word segments): segments appearing in >2 distinct
+    docs are dropped everywhere, docs reassembled in order. Hot set is
+    broadcast (bounded by construction); everything else is explode +
+    keyed agg."""
+    from .functions.text import scrub_boilerplate_segments
+
+    d = _t(spark, sf_dir, "documents")
+    out = scrub_boilerplate_segments(d, "doc_id", "text", seg_words=8, max_df=2)
+    return out.select(
+        "doc_id", "n_segments_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    """WITH toks AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+       ), c AS (
+         SELECT doc_id, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         FROM toks
+       )
+       SELECT CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+       FROM c GROUP BY 1""",
+    tags=("pipeline",),
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: docs assigned to the 2048-token
+    pack where they start (exclusive prefix sum over doc_id order, via
+    the bucketed global_running_sum — no single-reducer window)."""
+    from .operators.packing import pack_sequences, pack_stats
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(d, "doc_id", "text", budget=2048)
+    return pack_stats(packed).select(
+        "pack_id", "n_docs", F.col("pack_tokens").cast("bigint").alias("pack_tokens")
+    )
+
+
+@register(
+    "corpus_chunk_documents",
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       idx AS (
+         SELECT doc_id, text, CAST(t.i AS BIGINT) AS chunk_id
+         FROM d, UNNEST(range(0, CAST(greatest(ceil((n - 50) / 150.0), 1) AS BIGINT))) AS t(i)
+       )
+       SELECT doc_id, chunk_id,
+              CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_len,
+              md5(substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200)) AS chunk_md5
+       FROM idx""",
+    tags=("text", "pipeline"),
+)
+def q_corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-shaped chunking: 200-char windows, 50-char overlap (step
+    150); short docs yield exactly one chunk. Narrow posexplode of a
+    per-row sequence — no shuffle, no UDF."""
+    from .functions.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_chars=200, overlap=50).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("chunk_len").cast("bigint").alias("chunk_len"),
+        "chunk_md5",
+    )
+
+
 # The correctness driver attests the first 50 registry entries per round.
 # Rounds 1-3 together attested all 104 oracle-backed queries at least
 # once. The round-4 prefix leads with the queries whose code or oracle
@@ -3461,9 +3560,10 @@ _PRIORITY: list[str] = [
     "agg_cube",
     "agg_pivot",
     "join_semi_anti",
-    "window_lag_delta",
-    "join_asof",
-    "agg_percentiles",
+    # --- new in round 4 (never attested) ---
+    "corpus_boilerplate_scrub",
+    "corpus_pack_sequences",
+    "corpus_chunk_documents",
 ]
 
 def _reorder_registry() -> None:

@@ -398,3 +398,89 @@ def test_ivf_persisted_index_full_probe_matches_live(spark, sf_dir, tmp_path):
         pruned.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_global_running_sum_matches_single_window(spark):
+    import pandas as pd
+
+    from data_transformation_2022_spark.functions.order import global_running_sum
+
+    pdf = pd.DataFrame({"k": range(1000), "v": [(i * 37) % 101 for i in range(1000)]})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["k"]: r["cum"]
+        for r in global_running_sum(df, ["k"], "v", "cum", num_partitions=7).collect()
+    }
+    want = pdf.sort_values("k")["v"].cumsum()
+    assert got == dict(zip(pdf["k"], want))
+
+
+def test_scrub_boilerplate_segments(spark):
+    from data_transformation_2022_spark.functions.text import (
+        scrub_boilerplate_segments,
+    )
+
+    boiler = "all rights reserved contact us terms of service"  # 8 words
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta eta theta {boiler}"),
+        (2, f"one two three four five six seven eight {boiler}"),
+        (3, f"nine ten eleven twelve thirteen fourteen fifteen sixteen {boiler}"),
+        (4, boiler),  # pure boilerplate: must disappear entirely
+        (5, "unique words only here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_segments_kept"], r["clean_text"])
+        for r in scrub_boilerplate_segments(
+            df, "doc_id", "text", seg_words=8, max_df=2
+        ).collect()
+    }
+    assert 4 not in out  # pure-boilerplate doc dropped
+    assert out[1] == (1, "alpha beta gamma delta epsilon zeta eta theta")
+    assert out[5] == (1, "unique words only here nothing shared at all")
+    assert all(boiler not in t for _, t in out.values())
+
+
+def test_chunk_documents_coverage(spark):
+    from data_transformation_2022_spark.functions.text import chunk_documents
+
+    rows = [(1, "x" * 500), (2, "short"), (3, "y" * 200), (4, "z" * 201)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(df, "doc_id", "text", chunk_chars=200, overlap=50)
+    got = {}
+    for r in chunks.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_len"]))
+    for v in got.values():
+        v.sort()
+    # 500 chars, step 150: ceil((500-50)/150)=3 chunks at 0/150/300
+    assert got[1] == [(0, 200), (1, 200), (2, 200)]
+    assert got[2] == [(0, 5)]  # short doc: exactly one chunk
+    assert got[3] == [(0, 200)]  # exactly one window
+    assert got[4] == [(0, 200), (1, 51)]  # one char past: second chunk
+    # overlap check: consecutive chunks share `overlap` chars
+    assert 3 * 150 + 50 == 500
+
+
+def test_pack_sequences_invariants(spark):
+    import pandas as pd
+
+    from data_transformation_2022_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    texts = [(i, " ".join(["w"] * ((i * 13) % 40 + 1))) for i in range(200)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    packed = pack_sequences(df, "doc_id", "text", budget=100).toPandas()
+    # every doc assigned, tokens preserved
+    assert len(packed) == 200
+    assert packed["n_tokens"].sum() == sum((i * 13) % 40 + 1 for i in range(200))
+    # pack_id equals the start-offset rule replayed in pandas
+    p = packed.sort_values("doc_id").reset_index(drop=True)
+    start = p["n_tokens"].cumsum() - p["n_tokens"]
+    assert (p["pack_id"] == start // 100).all()
+    # packs are contiguous 0..max
+    stats = pack_stats(
+        pack_sequences(df, "doc_id", "text", budget=100)
+    ).toPandas().sort_values("pack_id")
+    assert list(stats["pack_id"]) == list(range(len(stats)))
