@@ -184,3 +184,26 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, qs):
     exchange_ids = [int(m) for m in re.findall(r"Exchange[^(\n]*\((\d+)\)", plan)]
     below = [e for e in exchange_ids if e < min(join_ids)]
     assert not below, f"Exchange nodes {below} feed the SortMergeJoin:\n{plan}"
+
+
+def test_chunk_documents_is_narrow(spark, sf_dir, qs):
+    # posexplode of a per-row sequence: no shuffle anywhere in the plan
+    plan = plan_of(qs["corpus_chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_boilerplate_scrub_broadcasts_hot_set(spark, sf_dir, qs):
+    # the hot-segment anti-join must be broadcast, never a sort-merge of
+    # the corpus against itself
+    plan = plan_of(qs["corpus_boilerplate_scrub"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_pack_sequences_no_single_partition_window(spark, sf_dir, qs):
+    # the prefix sum must come from the bucketed form: a partitioned
+    # window plus broadcast offsets, never Exchange SinglePartition
+    plan = plan_of(qs["corpus_pack_sequences"](spark, sf_dir))
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
