@@ -3498,6 +3498,76 @@ def q_corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_build_corpus",
+    lambda: f"""WITH cc AS ({_CC_SQL}),
+       keep AS (
+         SELECT d.doc_id, d.text FROM documents d
+         LEFT JOIN cc ON cc.doc_id = d.doc_id
+         WHERE cc.component IS NULL OR cc.component = d.doc_id
+       ), qual AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         FROM keep WHERE len(string_split(text, ' ')) >= 30
+       ), samp AS (
+         SELECT doc_id, n_tokens FROM qual
+         WHERE ('0x' || substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), '')), 1, 15))::BIGINT % 1000000 < 500000
+       ), c AS (
+         SELECT doc_id, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         FROM samp
+       )
+       SELECT CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+       FROM c GROUP BY 1""",
+    tags=("pipeline", "dedup", "sampling"),
+)
+def q_pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus build, one hash-checked query:
+    near-dup keep-list (MinHash -> LSH -> connected components) ->
+    quality gate (>= 30 tokens) -> deterministic 50% hash sample ->
+    2048-token sequence packing. Every stage is the registered operator
+    composed as-is; the result is the per-pack manifest."""
+    from .operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from .operators.packing import pack_sequences, pack_stats
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K)
+    comp = connected_components(
+        lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
+    ).select(F.col("id").alias("doc_id"), "component")
+    kept = (
+        docs.join(comp, "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id", "text")
+    )
+    qual = kept.filter(F.size(F.split(F.col("text"), " ")) >= 30)
+    samp = hash_sample(qual, ["doc_id"], 0.5)
+    packed = pack_sequences(samp, "doc_id", "text", budget=2048)
+    return pack_stats(packed).select(
+        "pack_id", "n_docs", F.col("pack_tokens").cast("bigint").alias("pack_tokens")
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates + watermark, state bounded
+    by the key domain): the drained emit-on-first-arrival output equals
+    batch DISTINCT — hash-exact against the oracle."""
+    from .streaming.pipelines import stream_dedup_keys
+
+    return stream_dedup_keys(spark, sf_dir, query_name="q_dedup_keys_gate")
+
+
 # The correctness driver attests the first 50 registry entries per round.
 # Rounds 1-3 together attested all 104 oracle-backed queries at least
 # once. The round-4 prefix leads with the queries whose code or oracle
@@ -3558,9 +3628,9 @@ _PRIORITY: list[str] = [
     "coret_lida",
     "agg_rollup",
     "agg_cube",
-    "agg_pivot",
-    "join_semi_anti",
     # --- new in round 4 (never attested) ---
+    "stream_dedup_keys",
+    "pipeline_build_corpus",
     "corpus_boilerplate_scrub",
     "corpus_pack_sequences",
     "corpus_chunk_documents",

@@ -322,3 +322,30 @@ def stream_running_totals(
               SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
               FROM {query_name} WHERE NOT closed) WHERE rn = 1"""
     ).drop("rn")
+
+
+def stream_dedup_keys(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_keys"
+) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` over the event
+    stream keyed on (user_id, event_type), watermarked so the key state
+    is reclaimable — the streaming-ingest shape of the corpus exact-dedup
+    operator (state is one row per DISTINCT key, bounded by the key
+    domain, not the stream length). Each key is emitted exactly once on
+    first arrival; the drained output is therefore the distinct key set,
+    hash-comparable to batch ``SELECT DISTINCT``."""
+    e = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    dedup = e.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
