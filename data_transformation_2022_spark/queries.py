@@ -3568,6 +3568,167 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_keys(spark, sf_dir, query_name="q_dedup_keys_gate")
 
 
+# ---------------------------------------------------------------------------
+# round-4: the remaining TPC-H query SHAPES (q8/q9/q11/q12/q13/q15/q17/
+# q20/q21), adapted to this TPC-H-ish schema (no partsupp, no commit/
+# receipt dates, no shipmode — substitutions preserve each query's
+# operator shape: nested IN, HAVING-scalar-subquery, correlated AVG,
+# EXISTS + NOT-EXISTS double correlation, two-level aggregation)
+# ---------------------------------------------------------------------------
+
+_sql_both(
+    "tpch_q8_mktshare",
+    """SELECT o_year,
+              ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+       FROM (SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+                    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
+                    n2.n_name AS nation
+             FROM part p
+             JOIN lineitem l ON p.p_partkey = l.l_partkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+             JOIN region r ON n1.n_regionkey = r.r_regionkey
+             JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+             WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+               AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                     AND TIMESTAMP '1996-12-31 00:00:00') allnations
+       GROUP BY o_year""",
+    ("part", "lineitem", "orders", "customer", "nation", "region", "supplier"),
+    tags=("tpch", "join"),
+)
+
+_sql_both(
+    "tpch_q9_profit",
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+       FROM (SELECT n.n_name AS nation,
+                    CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+                    CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.5 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6)) AS amount
+             FROM part p
+             JOIN lineitem l ON p.p_partkey = l.l_partkey
+             JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN nation n ON s.s_nationkey = n.n_nationkey
+             WHERE p.p_name LIKE '%red%') profit
+       GROUP BY nation, o_year""",
+    ("part", "lineitem", "supplier", "orders", "nation"),
+    tags=("tpch", "join"),
+)
+
+_sql_both(
+    "tpch_q11_important_parts",
+    """WITH pv AS (
+         SELECT l.l_partkey,
+                SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,6))) AS value
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_1'
+         GROUP BY l.l_partkey)
+       SELECT l_partkey, CAST(value AS DOUBLE) AS value
+       FROM pv
+       WHERE value > (SELECT SUM(value) * 0.001 FROM pv)""",
+    ("lineitem", "supplier", "nation"),
+    tags=("tpch", "subquery"),
+)
+
+_sql_both(
+    "tpch_q12_priority_lines",
+    """SELECT l.l_returnflag,
+              CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY l.l_returnflag""",
+    ("orders", "lineitem"),
+    tags=("tpch", "agg"),
+)
+
+_sql_both(
+    "tpch_q13_custdist",
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+             FROM customer c
+             LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  AND o.o_orderpriority <> '5-LOW'
+             GROUP BY c.c_custkey) c_orders
+       GROUP BY c_count""",
+    ("customer", "orders"),
+    tags=("tpch", "agg", "join"),
+)
+
+_sql_both(
+    "tpch_q15_top_supplier",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+       FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+       WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+    ("lineitem", "supplier"),
+    tags=("tpch", "subquery"),
+)
+
+_sql_both(
+    "tpch_q17_small_qty",
+    """SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#23'
+         AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                             FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""",
+    ("lineitem", "part"),
+    tags=("tpch", "subquery"),
+)
+
+_sql_both(
+    "tpch_q20_promo_suppliers",
+    """SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE n.n_name = 'NATION_1'
+         AND s.s_suppkey IN (
+           SELECT l.l_suppkey FROM lineitem l
+           WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+             AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY l.l_suppkey
+           HAVING SUM(l.l_quantity) > 100)""",
+    ("supplier", "nation", "lineitem", "part"),
+    tags=("tpch", "subquery"),
+)
+
+_sql_both(
+    "tpch_q21_waiting_supplier",
+    """SELECT s.s_name, COUNT(*) AS numwait
+       FROM supplier s
+       JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+       JOIN orders o ON o.o_orderkey = l1.l_orderkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_1'
+         AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+       GROUP BY s.s_name""",
+    ("supplier", "lineitem", "orders", "nation"),
+    tags=("tpch", "subquery"),
+)
+
+
 # The correctness driver attests the first 50 registry entries per round.
 # Rounds 1-3 together attested all 104 oracle-backed queries at least
 # once. The round-4 prefix leads with the queries whose code or oracle
@@ -3619,21 +3780,22 @@ _PRIORITY: list[str] = [
     "scoring_hist2d",
     "scoring_cdm",
     "sig_outstanding1_fstat",
-    "text_langid",
-    "dedup_exact_text",
-    "multimodal_image_meta",
-    "dedup_ngram_jaccard",
-    "sim_cosine_topk",
-    "coret_kmeans",
-    "coret_lida",
-    "agg_rollup",
-    "agg_cube",
     # --- new in round 4 (never attested) ---
     "stream_dedup_keys",
     "pipeline_build_corpus",
     "corpus_boilerplate_scrub",
     "corpus_pack_sequences",
     "corpus_chunk_documents",
+    # --- round-4 TPC-H shape adaptations (never attested) ---
+    "tpch_q8_mktshare",
+    "tpch_q9_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lines",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
 ]
 
 def _reorder_registry() -> None:
