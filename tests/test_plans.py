@@ -207,3 +207,22 @@ def test_pack_sequences_no_single_partition_window(spark, sf_dir, qs):
     plan = plan_of(qs["corpus_pack_sequences"](spark, sf_dir))
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_new_tpch_shapes_decorrelate(spark, sf_dir, qs):
+    # round-4 additions: q17's correlated AVG must become an aggregate +
+    # equi join; q20's nested IN chain must be semi joins; q21's
+    # EXISTS + NOT-EXISTS double correlation must be one semi and one
+    # anti hash join — never a nested-loop fallback
+    expectations = {
+        "tpch_q17_small_qty": ("Join Inner",),
+        "tpch_q20_promo_suppliers": ("LeftSemi",),
+        "tpch_q21_waiting_supplier": ("LeftSemi", "LeftAnti"),
+        "tpch_q11_important_parts": ("Join Inner",),  # HAVING-scalar join
+        "tpch_q15_top_supplier": ("Join Inner",),  # scalar-max join
+    }
+    for name, markers in expectations.items():
+        plan = plan_of(qs[name](spark, sf_dir))
+        for marker in markers:
+            assert marker in plan, f"{name}: expected {marker}\n{plan}"
+        assert "CartesianProduct" not in plan, name
