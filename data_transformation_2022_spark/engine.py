@@ -268,6 +268,21 @@ class Executor:
             for f in fs:
                 f.result()
 
+    def release(self) -> None:
+        """Unpersist everything this executor cached (sample + derived
+        bases). The memo tables hold collected pandas frames and stay
+        valid; only the Spark-side storage is dropped."""
+        try:
+            self.sample.unpersist()
+        except Exception:
+            pass
+        for base in self._derived_bases.values():
+            try:
+                base.unpersist()
+            except Exception:
+                pass
+        self._derived_bases.clear()
+
     def _batch_step_frames(
         self, jobs: dict[tuple, tuple[Candidate, str | None]]
     ) -> None:
@@ -660,6 +675,11 @@ def recommend(
             )
 
     ranked = _rank_dedup(charts)
+    # every downstream artifact is driver-side pandas by now: release the
+    # executor's cached sample and derived bases so repeated recommend()
+    # calls (a serving process, the bench suite) don't accumulate
+    # persisted RDDs and GC pressure
+    ex.release()
     return RecommendResult(ranked, profile, _provenance(ranked))
 
 
