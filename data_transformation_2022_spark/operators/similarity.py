@@ -282,14 +282,28 @@ def ivf_build_index(
     fraction-of-corpus scan.
 
     If the index already exists (parquet _SUCCESS marker under
-    ``path/lists``) the build is SKIPPED — the serving contract is
-    build-once/query-many, so callers pass a content-keyed ``path``
-    (e.g. a digest of the corpus location) and get idempotent reuse;
-    pass ``force_rebuild=True`` to overwrite."""
+    ``path/lists``) AND its recorded source signature (the corpus
+    scan's file list + build parameters, written at build time) still
+    matches, the build is SKIPPED — the serving contract is
+    build-once/query-many with automatic invalidation when the corpus
+    files or the index parameters change. ``force_rebuild=True``
+    overwrites unconditionally."""
+    import json as _json
     import os
 
+    try:
+        files = sorted(corpus.inputFiles())
+    except Exception:
+        files = []  # non-file source: signature degrades to params-only
+    sig = {"files": files, "n_lists": n_lists, "seed": seed, "vec_col": vec_col}
+    meta_path = f"{path}/meta.json"
     if not force_rebuild and os.path.exists(f"{path}/lists/_SUCCESS"):
-        return
+        try:
+            with open(meta_path) as f:
+                if _json.load(f) == sig:
+                    return
+        except Exception:
+            pass  # unreadable/missing meta: rebuild
     assigned, cents = ivf_assign_lists(corpus, id_col, vec_col, n_lists, seed)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
     spark = corpus.sparkSession
@@ -298,6 +312,9 @@ def ivf_build_index(
         "list_id int, centroid array<double>",
     )
     cents_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as f:
+        _json.dump(sig, f)
 
 
 def ivf_query_index(

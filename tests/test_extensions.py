@@ -484,3 +484,27 @@ def test_pack_sequences_invariants(spark):
         pack_sequences(df, "doc_id", "text", budget=100)
     ).toPandas().sort_values("pack_id")
     assert list(stats["pack_id"]) == list(range(len(stats)))
+
+
+def test_ivf_index_reuse_and_invalidation(spark, sf_dir, tmp_path):
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.operators.similarity import ivf_build_index
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    ivf_build_index(e, "vec_id", "embedding", path, n_lists=4)
+    built_at = os.path.getmtime(f"{path}/lists/_SUCCESS")
+    time.sleep(0.05)
+    # same corpus + params: skipped (no rewrite)
+    ivf_build_index(e, "vec_id", "embedding", path, n_lists=4)
+    assert os.path.getmtime(f"{path}/lists/_SUCCESS") == built_at
+    # parameter change: rebuilt
+    ivf_build_index(e, "vec_id", "embedding", path, n_lists=8)
+    assert os.path.getmtime(f"{path}/lists/_SUCCESS") > built_at
+    assert json.load(open(f"{path}/meta.json"))["n_lists"] == 8
