@@ -342,16 +342,28 @@ def global_running_sum(
         offsets[b] = acc
         acc += sums[b] or 0
 
-    pairs: list = []
-    for b, off in offsets.items():
-        pairs.extend([F.lit(b), F.lit(off)])
-    off_col = F.create_map(*pairs)[F.col(_BUCKET)] if pairs else F.lit(0)
-
+    # offsets travel as broadcast DATA, not a create_map of literals:
+    # literal offsets change per input, forcing a fresh codegen compile
+    # on every call — the join keeps one reusable plan shape
+    spark = df.sparkSession
+    int_like = dict(df.dtypes).get(value_col, "").split("(")[0] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    off_df = spark.createDataFrame(
+        [
+            (int(b), int(off) if int_like else float(off))
+            for b, off in offsets.items()
+        ]
+        or [(0, 0 if int_like else 0.0)],
+        f"{_BUCKET} int, __off " + ("bigint" if int_like else "double"),
+    )
     w = (
         Window.partitionBy(_BUCKET)
         .orderBy(*[F.col(c) for c in order_by])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return part.withColumn(
-        out_col, F.sum(value_col).over(w) + off_col
-    ).drop(_BUCKET)
+    return (
+        part.join(F.broadcast(off_df), _BUCKET)
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("__off"))
+        .drop(_BUCKET, "__off")
+    )
