@@ -3729,6 +3729,26 @@ _sql_both(
 )
 
 
+@register(
+    "stream_sink_parquet",
+    "SELECT event_id, user_id, event_type, value FROM events",
+    tags=("streaming", "io"),
+)
+def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed streaming parquet sink (availableNow backfill):
+    the landed files read back must equal the source rows exactly —
+    and the checkpoint makes re-runs idempotent (exactly-once commit),
+    pinned by tests/test_streaming_multimodal.py."""
+    import hashlib
+
+    from .streaming.pipelines import stream_to_parquet_sink
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return stream_to_parquet_sink(
+        spark, sf_dir, f"/tmp/spark_graft_io/stream_sink_{tag}"
+    )
+
+
 # The correctness driver attests the first 50 registry entries per round.
 # Rounds 1-3 together attested all 104 oracle-backed queries at least
 # once. The round-4 prefix leads with the queries whose code or oracle
@@ -3761,7 +3781,7 @@ _PRIORITY: list[str] = [
     "text_token_counts",
     "text_fingerprint",
     "multimodal_audio_meta",
-    "multimodal_frame_sample",
+    "stream_sink_parquet",
     "dedup_minhash_signatures",
     "dedup_simhash",
     "tpch_q7",

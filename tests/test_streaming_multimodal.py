@@ -134,3 +134,26 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     for u in exp:
         assert got[u][0] == exp[u][0]
         assert abs(got[u][1] - exp[u][1]) < 1e-6 * max(1.0, abs(exp[u][1]))
+
+
+def test_stream_sink_parquet_exactly_once(spark, sf_dir, tmp_path):
+    """The checkpointed file sink commits each source file once: a
+    second availableNow run over the same source adds NOTHING, and the
+    landed rows equal the batch source exactly."""
+    from data_transformation_2022_spark.streaming.pipelines import (
+        stream_to_parquet_sink,
+    )
+
+    out = str(tmp_path / "sink")
+    first = stream_to_parquet_sink(spark, sf_dir, out)
+    n1 = first.count()
+    src_n = load_table(spark, sf_dir, "events").count()
+    assert n1 == src_n
+    second = stream_to_parquet_sink(spark, sf_dir, out)
+    assert second.count() == src_n  # idempotent restart: no duplicates
+    # content equality, not just counts
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    assert second.exceptAll(batch).count() == 0
+    assert batch.exceptAll(second).count() == 0
