@@ -247,6 +247,72 @@ class EngineSession:
         return out
 
 
+def create_http_server(session: EngineSession, host: str = "127.0.0.1", port: int = 0):
+    """Dependency-free live HTTP server over the four endpoint routes
+    (reference Flask ``main.py:40-138``): stdlib ``ThreadingHTTPServer``,
+    same paths, same JSON payloads, same CORS headers — so the serving
+    surface is exercisable end-to-end in environments without Flask
+    (this container). Returns the server; callers drive it with
+    ``serve_forever()`` (typically on a daemon thread) and stop it with
+    ``shutdown()``. Port 0 binds an ephemeral port (``server_address``
+    reports the actual one).
+
+    Spark note: handler threads call into one shared EngineSession; the
+    driver is thread-safe for these calls (the engine's own prefetch
+    pool already multi-threads the session), but this shim is a smoke/
+    integration surface, not a production concurrency story."""
+    import http.server
+
+    routes = {
+        "/vis/csv": lambda d: session.ingest_records(d["headers"], d["body"]),
+        "/vis/search": lambda d: session.search(d),
+        "/vis/addT": lambda d: session.add_t(
+            d.get("pid"), d.get("t"), d.get("para", {})
+        ),
+        "/vis/addV": lambda d: session.add_v(d.get("vtype"), d.get("channels")),
+    }
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet: tests/smoke only
+            pass
+
+        def _cors(self):  # reference main.py:31-38
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Method", "*")
+            self.send_header(
+                "Access-Control-Allow-Headers", "x-requested-with,content-type"
+            )
+
+        def do_OPTIONS(self):
+            self.send_response(200)
+            self._cors()
+            self.end_headers()
+
+        def do_POST(self):
+            fn = routes.get(self.path)
+            if fn is None:
+                self.send_response(404)
+                self._cors()
+                self.end_headers()
+                return
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+                payload = json.loads(self.rfile.read(n).decode("utf-8")) if n else {}
+                body = json.dumps(fn(payload)).encode("utf-8")
+                code = 200
+            except Exception as e:  # surface errors as JSON, not a stack dump
+                body = json.dumps({"error": str(e)}).encode("utf-8")
+                code = 500
+            self.send_response(code)
+            self._cors()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return http.server.ThreadingHTTPServer((host, port), Handler)
+
+
 def create_app(session: EngineSession | None = None):
     """Optional Flask wiring for the four endpoints. Returns the Flask
     app, or raises ImportError when Flask is absent (the session API

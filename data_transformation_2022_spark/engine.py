@@ -311,24 +311,45 @@ class Executor:
             except Exception:
                 continue
             pieces.append(sel)
-            meta.append((key, list(cand.out_cols), i))
+            # per-column Spark types (fields after RID + presence marker)
+            # so dtypes can be restored after the outer join promotes them
+            col_types = [f.dataType.simpleString() for f in sel.schema.fields[2:]]
+            meta.append((key, list(cand.out_cols), i, col_types))
         if not pieces:
             return
 
+        # toPandas dtype for each Spark type the sample frames carry —
+        # the outer join promotes ints to float64 whenever ANY frame in
+        # the chunk dropped rows (nulls appear), and pandas infer_objects
+        # cannot demote non-object dtypes back
+        pd_by_spark = {
+            "tinyint": "int8", "smallint": "int16", "int": "int32",
+            "bigint": "int64", "float": "float32", "double": "float64",
+            "boolean": "bool",
+        }
+
         def _consume(pdf, group_meta) -> None:
-            for key, out_cols, i in group_meta:
+            for key, out_cols, i, col_types in group_meta:
                 mask = pdf[f"f{i}__p"] == 1
                 renames = {f"f{i}__{j}": c for j, c in enumerate(out_cols)}
                 fr = (
                     pdf.loc[mask, [RID] + list(renames)]
                     .rename(columns=renames)
+                    # RID order, not join-output order: downstream scores
+                    # (sig_linearness tie order, chart payloads) are
+                    # position-sensitive, and the solo channel_frame path
+                    # yields RID order — batch and solo must agree byte
+                    # for byte no matter which one filled the memo
+                    .sort_values(RID, kind="mergesort")
                     .reset_index(drop=True)
                 )
-                if mask.all():
-                    # aligned batch: restore the exact per-frame dtypes a
-                    # solo toPandas would produce (outer join can't have
-                    # introduced nulls when every row is present)
-                    fr = fr.infer_objects()
+                for c, t in zip(out_cols, col_types):
+                    want = pd_by_spark.get(t)
+                    if want is not None and str(fr[c].dtype) != want:
+                        try:
+                            fr[c] = fr[c].astype(want)
+                        except (ValueError, TypeError):
+                            pass  # genuine nulls: solo toPandas keeps float too
                 self._frames[key] = fr
 
         # chunked joins: Catalyst analysis of an N-way join tree grows

@@ -327,7 +327,12 @@ def global_running_sum(
     combinable, P rows collected) → a bucket-PARTITIONED cumulative
     window plus the broadcast bucket-offset. Ties across the remaining
     keys stay inside one bucket, so the local window sees the full tie
-    group and the result is exactly the single-window answer."""
+    group and, for INTEGRAL value columns, the result is exactly the
+    single-window answer. For floating-point values the per-bucket sum +
+    offset accumulation changes IEEE addition order versus a row-ordered
+    running sum, so results can differ in the last ulps — callers
+    needing bit-identity to a sequential scan must pass integers
+    (current callers — sequence packing offsets — do)."""
     sc = df.sparkSession.sparkContext
     n = num_partitions or sc.defaultParallelism
     lead = order_by[0]

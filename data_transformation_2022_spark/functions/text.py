@@ -140,14 +140,19 @@ def scrub_boilerplate_segments(
     every document, and each document is reassembled from its surviving
     segments in order.
 
-    Scale shape: the hot-segment set is small by construction (only
-    repeated-across-docs text qualifies) → broadcast left-anti join;
-    everything else is explode → two keyed aggregations. Documents whose
-    every segment was scrubbed disappear from the output (deliberate —
-    they were pure boilerplate).
+    Scale shape: on a real web corpus the hot-segment set IS the
+    boilerplate — potentially billions of distinct strings at 100 TB —
+    so it is never assumed broadcastable. The scrub joins on the
+    segment's 64-bit hash (8-byte keys, never text) through
+    ``anti_join_hot``: one cheap count of the hot set picks broadcast
+    under the session's autoBroadcastJoinThreshold, else a plain
+    shuffle left-anti join. Everything else is explode → two keyed
+    aggregations. Documents whose every segment was scrubbed disappear
+    from the output (deliberate — they were pure boilerplate).
 
     Returns (id_col, n_segments_kept, clean_text).
     """
+    from .joins import anti_join_hot
     words = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("ord", "word"),
@@ -163,13 +168,19 @@ def scrub_boilerplate_segments(
             " ",
         ).alias("seg")
     )
+    # hash equality stands in for text equality (collision odds ~n²/2⁶⁴,
+    # same contract as the shingle joins in operators/dedup.py): the
+    # anti-join then shuffles/broadcasts 8-byte keys, never segments
+    segs = segs.withColumn("__segh", F.xxhash64("seg"))
     hot = (
-        segs.groupBy("seg")
+        segs.groupBy("__segh")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
         .filter(F.col("df") > max_df)
-        .select("seg")
+        .select("__segh")
     )
-    kept = segs.join(F.broadcast(hot), "seg", "left_anti")
+    kept = anti_join_hot(segs, hot, ["__segh"], label="boilerplate-segments").drop(
+        "__segh"
+    )
     return kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_segments_kept"),
         F.array_join(

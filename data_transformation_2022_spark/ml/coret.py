@@ -288,7 +288,11 @@ def run_lda(df: DataFrame) -> DataFrame | None:
 
 
 def _collect_sample(df: DataFrame, cols: list[str], cap: int = 2000) -> pd.DataFrame:
-    pdf = df.select(RID, *cols).limit(cap).toPandas()
+    # orderBy(RID) before limit: a bare limit takes whichever partitions
+    # answer first, so the sample (hence tsne/umap/dbscan output) would
+    # silently change with the input's partitioning. TakeOrdered keeps
+    # this a top-k, not a global sort.
+    pdf = df.select(RID, *cols).orderBy(RID).limit(cap).toPandas()
     x = pdf[cols].to_numpy(dtype=float)
     lo, hi = x.min(axis=0), x.max(axis=0)
     span = np.where(hi > lo, hi - lo, 1.0)

@@ -30,6 +30,18 @@ DEFAULT_SHINGLE = 3
 DEFAULT_K = 16  # minhash functions
 DEFAULT_BANDS = 4  # LSH bands (rows per band = K / BANDS)
 
+# Hot-bucket bound for the banded self-joins (LSH + SimHash): a bucket
+# holding d documents emits d² candidate rows, so one degenerate band
+# value (e.g. every near-empty document hashing identically) turns the
+# join quadratic. Buckets above this cap are dropped before the
+# self-join — the stop-key construction ngram_jaccard_pairs uses for
+# shingles, applied to band buckets. Recall effect: pairs whose ONLY
+# shared bucket was oversized are missed; a genuine near-dup pair
+# collides in several of the `bands` buckets, so the loss concentrates
+# on degenerate content (which exact_dedup catches anyway). The SQL
+# oracles apply the identical cap (QUALIFY over a per-bucket count).
+MAX_BAND_BUCKET = 1_000
+
 # Universal-hash family for MinHash: sig_i = min((A_i*h + B_i) mod P) with
 # h = 32-bit md5 prefix of the shingle. One md5 per shingle total (the k
 # derived hashes are pure int64 arithmetic, whole-stage-codegen'd) instead
@@ -112,12 +124,24 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
+    sigs: DataFrame,
+    id_col: str,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Band the signature (bands × (k/bands) rows), bucket by band hash,
     self-join within buckets → distinct candidate pairs (id_a < id_b).
     The join key is (band index, band hash): collisions are rare, so the
-    join output is near-linear in true near-duplicates."""
+    join output is near-linear in true near-duplicates.
+
+    ``max_bucket`` bounds the worst case: buckets holding more than that
+    many documents are dropped before the self-join (see MAX_BAND_BUCKET
+    for the recall contract), so per-bucket output is ≤ max_bucket² and
+    total work stays linear in corpus size even when every document is
+    identical. ``None`` disables the cap (exact unbounded form)."""
+    from ..functions.joins import anti_join_hot
+
     r = k // bands
     band_cols = []
     for b in range(bands):
@@ -128,6 +152,14 @@ def lsh_candidate_pairs(
     banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > max_bucket)
+            .select("band", "bh")
+        )
+        banded = anti_join_hot(banded, hot, ["band", "bh"], label="lsh-band-buckets")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -353,6 +385,7 @@ def simhash_neardup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs from SimHash fingerprints: band the ``bits``
     fingerprint into ``bands`` equal slices, bucket-join on (band index,
@@ -362,7 +395,13 @@ def simhash_neardup_pairs(
     the bound. Candidate generation is a bucket equi-join (bands × docs
     rows), never all-pairs; the Hamming check is one integer expression
     per candidate. 100 TB-shaped like the MinHash LSH path, but over a
-    single 8-byte fingerprint per document."""
+    single 8-byte fingerprint per document.
+
+    ``max_bucket`` drops oversized (band, value) buckets before the
+    self-join — the same worst-case bound and recall contract as
+    lsh_candidate_pairs (see MAX_BAND_BUCKET)."""
+    from ..functions.joins import anti_join_hot
+
     width = bits // bands
     fp = simhash(df, id_col, text_col, bits)
     band_cols = [
@@ -377,6 +416,14 @@ def simhash_neardup_pairs(
     banded = fp.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bv")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > max_bucket)
+            .select("band", "bv")
+        )
+        banded = anti_join_hot(banded, hot, ["band", "bv"], label="simhash-band-buckets")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
@@ -487,14 +534,17 @@ def ngram_jaccard_pairs(
     )
     if max_df is not None:
         # document frequency per shingle (shingles are distinct per doc);
-        # the hot set is small by construction → broadcast anti-join
+        # hot set broadcast only while it fits the session threshold,
+        # else shuffle anti-join on the 8-byte hash (see functions/joins)
+        from ..functions.joins import anti_join_hot
+
         hot = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        sh = anti_join_hot(sh, hot, ["sh"], label="ngram-stop-shingles")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot_exact, norm_exact
+from ..sources.fs import (
+    fs_exists as _fs_exists,
+    fs_read_text as _fs_read_text,
+    fs_write_text as _fs_write_text,
+    input_file_signature as _input_file_signature,
+)
 from ..sources.readers import fan_out
 
 
@@ -167,7 +173,10 @@ def ivf_assign_lists(
     key the corpus would be written partitioned by."""
     from ..ml.coret import _lloyd
 
-    sample = df.select(vec_col).limit(fit_cap).collect()
+    # orderBy(id) before limit: a bare limit is partition-order-dependent,
+    # so the centroid fit (hence every downstream list assignment) would
+    # change with input partitioning. TakeOrdered, not a global sort.
+    sample = df.select(id_col, vec_col).orderBy(id_col).limit(fit_cap).collect()
     x = np.array([r[vec_col] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     labels = _lloyd(x, n_lists, seed)
@@ -282,39 +291,39 @@ def ivf_build_index(
     fraction-of-corpus scan.
 
     If the index already exists (parquet _SUCCESS marker under
-    ``path/lists``) AND its recorded source signature (the corpus
-    scan's file list + build parameters, written at build time) still
-    matches, the build is SKIPPED — the serving contract is
-    build-once/query-many with automatic invalidation when the corpus
-    files or the index parameters change. ``force_rebuild=True``
-    overwrites unconditionally."""
+    ``path/lists``) AND its recorded source signature still matches, the
+    build is SKIPPED — the serving contract is build-once/query-many
+    with automatic invalidation when the corpus files or the index
+    parameters change. The signature covers each input file's size and
+    modification time (Hadoop FS listing), not just its name, so an
+    in-place rewrite of a corpus file invalidates the index; meta.json
+    travels through the same Hadoop FileSystem as the parquet writes, so
+    non-local paths (s3a://, hdfs://) behave identically to local ones.
+    ``force_rebuild=True`` overwrites unconditionally."""
     import json as _json
-    import os
 
-    try:
-        files = sorted(corpus.inputFiles())
-    except Exception:
-        files = []  # non-file source: signature degrades to params-only
-    sig = {"files": files, "n_lists": n_lists, "seed": seed, "vec_col": vec_col}
+    spark = corpus.sparkSession
+    sig = {
+        "files": _input_file_signature(corpus),
+        "n_lists": n_lists,
+        "seed": seed,
+        "vec_col": vec_col,
+    }
     meta_path = f"{path}/meta.json"
-    if not force_rebuild and os.path.exists(f"{path}/lists/_SUCCESS"):
+    if not force_rebuild and _fs_exists(spark, f"{path}/lists/_SUCCESS"):
         try:
-            with open(meta_path) as f:
-                if _json.load(f) == sig:
-                    return
+            if _json.loads(_fs_read_text(spark, meta_path)) == sig:
+                return
         except Exception:
             pass  # unreadable/missing meta: rebuild
     assigned, cents = ivf_assign_lists(corpus, id_col, vec_col, n_lists, seed)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
-    spark = corpus.sparkSession
     cents_df = spark.createDataFrame(
         [(i, [float(v) for v in row]) for i, row in enumerate(cents)],
         "list_id int, centroid array<double>",
     )
     cents_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    os.makedirs(path, exist_ok=True)
-    with open(meta_path, "w") as f:
-        _json.dump(sig, f)
+    _fs_write_text(spark, meta_path, _json.dumps(sig))
 
 
 def ivf_query_index(

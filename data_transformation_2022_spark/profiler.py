@@ -163,7 +163,20 @@ def profile_table(
     date_fmt: dict[str, str] = {}
     str_cols = [c for c in cols if _base_type(dtypes[c]) == "string"]
     if str_cols:
-        sample = df.select(*[F.col(c) for c in str_cols]).limit(date_sample)
+        # deterministic sample: a bare limit is partition-order-dependent
+        # (format detection could flip run-to-run on a repartitioned
+        # input), so anchor on __rid when the ingest added it (every
+        # ingested table carries __rid; TakeOrdered, not a global sort).
+        # Ad-hoc RID-less frames keep the plain bounded limit.
+        if "__rid" in dtypes:
+            sample = (
+                df.select(F.col("__rid"), *[F.col(c) for c in str_cols])
+                .orderBy("__rid")
+                .limit(date_sample)
+                .drop("__rid")
+            )
+        else:
+            sample = df.select(*[F.col(c) for c in str_cols]).limit(date_sample)
         fmt_aggs = []
         for c in str_cols:
             fmt_aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
@@ -348,6 +361,16 @@ def exact_quantile_grid(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    # NaN is non-null to Spark: left in place it would pass the null
+    # filters and poison bucket min/max (NaN sorts above +inf). Null it
+    # out up front for floating columns so "missing" means one thing
+    # everywhere downstream; integral/decimal columns can't hold NaN.
+    floating = {
+        c for c, t in df.dtypes if t.split("(")[0] in ("float", "double")
+    }
+    for c in cols:
+        if c in floating:
+            df = df.withColumn(c, F.when(~F.isnan(F.col(c)), F.col(c)))
     aggs = []
     for c in cols:
         aggs += [
@@ -378,13 +401,15 @@ def exact_quantile_grid(
     # every invocation then reuses the same physical plan shape and its
     # already-compiled codegen — data-dependent literals would force a
     # fresh janino compile per call, which dominates at interactive scale
+    # float() on both params: DecimalType columns yield decimal.Decimal
+    # min/max, and Decimal arithmetic into a 'double' schema raises
     params = spark.createDataFrame(
         [
             (
                 c,
                 float(range_by_cid[c][0]),
                 (
-                    n_buckets / (range_by_cid[c][1] - range_by_cid[c][0])
+                    float(n_buckets / (range_by_cid[c][1] - range_by_cid[c][0]))
                     if range_by_cid[c][1] > range_by_cid[c][0]
                     else 0.0
                 ),

@@ -1616,6 +1616,15 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_K = 16
 
 
+def _max_band_bucket() -> int:
+    from .operators.dedup import MAX_BAND_BUCKET
+
+    return MAX_BAND_BUCKET
+
+
+_MAX_BAND_BUCKET = _max_band_bucket()
+
+
 def _mh_sig_cols() -> str:
     """MIN((A_i*h + B_i) % P) columns from the same universal-hash
     constants the Spark operator uses — single source of truth."""
@@ -1664,8 +1673,11 @@ _MH_PAIRS_SQL = f"""WITH toks AS (
   SELECT doc_id,
 {_mh_sig_cols()}
   FROM hashed GROUP BY doc_id
-), banded AS (
+), banded0 AS (
   {' UNION ALL '.join(_mh_bands)}
+), banded AS (
+  SELECT doc_id, band, bh FROM banded0
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {_MAX_BAND_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
@@ -2967,8 +2979,12 @@ _SIMHASH_BANDS_SQL = "\n  UNION ALL ".join(
 )
 
 _SIMHASH_PAIRS_SQL = f"""WITH fps AS ({_SIMHASH_SQL}),
-banded AS (
+banded0 AS (
   {_SIMHASH_BANDS_SQL}
+),
+banded AS (
+  SELECT doc_id, simhash, band, bv FROM banded0
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= {_MAX_BAND_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3738,12 +3754,26 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed streaming parquet sink (availableNow backfill):
     the landed files read back must equal the source rows exactly —
     and the checkpoint makes re-runs idempotent (exactly-once commit),
-    pinned by tests/test_streaming_multimodal.py."""
-    import hashlib
+    pinned by tests/test_streaming_multimodal.py.
 
+    The sink/checkpoint directory is keyed on the SOURCE FILE LISTING
+    (names + sizes + mtimes), not just the sf_dir path: regenerating the
+    dataset in place would otherwise leave a checkpoint that says
+    "already processed" for the same file names, and the readback would
+    serve stale rows. A new listing → a fresh sink; concurrent runs over
+    different datasets never share one checkpoint."""
+    import hashlib
+    import json as _json
+
+    from .sources.fs import input_file_signature
     from .streaming.pipelines import stream_to_parquet_sink
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src_sig = input_file_signature(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    tag = hashlib.md5(
+        _json.dumps([sf_dir, src_sig], sort_keys=True).encode()
+    ).hexdigest()[:12]
     return stream_to_parquet_sink(
         spark, sf_dir, f"/tmp/spark_graft_io/stream_sink_{tag}"
     )

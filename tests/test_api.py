@@ -78,3 +78,87 @@ def test_search_cat_lines_present(session):
     types = {c["chart_type"] for c in ret["charts"]}
     assert types <= {"rel_line", "ord_line", "rel_cat_line", "ord_cat_line"}
     assert len(ret["charts"]) >= 1
+
+
+# ---------------------------------------------------------------------------
+# live HTTP integration: the four routes served end-to-end (stdlib shim —
+# the container has no Flask; create_http_server is the same session
+# surface behind real sockets)
+# ---------------------------------------------------------------------------
+
+
+def _post(port: int, route: str, payload: dict) -> dict:
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{route}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        return json.loads(resp.read().decode())
+
+
+def test_http_server_all_four_routes(spark):
+    import threading
+
+    from data_transformation_2022_spark.api import create_http_server
+
+    server = create_http_server(EngineSession(spark, sample_cap=500))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # EP1: ingest via records (reference /vis/csv shape)
+        ingest = _post(
+            port,
+            "/vis/csv",
+            {
+                "headers": ["name", "grp", "v1", "v2"],
+                "body": [[f"row{i}", "ab"[i % 2], i, i * 2] for i in range(40)],
+            },
+        )
+        assert ingest["columns"]["headers"][0] == "attribute"
+        assert {r[0] for r in ingest["columns"]["body"]} >= {"name", "grp", "v1"}
+
+        # EP2: search
+        found = _post(port, "/vis/search", {"vlist": ["bar"]})
+        assert "charts" in found and "provenance" in found
+
+        # EP3a: addT
+        added = _post(
+            port,
+            "/vis/addT",
+            {"pid": "root", "t": "sum",
+             "para": {"i_type": "==", "i": ["v1", "v2"], "o_type": "append",
+                      "index": ["vsum"]}},
+        )
+        assert "vsum" in added["result"]["nodes"][0]["columns"]
+
+        # EP3b: addV
+        x_id = path_id(
+            [{"t": "select", "i_type": "==", "i": ["grp"], "o_type": "new_table",
+              "index": [], "args": []}]
+        )
+        chart = _post(port, "/vis/addV", {"vtype": "count_bar", "channels": {"x": x_id}})
+        assert set(chart["result"]["data"]) == {"grp", "COUNT"}
+        assert sum(chart["result"]["data"]["COUNT"]) == 40
+
+        # unknown route → 404, bad payload → 500 JSON error (no crash)
+        import urllib.error
+
+        try:
+            _post(port, "/vis/nope", {})
+            assert False, "404 expected"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        try:
+            _post(port, "/vis/addV", {"vtype": "mystery", "channels": {}})
+            assert False, "500 expected"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500 and "error" in json.loads(e.read().decode())
+    finally:
+        server.shutdown()
+        server.server_close()

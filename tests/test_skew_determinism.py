@@ -1,0 +1,178 @@
+"""Round-5 gates: adversarial-skew bounds on the banded self-joins and
+partitioning-independence of every bounded driver-side sample.
+
+Skew: a degenerate corpus (many identical documents) must not turn the
+LSH/SimHash band joins quadratic — oversized buckets are dropped before
+the self-join (operators/dedup.py MAX_BAND_BUCKET), and the boilerplate
+scrub's hot-segment set must fall back to a shuffle anti-join instead of
+a driver broadcast when it exceeds the session broadcast threshold.
+
+Determinism: `orderBy(__rid).limit` sampling means tsne/umap/dbscan,
+IVF centroids, and the profiler's date-format probe return byte-equal
+results no matter how the input happens to be partitioned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_transformation_2022_spark.operators.steps import RID
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# adversarial skew
+# ---------------------------------------------------------------------------
+
+
+def _identical_docs(spark, n: int):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+
+
+def test_lsh_identical_docs_bounded(spark):
+    """10k identical docs: every band bucket is oversized -> dropped;
+    the self-join emits nothing instead of ~50M pairs (exact_dedup is
+    the operator that handles literal duplicates)."""
+    from data_transformation_2022_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_identical_docs(spark, 10_000), "doc_id", "text")
+    assert lsh_candidate_pairs(sigs, "doc_id").count() == 0
+
+
+def test_simhash_identical_docs_bounded(spark):
+    from data_transformation_2022_spark.operators.dedup import simhash_neardup_pairs
+
+    pairs = simhash_neardup_pairs(_identical_docs(spark, 10_000), "doc_id", "text")
+    assert pairs.count() == 0
+
+
+def test_lsh_cap_is_noop_on_real_corpus(spark, sf_dir):
+    """No bucket in the real documents table approaches the cap: the
+    capped (default) and uncapped pair sets are identical — the bound
+    changes worst-case complexity, not results."""
+    from data_transformation_2022_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text").persist()
+    capped = {tuple(r) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    uncapped = {
+        tuple(r) for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket=None).collect()
+    }
+    sigs.unpersist()
+    assert capped == uncapped and capped
+
+
+def test_scrub_hot_set_broadcast_thresholded(spark):
+    """anti_join_hot honors spark.sql.autoBroadcastJoinThreshold: under a
+    normal threshold the hot set is broadcast (BroadcastHashJoin LeftAnti);
+    with the threshold floored the same plan degrades to a non-broadcast
+    anti-join — no driver-side collection of a potentially huge hot set."""
+    from data_transformation_2022_spark.functions.text import (
+        scrub_boilerplate_segments,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared boilerplate header words one two three eight "),
+            F.lit("unique tail number "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out_bc = scrub_boilerplate_segments(docs, "doc_id", "text")
+    assert "BroadcastHashJoin" in _plan(out_bc) or "BroadcastNestedLoop" in _plan(out_bc)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out_shuffle = scrub_boilerplate_segments(docs, "doc_id", "text")
+        plan = _plan(out_shuffle)
+        assert "BroadcastHashJoin" not in plan
+        rows_bc = {tuple(r) for r in out_bc.collect()}
+        rows_sh = {tuple(r) for r in out_shuffle.collect()}
+        assert rows_bc == rows_sh
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# partitioning-independent samples
+# ---------------------------------------------------------------------------
+
+
+def _numeric_frame(spark):
+    rs = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            RID: np.arange(300, dtype=np.int64),
+            "a": rs.normal(size=300),
+            "b": rs.normal(size=300) * 3 + 1,
+            "c": rs.normal(size=300) - 2,
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.mark.parametrize("runner", ["tsne", "umap", "dbscan", "mds"])
+def test_sample_transforms_partition_invariant(spark, runner):
+    from data_transformation_2022_spark.ml import coret
+
+    fn = {
+        "tsne": coret.run_tsne,
+        "umap": coret.run_umap,
+        "dbscan": coret.run_dbscan,
+        "mds": coret.run_mds,
+    }[runner]
+    base = _numeric_frame(spark)
+    shuffled = base.repartition(13, F.col("a"))
+    a = fn(base).toPandas().sort_values(RID).reset_index(drop=True)
+    b = fn(shuffled).toPandas().sort_values(RID).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_centroids_partition_invariant(spark, sf_dir):
+    from data_transformation_2022_spark.operators.similarity import ivf_assign_lists
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents_a = ivf_assign_lists(emb, "vec_id", "embedding", n_lists=4)
+    _, cents_b = ivf_assign_lists(
+        emb.repartition(11, F.col("vec_id")), "vec_id", "embedding", n_lists=4
+    )
+    np.testing.assert_array_equal(cents_a, cents_b)
+
+
+def test_profiler_date_probe_partition_invariant(spark):
+    """The date-format probe samples the FIRST `date_sample` rows by
+    __rid: rows 0..999 are clean ISO dates, rows 1000+ are garbage, so a
+    partition-order-dependent sample would sometimes see garbage and
+    report no format. With the RID anchor the probe must detect the
+    format on every layout."""
+    from data_transformation_2022_spark.profiler import profile_table
+
+    pdf = pd.DataFrame(
+        {
+            RID: np.arange(3000, dtype=np.int64),
+            "d": ["2020-01-15"] * 1000 + ["not a date"] * 2000,
+        }
+    )
+    base = spark.createDataFrame(pdf)
+    for frame in (base, base.repartition(17), base.repartition(5, F.col("d"))):
+        prof = profile_table(frame, cluster=False)
+        assert prof.column("d").date_format is not None, frame
