@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ml.coret import CORE_T_RUNNERS
-from .operators.steps import RID, Step, apply_tpath, small_input_mode
+from .operators.steps import RID, Step, apply_step, apply_tpath, small_input_mode
 from .plans.catalog import CORE_T, VLIST
 from .plans.search import Candidate, enumerate_tpaths
 from .profiler import TableProfile, profile_table
@@ -118,6 +118,46 @@ class Executor:
         # sharing a derivation (e.g. the global rank step) materialize
         # it once instead of re-running its jobs per chart
         self._derived_bases: dict[tuple, DataFrame] = {}
+        # sample-side step-prefix memo: many candidates share a leading
+        # rank/nominalize step (e.g. "rank all 100 columns" → select
+        # subset), and re-attaching that subtree to every candidate's
+        # plan pays its Catalyst analysis + codegen again per candidate ×
+        # core-T. Expensive prefixes are localCheckpoint'ed (the sample
+        # is ≤sample_cap rows — materialization is trivial, the saved
+        # re-planning is not), so downstream plans start from a leaf.
+        self._sample_bases: dict[tuple, DataFrame] = {}
+        import threading
+
+        self._sample_lock = threading.Lock()
+
+    def _sample_derived(self, steps) -> DataFrame:
+        """apply_tpath over the cached sample with shared-prefix memo +
+        lineage truncation after rank/nominalize steps. The build is
+        serialized per prefix (double-checked lock): the prefetch pool
+        hits the same leading step from 8 threads at once, and letting
+        each one eagerly checkpoint its own copy of the expensive prefix
+        multiplies the exact cost the memo exists to avoid."""
+        df = self.sample
+        key: tuple = ()
+        for s in steps:
+            key = key + (
+                (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index), tuple(map(str, s.args))),
+            )
+            hit = self._sample_bases.get(key)
+            if hit is not None:
+                df = hit
+                continue
+            with self._sample_lock:
+                hit = self._sample_bases.get(key)
+                if hit is not None:
+                    df = hit
+                    continue
+                with small_input_mode():
+                    df = apply_step(df, s)
+                if s.t in ("rank", "nominalize"):
+                    df = df.localCheckpoint(eager=True)
+                self._sample_bases[key] = df
+        return df
 
     def channel_frame(self, cand: Candidate, coret: str | None) -> pd.DataFrame | None:
         """Execute (tpath, core-T) once on the bounded sample; return the
@@ -128,7 +168,7 @@ class Executor:
         out: pd.DataFrame | None
         try:
             with small_input_mode():  # channel frames are sample-bounded
-                derived = apply_tpath(self.sample, cand.steps)
+                derived = self._sample_derived(cand.steps)
                 if coret is None:
                     out = derived.select(RID, *cand.out_cols).toPandas()
                 else:
@@ -282,6 +322,12 @@ class Executor:
             except Exception:
                 pass
         self._derived_bases.clear()
+        for base in self._sample_bases.values():
+            try:  # best-effort: free the localCheckpoint block storage
+                base.rdd.unpersist()
+            except Exception:
+                pass
+        self._sample_bases.clear()
 
     def _batch_step_frames(
         self, jobs: dict[tuple, tuple[Candidate, str | None]]
@@ -299,7 +345,7 @@ class Executor:
         for i, (key, (cand, _)) in enumerate(jobs.items()):
             try:
                 with small_input_mode():
-                    d = apply_tpath(self.sample, cand.steps)
+                    d = self._sample_derived(cand.steps)
                 sel = d.select(
                     F.col(RID),
                     F.lit(1).alias(f"f{i}__p"),

@@ -49,6 +49,20 @@ def _guard_cols(df: DataFrame) -> list[str] | None:
     return cols
 
 
+# Above this column count the exact-moment aggregate (p(p+1)/2 + p
+# decimal sums in one codegen'd pass) stops being the right plan: janino
+# compile + Catalyst analysis of thousands of decimal expressions takes
+# MINUTES regardless of row count (measured 71 s at p=100 on 120 rows vs
+# 12 s at p=33). Wide fits switch to driver eigen on the deterministic
+# bounded sample — the reference's own semantics (sklearn PCA on a
+# ≤400-row table). At cluster scale a wide exact fit would instead be a
+# treeAggregate Gram accumulation (MLlib RowMatrix); the sample path is
+# the honest in-engine stand-in and is only used for chart frames,
+# which are sample-bounded anyway.
+PCA_EXACT_MAX_COLS = 32
+PCA_WIDE_SAMPLE_CAP = 2000
+
+
 def pca_fit(df: DataFrame) -> dict | None:
     """Fit stage of the distributed PCA: min/max + all first/second
     moments in two codegen'd aggregate passes; the p×p covariance is
@@ -57,11 +71,30 @@ def pca_fit(df: DataFrame) -> dict | None:
     deterministic given the input, so an oracle can recompute the
     projection from the same literals. Sign convention: each
     component's largest-|loading| entry is positive (deterministic
-    across eigensolvers)."""
+    across eigensolvers).
+
+    Inputs wider than PCA_EXACT_MAX_COLS fit on the deterministic
+    bounded sample instead (see the constant's comment); the returned
+    literals and the projection contract are identical either way."""
     cols = _guard_cols(df)
     if cols is None:
         return None
     p = len(cols)
+    if p > PCA_EXACT_MAX_COLS:
+        pdf = (
+            df.select(RID, *cols).orderBy(RID).limit(PCA_WIDE_SAMPLE_CAP).toPandas()
+        )
+        if len(pdf) == 0:
+            return None
+        x = pdf[cols].to_numpy(dtype=float)
+        lo = x.min(axis=0)
+        hi = x.max(axis=0)
+        span = np.where(hi > lo, hi - lo, 1.0)
+        xs = (x - lo) / span
+        mean = xs.mean(axis=0)
+        centered = xs - mean
+        cov = (centered.T @ centered) / len(xs)
+        return _pca_pack(cols, lo, span, mean, cov)
     aggs: list = [F.count(F.lit(1)).alias("n")]
     for i, c in enumerate(cols):
         aggs += [F.min(c).alias(f"mn_{i}"), F.max(c).alias(f"mx_{i}")]
@@ -93,6 +126,13 @@ def pca_fit(df: DataFrame) -> dict | None:
     for i in range(p):
         for j in range(i, p):
             cov[i, j] = cov[j, i] = float(m[f"q_{i}_{j}"]) / n - mean[i] * mean[j]
+    return _pca_pack(cols, lo, span, mean, cov)
+
+
+def _pca_pack(cols: list[str], lo, span, mean, cov) -> dict:
+    """Shared eigen + sign-convention + literal-packing tail of both
+    pca_fit strategies."""
+    p = len(cols)
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1][:2]
     basis = v[:, order]  # p × 2

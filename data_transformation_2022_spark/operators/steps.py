@@ -193,6 +193,71 @@ def _op_exprs(df: DataFrame, step: Step, cols: list[str]) -> tuple[list[Any], li
     raise ValueError(f"unknown basic op t={step.t!r}")
 
 
+# Per-column window ranks put every column's (distinct) WindowSpec in
+# its own Window operator: ranking k columns stacks k operators, and
+# Catalyst analysis + codegen of that tower is what dominates wide
+# chart-frame pipelines (measured ~5 s per 100-column rank plan on a
+# 120-row sample — pure planning). Above this width the rank compiles
+# to a CONSTANT-size plan instead: melt to (rid, cid, value) via stack,
+# ONE window partitioned by cid, pivot back with k conditional
+# aggregates (cheap flat expressions, not operators).
+_STACKED_RANK_MIN_COLS = 8
+
+
+def _apply_rank_stacked(df: DataFrame, step: Step, cols: list[str]) -> DataFrame:
+    """Wide multi-column rank/nominalize as one melt → one window →
+    one pivot-back — identical values to the per-column window form
+    (row_number ties by __rid / dense np.unique codes), O(1) plan
+    operators in the column count."""
+    dense = step.t == "nominalize"
+    defaults = [f"nominal({c})" if dense else f"rank {c}" for c in cols]
+    names = _out_names(step, defaults)
+    dtypes = dict(df.dtypes)
+    bases = {dtypes[c].split("(")[0] for c in cols}
+    if len(bases) == 1:
+        vals = [F.col(c) for c in cols]
+    elif bases <= _NUMERIC_SPARK_TYPES:
+        vals = [F.col(c).cast("double") for c in cols]
+    else:
+        return None  # heterogeneous non-numeric mix: caller falls back
+    long = df.select(
+        F.col(RID),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("cid"), v.alias("value"))
+                    for i, v in enumerate(vals)
+                ]
+            )
+        ).alias("s"),
+    ).select(RID, F.col("s.cid").alias("cid"), F.col("s.value").alias("value"))
+    if dense:
+        w = Window.partitionBy("cid").orderBy("value")
+        r = (F.dense_rank().over(w) - 1).cast("bigint")
+    else:
+        w = Window.partitionBy("cid").orderBy("value", RID)
+        r = F.row_number().over(w).cast("bigint")
+    wide = (
+        long.select(F.col(RID), F.col("cid"), r.alias("r"))
+        .groupBy(RID)
+        .agg(
+            *[
+                F.max(F.when(F.col("cid") == i, F.col("r"))).alias(names[i])
+                for i in range(len(cols))
+            ]
+        )
+    )
+    if step.o_type == "new_table":
+        return wide.select(RID, *names)
+    joined = df.join(wide, RID)
+    if step.o_type == "append":
+        return joined.select(*df.columns, *names)
+    if step.o_type == "replace":
+        remaining = [c for c in df.columns if c not in cols]
+        return joined.select(*remaining, *names)
+    raise ValueError(f"unknown output mode o_type={step.o_type!r}")
+
+
 def _apply_rank_join(df: DataFrame, step: Step, cols: list[str]) -> DataFrame:
     """Scalable rank/nominalize: per column, a bucket-partitioned global
     rank appended in place (functions.order) — one parallel exchange per
@@ -224,13 +289,19 @@ def _apply_rank_join(df: DataFrame, step: Step, cols: list[str]) -> DataFrame:
 def apply_step(df: DataFrame, step: Step) -> DataFrame:
     """Apply one Step: selector → op → rename → output mode."""
     cols = select_input(df, step)
-    if (
-        step.t in ("rank", "nominalize")
-        and RID in df.columns
-        and cols
-        and not _SMALL_INPUT.get()
-    ):
-        return _apply_rank_join(df, step, cols)
+    if step.t in ("rank", "nominalize") and RID in df.columns and cols:
+        # wide multi-rank: constant-size stacked plan in EITHER mode —
+        # k per-column window/bucket operators stop planning long before
+        # they stop executing (see _STACKED_RANK_MIN_COLS). Parallelism
+        # of the stacked form is one reducer per (column), which is the
+        # right trade for wide feature tables; narrow ranks keep the
+        # per-column bucketed path whose single column scales further.
+        if len(cols) >= _STACKED_RANK_MIN_COLS:
+            stacked = _apply_rank_stacked(df, step, cols)
+            if stacked is not None:
+                return stacked
+        if not _SMALL_INPUT.get():
+            return _apply_rank_join(df, step, cols)
     exprs, default_names = _op_exprs(df, step, cols)
     names = _out_names(step, default_names)
     named = [e.alias(n) for e, n in zip(exprs, names)]

@@ -28,6 +28,7 @@ threshold applies to the true row count.
 
 from __future__ import annotations
 
+import math as _math
 import re
 from dataclasses import dataclass, field
 
@@ -48,7 +49,12 @@ DATE_FORMATS = (
     "yyyy-M-d",
     "M-d-yyyy",
     "d-MMM-yyyy",
+    "d MMMM yyyy",
     "MMM d, yyyy",
+    # full month name (reference %B families, utils.py:87-107 — the
+    # googleplaystore "January 7, 2018" / NetflixOriginals
+    # "August 5, 2019" shape)
+    "MMMM d, yyyy",
     "yyyy",
 )
 _YEAR_RE = re.compile(r"^(18|19|20)\d\d$")
@@ -90,6 +96,43 @@ def _base_type(t: str) -> str:
     return t.split("(")[0]
 
 
+def _agg_chunked(
+    df: DataFrame,
+    base_aggs: list,
+    per_col: dict[str, list],
+    chunk_cols: int = 32,
+    workers: int = 4,
+) -> dict:
+    """One wide aggregate, split into ≤chunk_cols column groups run as
+    CONCURRENT jobs when the table is wide. Catalyst analysis + janino
+    compile of a single aggregate grows superlinearly in expression
+    count (a 102-column profile pass measured ~30 s of planning on 120
+    rows); splitting restores linearity, and on columnar sources each
+    chunk's scan prunes to its own columns, so no input byte is read
+    twice. Narrow tables keep the original single job."""
+    cols_list = list(per_col)
+    if len(cols_list) <= chunk_cols:
+        aggs = base_aggs + [a for c in cols_list for a in per_col[c]]
+        return df.agg(*aggs).collect()[0].asDict()
+    from concurrent.futures import ThreadPoolExecutor
+
+    groups = [
+        cols_list[i : i + chunk_cols] for i in range(0, len(cols_list), chunk_cols)
+    ]
+
+    def _run(args) -> dict:
+        i, g = args
+        aggs = (base_aggs if i == 0 else []) + [a for c in g for a in per_col[c]]
+        return df.agg(*aggs).collect()[0].asDict()
+
+    with ThreadPoolExecutor(min(workers, len(groups))) as pool:
+        rows = list(pool.map(_run, enumerate(groups)))
+    merged: dict = {}
+    for r in rows:
+        merged.update(r)
+    return merged
+
+
 def profile_table(
     df: DataFrame,
     nominal_std: float = NOMINAL_STD,
@@ -118,18 +161,22 @@ def profile_table(
     ]
     sketch_cols = numeric_typed if cluster else []
     probs = list(np.linspace(0.0, 1.0, _N_QUANTILES))
-    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    # ONE probs-literal array Column shared by every sketch: building it
+    # per column is _N_QUANTILES py4j round-trips each (~23 s of pure
+    # driver-side expression construction on a 100-column table)
+    probs_arr = F.array(*[F.lit(p) for p in probs])
+    per_col: dict[str, list[F.Column]] = {}
     for c in cols:
-        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__ad"))
-        aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
-        aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
-    for c in sketch_cols:
-        aggs.append(
-            F.percentile_approx(F.col(c), F.array(*[F.lit(p) for p in probs]), 100).alias(
-                f"{c}__q"
+        per_col[c] = [
+            F.approx_count_distinct(F.col(c)).alias(f"{c}__ad"),
+            F.min(F.col(c)).alias(f"{c}__min"),
+            F.max(F.col(c)).alias(f"{c}__max"),
+        ]
+        if c in sketch_cols:
+            per_col[c].append(
+                F.percentile_approx(F.col(c), probs_arr, 100).alias(f"{c}__q")
             )
-        )
-    row = df.agg(*aggs).collect()[0]
+    row = _agg_chunked(df, [F.count(F.lit(1)).alias("__n")], per_col)
     n_rows = row["__n"]
     quantiles: dict[str, list] = {
         c: list(row[f"{c}__q"] or []) for c in sketch_cols
@@ -149,10 +196,14 @@ def profile_table(
     exact: dict[str, int] = {}
     domains: dict[str, list] = {}
     if near_key or small_side:
-        erow = df.agg(
-            *[F.countDistinct(F.col(c)).alias(f"{c}__cd") for c in near_key],
-            *[F.sort_array(F.collect_set(F.col(c))).alias(f"{c}__dom") for c in small_side],
-        ).collect()[0]
+        per_col2: dict[str, list] = {}
+        for c in near_key:
+            per_col2[c] = [F.countDistinct(F.col(c)).alias(f"{c}__cd")]
+        for c in small_side:
+            per_col2[c] = [
+                F.sort_array(F.collect_set(F.col(c))).alias(f"{c}__dom")
+            ]
+        erow = _agg_chunked(df, [], per_col2)
         exact = {c: erow[f"{c}__cd"] for c in near_key}
         for c in small_side:
             dom = list(erow[f"{c}__dom"])
@@ -191,8 +242,15 @@ def profile_table(
             nn = frow[f"{c}__nn"] or 0
             if nn == 0:
                 continue
+            # dominance, not unanimity: the reference types a column
+            # "date" off its FIRST value alone (spreadsheet.py:64-65),
+            # tolerating stragglers in other separators (e.g. Netflix
+            # "October 16. 2019" among "October 16, 2019"). Requiring
+            # every sampled value to parse rejects such columns; ≥95%
+            # keeps the lenient semantics without first-row fragility.
+            need = max(1, _math.ceil(0.95 * nn))
             for i, fmt in enumerate(DATE_FORMATS):
-                if (frow[f"{c}__f{i}"] or 0) == nn:
+                if (frow[f"{c}__f{i}"] or 0) >= need:
                     date_fmt[c] = fmt
                     break
 
