@@ -255,8 +255,21 @@ class Executor:
                 self._derived_base(
                     [s for s in y_cand.steps if s.o_type == "append"]
                 )
-        for base in list(self._derived_bases.values()):
-            base.count()  # materialize the persisted base once
+        # materialize the persisted bases CONCURRENTLY, one level of the
+        # prefix tree at a time: each count is a full-table job (rank/
+        # arithmetic chains over millions of rows), and running them
+        # serially was the single largest block of recommend at sf1
+        # (~18 s of back-to-back scans). Within a level the bases share
+        # no lineage, so parallel counts just pack the executors; across
+        # levels the order guarantees a child reads its parent's persisted
+        # blocks instead of recomputing the parent's chain.
+        by_level: dict[int, list[DataFrame]] = {}
+        for key, base in self._derived_bases.items():
+            by_level.setdefault(len(key), []).append(base)
+        for level in sorted(by_level):
+            group = by_level[level]
+            with ThreadPoolExecutor(min(8, len(group))) as mpool:
+                list(mpool.map(lambda b: b.count(), group))
 
         # group bar jobs by (base, x) and build one combined agg per group
         grouped: dict[tuple, list[tuple[tuple, str, Candidate | None, str]]] = {}
