@@ -91,6 +91,23 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop rows whose bucket (the ``keys`` group) exceeds ``max_bucket``
+    members — as a windowed count over the same keys the downstream
+    self-join shuffles on, so the cap rides the exchange the join needs
+    anyway instead of running the pipeline an extra time for a count."""
+    if max_bucket is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bc") <= max_bucket)
+        .drop("__bc")
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on normalized content: fingerprint → groupBy(hash).
     Shuffles 8-byte keys, not documents. Returns one row per distinct
@@ -139,9 +156,14 @@ def lsh_candidate_pairs(
     many documents are dropped before the self-join (see MAX_BAND_BUCKET
     for the recall contract), so per-bucket output is ≤ max_bucket² and
     total work stays linear in corpus size even when every document is
-    identical. ``None`` disables the cap (exact unbounded form)."""
-    from ..functions.joins import anti_join_hot
+    identical. ``None`` disables the cap (exact unbounded form).
 
+    The cap is a windowed count over the SAME (band, bh) partitioning
+    the self-join shuffles on (the oracle's QUALIFY, verbatim): no
+    extra pipeline execution, no driver count, no broadcast decision —
+    the window's exchange satisfies the join's distribution
+    requirement, and a degenerate bucket costs O(bucket) to count, not
+    O(bucket²) to join."""
     r = k // bands
     band_cols = []
     for b in range(bands):
@@ -152,14 +174,7 @@ def lsh_candidate_pairs(
     banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    if max_bucket is not None:
-        hot = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > max_bucket)
-            .select("band", "bh")
-        )
-        banded = anti_join_hot(banded, hot, ["band", "bh"], label="lsh-band-buckets")
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -398,10 +413,9 @@ def simhash_neardup_pairs(
     single 8-byte fingerprint per document.
 
     ``max_bucket`` drops oversized (band, value) buckets before the
-    self-join — the same worst-case bound and recall contract as
-    lsh_candidate_pairs (see MAX_BAND_BUCKET)."""
-    from ..functions.joins import anti_join_hot
-
+    self-join — the same worst-case bound, recall contract, and
+    windowed-count mechanism as lsh_candidate_pairs (MAX_BAND_BUCKET /
+    ``_cap_buckets``)."""
     width = bits // bands
     fp = simhash(df, id_col, text_col, bits)
     band_cols = [
@@ -416,14 +430,7 @@ def simhash_neardup_pairs(
     banded = fp.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
-    if max_bucket is not None:
-        hot = (
-            banded.groupBy("band", "bv")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > max_bucket)
-            .select("band", "bv")
-        )
-        banded = anti_join_hot(banded, hot, ["band", "bv"], label="simhash-band-buckets")
+    banded = _cap_buckets(banded, ["band", "bv"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
