@@ -132,3 +132,71 @@ def test_m1_reference_main_case(spark):
         "sem_clusters": [],
     }
     _assert_golden("recommend_m1_main.json", s.search(payload))
+
+
+def test_iris_cluster_recovery(spark):
+    """F6: iris with its known 3-class structure. `idx` is blacklisted
+    from transformation inputs (POTENTIAL_IDX), `target` demotes to
+    nominal (3 distinct / 150 rows), the `(cm)` unit suffix forms one
+    name cluster, and k-means on the four features must recover the
+    ground-truth classes with high purity — the reference's ML sanity
+    case (FIXTURES F6)."""
+    import pandas as pd
+
+    from data_transformation_2022_spark.ml.coret import run_kmeans
+    from data_transformation_2022_spark.operators.steps import RID
+    from data_transformation_2022_spark.profiler import profile_table
+    from data_transformation_2022_spark.sources.readers import read_csv, with_rid
+
+    df = with_rid(read_csv(spark, f"{REF}/ZYF1/req0215/iris.csv"))
+    prof = profile_table(df)
+    assert prof.column("target").semantic == "nominal"
+    feat = [c for c in df.columns if "(cm)" in c]
+    assert len(feat) == 4
+    assert any(set(feat) <= set(g) for g in prof.name_clusters)
+
+    labels = run_kmeans(df.select(RID, *feat)).toPandas()
+    truth = df.select(RID, "target").toPandas()
+    merged = labels.merge(truth, on=RID)
+    # majority-vote purity: each k-means cluster maps to its dominant
+    # true class; iris linear k-means lands ~0.89
+    purity = (
+        merged.groupby(merged.columns[1])["target"]
+        .agg(lambda s: s.value_counts().iloc[0])
+        .sum()
+        / len(merged)
+    )
+    assert purity >= 0.80, purity
+
+    s = EngineSession(spark, sample_cap=400)
+    s.ingest_path(f"{REF}/ZYF1/req0215/iris.csv")
+    _assert_golden("recommend_iris.json", s.search({}))
+
+
+def test_population_year_columns(spark):
+    """F7: year-named integer columns (2010..2020) forming dim clusters,
+    Country str key, Region nominal-or-str by the 5%+cap rule."""
+    s, ing = _session(spark, "population.csv")
+    types = {r[0]: r[1] for r in ing["columns"]["body"]}
+    keys = [r[0] for r in ing["columns"]["body"] if r[5] == "T"]
+    assert keys == ["Country"]
+    assert all(types[str(y)] == "int" for y in range(2010, 2021))
+    # the 11 year columns cluster together (Wasserstein dim-match)
+    year_set = {str(y) for y in range(2010, 2021)}
+    assert any(year_set <= set(g) for g in ing["dim_clusters"])
+    _assert_golden("recommend_population.json", s.search({}))
+
+
+def test_no_key_table_synthetic_path(spark):
+    """F8: a table with NO unique column must still profile and search
+    (the reference appends a synthetic defaultindex key,
+    spreadsheet.py:168-177; our engine's __rid plays that role)."""
+    s = EngineSession(spark, sample_cap=400)
+    ret = s.ingest_records(
+        ["grp", "a", "b"],
+        [["xyz"[i % 3], i % 7, (i * 3) % 5] for i in range(60)],
+    )
+    keys = [r[0] for r in ret["columns"]["body"] if r[5] == "T"]
+    assert keys == []  # nothing unique -> no elected key
+    found = s.search({"vlist": ["bar"]})
+    assert len(found["charts"]) >= 1
