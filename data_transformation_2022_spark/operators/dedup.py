@@ -449,6 +449,44 @@ def simhash_neardup_pairs(
     )
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Quality-aware canonical selection: per duplicate cluster keep the
+    document with the HIGHEST ``quality_col`` (ties broken by minimum
+    id) — the production form of the keep-list, where dedup should
+    retain the longest/cleanest copy, not the accidental minimum id.
+
+    ``components`` is (id, component) from ``connected_components``;
+    documents absent from it are singletons (their own component). One
+    left join + one per-component top-1 window — component groups are
+    duplicate clusters, so the window partitions are small by
+    construction (a pathological mega-cluster is bounded upstream by
+    the band-bucket caps). Returns (id_col, component, keep).
+    """
+    from pyspark.sql import Window
+
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    joined = docs.select(id_col, quality_col).join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        F.col(quality_col),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("component"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def contamination_flags(
     corpus: DataFrame,
     bench: DataFrame,

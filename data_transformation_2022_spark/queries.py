@@ -1757,6 +1757,46 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_keep_best",
+    lambda: f"""WITH cc AS ({_CC_SQL}),
+        q AS (SELECT doc_id, LEN({_DD_TOKS.format(t='text')}) AS n_tokens
+              FROM documents),
+        j AS (SELECT q.doc_id,
+                     COALESCE(cc.component, q.doc_id) AS component,
+                     q.n_tokens
+              FROM q LEFT JOIN cc ON cc.doc_id = q.doc_id)
+        SELECT doc_id, component,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY n_tokens DESC, doc_id) = 1 AS keep
+        FROM j""",
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the LONGEST document (token count, ties by min id) instead of
+    the accidental minimum id — the production keep-list (dedup should
+    retain the cleanest copy). MinHash → LSH → connected components →
+    per-cluster top-1 window over the quality key."""
+    from .functions.text import tokens_ws
+    from .operators.dedup import (
+        connected_components,
+        keep_best_per_cluster,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K)
+    comp = connected_components(
+        lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
+    )
+    scored = docs.select(
+        "doc_id", F.size(tokens_ws(F.lower(F.col("text")))).alias("n_tokens")
+    )
+    return keep_best_per_cluster(scored, comp, "doc_id", "n_tokens")
+
+
 _SIMHASH_BITS = 32
 _sh_weights = ",\n".join(
     f"  SUM((h // {2**j}) % 2 * 2 - 1) AS w{j}" for j in range(_SIMHASH_BITS)
@@ -3804,6 +3844,7 @@ _PRIORITY: list[str] = [
     "dedup_keep_list",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",  # hot-set anti-join through anti_join_hot
+    "dedup_keep_best",  # NEW in round 5 (quality-aware canonical pick)
     "pipeline_build_corpus",
     "corpus_boilerplate_scrub",  # hash-keyed thresholded anti-join
     "sim_ivf_full_probe",  # deterministic centroid-fit sample

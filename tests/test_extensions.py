@@ -508,3 +508,30 @@ def test_ivf_index_reuse_and_invalidation(spark, sf_dir, tmp_path):
     ivf_build_index(e, "vec_id", "embedding", path, n_lists=8)
     assert os.path.getmtime(f"{path}/lists/_SUCCESS") > built_at
     assert json.load(open(f"{path}/meta.json"))["n_lists"] == 8
+
+
+def test_keep_best_per_cluster_semantics(spark):
+    """Quality-aware canonical pick: highest quality wins its cluster,
+    ties break to the minimum id, singletons keep themselves."""
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5)], "doc_id long, q long"
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, component long"
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in keep_best_per_cluster(docs, comp, "doc_id", "q").collect()
+    }
+    # cluster 1: ids 1,2,3 — q=30 tie between 2 and 3 -> min id 2 wins
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, False)
+    # 7 is a singleton: its own component, kept
+    assert out[7] == (7, True)
