@@ -379,45 +379,121 @@ def ivf_query_index(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_band_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int = 4,
+    n_planes: int | str = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded random-hyperplane signatures: (id, vec, band, bucket) rows.
+
+    All ``bands × n_planes`` hyperplanes are drawn at once (seeded →
+    reproducible) and applied in ONE matmul per Arrow batch; band b's
+    bucket is the integer formed by its ``n_planes`` sign bits. This is
+    the hyperplane twin of the MinHash banding in
+    ``dedup.lsh_candidate_pairs`` (operators/dedup.py:143): a pair is a
+    candidate iff it collides in ANY band, so ``bands`` controls recall
+    while ``n_planes`` (rows per band) controls bucket size / precision.
+
+    ``n_planes="auto"`` scales rows-per-band with the corpus size (one
+    count job): r = clamp(ceil(log2 n) - 4, 8, 24), keeping the
+    EXPECTED bucket population n / 2^r bounded (~16) as the corpus
+    grows — the fixed-8-plane form has only 256 buckets per band, which
+    at corpus scale means every bucket holds n/256 vectors and the
+    within-bucket join degenerates quadratic."""
+    if n_planes == "auto":
+        import math
+
+        n = df.count()
+        n_planes = min(24, max(8, math.ceil(math.log2(max(n, 2))) - 4))
+    r = int(n_planes)
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(dim_row[0]["d"]) if dim_row else 0
+    planes = np.random.RandomState(seed).normal(size=(dim, bands * r))
+    sc = df.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+    powers = np.power(2.0, np.arange(r))
+
+    @F.pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (mat @ bp.value) > 0  # (batch, bands*r)
+        per_band = np.stack(
+            [(bits[:, b * r : (b + 1) * r] @ powers).astype("int64") for b in range(bands)],
+            axis=1,
+        )
+        return pd.Series(list(per_band))
+
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+    )
+
+
 def lsh_bucket_signatures(
     df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, seed: int = 42
 ) -> DataFrame:
-    """B-bit random-hyperplane signature per vector via a vectorized
-    Pandas UDF (one matmul per Arrow batch). Seeded → reproducible."""
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = int(dim_row[0]["d"]) if dim_row else 0
-    planes = np.random.RandomState(seed).normal(size=(dim, n_planes))
-    sc = df.sparkSession.sparkContext
-    bp = sc.broadcast(planes)
-    powers = np.power(2.0, np.arange(n_planes))
-
-    @F.pandas_udf("bigint")
-    def bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
-        bits = (mat @ bp.value) > 0
-        return pd.Series((bits @ powers).astype("int64"))
-
-    return df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket"))
+    """Single-band hyperplane signature per vector (legacy shape): the
+    bands=1 special case of ``lsh_band_signatures`` with the band column
+    dropped. Kept for signature inspection; pair generation should use
+    the banded form."""
+    return lsh_band_signatures(df, id_col, vec_col, bands=1, n_planes=n_planes, seed=seed).drop(
+        "band"
+    )
 
 
 def lsh_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, n_planes: int = 8
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int | str = 8,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Approximate near-dup pairs: bucket by hyperplane signature, then
-    exact cosine only within buckets — the 100 TB path (the bucket join
-    replaces the all-pairs cross join)."""
+    """Approximate near-dup pairs: banded hyperplane buckets, then exact
+    cosine only within buckets — the 100 TB path (the bucket join
+    replaces the all-pairs cross join; collisions in ANY band make a
+    candidate, so recall is 1-(1-p^r)^bands instead of one band's p^r).
+
+    ``max_bucket`` (default ``dedup.MAX_BAND_BUCKET``) bounds the worst
+    case exactly as in the text LSH: a (band, bucket) group larger than
+    the cap is dropped before the self-join — via a windowed count over
+    the same keys the join shuffles on, so the cap rides the join's own
+    exchange. A degenerate embedding set (many identical vectors — the
+    case exact dedup exists for) therefore costs O(n) to count and emits
+    nothing, instead of collapsing into one bucket's O(n²) self-join.
+    ``max_bucket=None`` keeps the cap at the shared default; pass a
+    large int to loosen it explicitly."""
+    from .dedup import MAX_BAND_BUCKET, _cap_buckets
+
+    if max_bucket is None:
+        max_bucket = MAX_BAND_BUCKET
     # norms are per-ROW quantities: compute once before the bucket join
     # (inside the join they would fold the 128-element decimal sum once
     # per PAIR per side — bucket_size× redundant work)
-    sigs = lsh_bucket_signatures(df, id_col, vec_col, n_planes).withColumn(
+    sigs = lsh_band_signatures(df, id_col, vec_col, bands, n_planes, seed).withColumn(
         "nrm", norm_exact(F.col(vec_col))
     )
+    sigs = _cap_buckets(sigs, ["band", "bucket"], max_bucket)
     a = sigs.withColumnsRenamed({id_col: "id_a", vec_col: "va", "nrm": "na"})
     b = sigs.withColumnsRenamed({id_col: "id_b", vec_col: "vb", "nrm": "nb"})
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    # dedupe band collisions BEFORE the cosine: vectors ride the pair row
+    # (functionally determined by the ids), so one exchange on the id
+    # pair replaces up to `bands`× redundant 128-element decimal folds
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     sims = pairs.select(
         "id_a",
         "id_b",
         F.round(dot_exact(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
-    return sims.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine").distinct()
+    return sims.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

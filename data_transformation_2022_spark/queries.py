@@ -2386,12 +2386,15 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_lsh_neardup", None, tags=("similarity", "approx"))
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate near-dup via random-hyperplane LSH buckets (recall<1
-    by design → rows-only check; exactness is covered by emb_neardup_pairs)."""
+    """Approximate near-dup via BANDED random-hyperplane LSH (4 bands ×
+    8 planes; candidate = collision in any band; hot buckets capped
+    before the self-join exactly like the text LSH). Recall < 1 by
+    design → rows-only check; exactness is covered by emb_neardup_pairs,
+    precision 1.0 + a recall floor by test_invariants."""
     from .operators.similarity import lsh_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(e, "vec_id", "embedding", threshold=0.4, n_planes=8)
+    return lsh_neardup_pairs(e, "vec_id", "embedding", threshold=0.4, n_planes=8, bands=4)
 
 
 # ---------------------------------------------------------------------------

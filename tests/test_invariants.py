@@ -239,11 +239,12 @@ def test_sim_ivf_persisted_recall_and_live_equality(spark, sf_dir, exact_topk):
 
 
 def test_sim_lsh_neardup_subset_of_exact(spark, sf_dir):
-    """Single-band hyperplane LSH: every emitted pair must be a TRUE
+    """Banded hyperplane LSH: every emitted pair must be a TRUE
     near-dup (precision 1.0 — exact numpy cosine recheck of every
-    emitted pair); recall at the registered 8-plane/0.4-threshold
-    operating point is low by design (collision prob (1-θ/π)^8) — gate
-    the measured floor on the anchor's deterministic slice."""
+    emitted pair); recall at the registered 4-band × 8-plane /
+    0.4-threshold operating point is low by design (collision prob
+    1-(1-(1-θ/π)^8)^4) — gate the measured floor on the anchor's
+    deterministic slice."""
     from data_transformation_2022_spark.sources.readers import load_table
 
     lsh = {(r["id_a"], r["id_b"]) for r in _run(spark, sf_dir, "sim_lsh_neardup")}

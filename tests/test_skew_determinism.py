@@ -78,6 +78,68 @@ def test_lsh_cap_is_noop_on_real_corpus(spark, sf_dir):
     assert capped == uncapped and capped
 
 
+def test_emb_lsh_identical_vectors_bounded(spark):
+    """10k identical embedding vectors: every (band, bucket) group holds
+    all 10k rows -> over the cap -> dropped before the self-join; the
+    banded join emits nothing (bounded O(n) count work) instead of
+    collapsing one bucket into a ~50M-pair self-join. Twin of
+    test_lsh_identical_docs_bounded for the embedding path."""
+    from data_transformation_2022_spark.operators.similarity import lsh_neardup_pairs
+
+    vec = [float(j % 7) - 3.0 for j in range(16)]
+    df = spark.range(10_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in vec]).alias("embedding"),
+    )
+    assert lsh_neardup_pairs(df, "vec_id", "embedding", threshold=0.9).count() == 0
+
+
+def test_emb_lsh_cap_is_noop_on_real_corpus(spark, sf_dir):
+    """No (band, bucket) group in the real embeddings table approaches
+    the cap: capped (default) and uncapped pair sets are identical — the
+    bound changes worst-case complexity, not results."""
+    from data_transformation_2022_spark.operators.similarity import lsh_neardup_pairs
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(threshold=0.4, n_planes=8, bands=4)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(emb, "vec_id", "embedding", **kw).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            emb, "vec_id", "embedding", max_bucket=1 << 60, **kw
+        ).collect()
+    }
+    assert capped == uncapped and capped
+
+
+def test_emb_lsh_auto_planes_scale_with_corpus(spark):
+    """n_planes='auto' widens rows-per-band with corpus size so the
+    expected bucket population stays bounded (the 256-bucket ceiling of
+    a fixed 8-plane signature is the scale hazard)."""
+    from data_transformation_2022_spark.operators.similarity import lsh_band_signatures
+
+    rs = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(5000, dtype=np.int64),
+            "embedding": list(rs.normal(size=(5000, 8))),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sigs = lsh_band_signatures(df, "vec_id", "embedding", bands=2, n_planes="auto")
+    # ceil(log2(5000)) - 4 = 9 planes -> bucket values exceed the 8-bit
+    # range 0..255 somewhere, and per-(band,bucket) population is small
+    assert sigs.agg(F.max("bucket")).collect()[0][0] > 255
+    top = (
+        sigs.groupBy("band", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert top < 200
+
+
 def test_scrub_hot_set_broadcast_thresholded(spark):
     """anti_join_hot honors spark.sql.autoBroadcastJoinThreshold: under a
     normal threshold the hot set is broadcast (BroadcastHashJoin LeftAnti);
