@@ -29,11 +29,16 @@ def resample_ffill(
 
     1. last observation per (key, bucket) — deterministic via a
        (ts, tie) descending row_number;
-    2. dense (key × bucket) grid from the observed global range —
-       ``sequence``-generated, no driver collect;
+    2. dense per-key grid spanning [key_min, key_max] — one groupBy for
+       the per-key bounds, then ``sequence``-generated buckets, no
+       driver collect. The grid is bounded by each key's OWN lifetime:
+       a key alive one day contributes one row even when another key
+       spans years (the global-range crossJoin form generated
+       keys × global_buckets dead rows — on a multi-year 100 TB event
+       table that is orders of magnitude of never-filled grid);
     3. forward fill with ``last(value, ignorenulls=True)`` over the
-       per-key ordered window. Buckets before a key's first observation
-       stay NULL (nothing to fill from), matching SQL semantics.
+       per-key ordered window. Every emitted bucket has an observation
+       at or before it, so no NULLs survive the fill.
     """
     day = F.date_trunc(unit, F.col(ts_col)).cast("date")
     w_last = Window.partitionBy(key_col, "bucket").orderBy(
@@ -45,11 +50,10 @@ def resample_ffill(
         .filter(F.col("__rn") == 1)
         .select(key_col, "bucket", value_col)
     )
-    bounds = last_per_bucket.agg(
+    bounds = last_per_bucket.groupBy(key_col).agg(
         F.min("bucket").alias("d0"), F.max("bucket").alias("d1")
     )
-    keys = events.select(key_col).distinct()
-    grid = keys.crossJoin(bounds).select(
+    grid = bounds.select(
         key_col, F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("bucket")
     )
     joined = grid.join(last_per_bucket, [key_col, "bucket"], "left")

@@ -3301,10 +3301,11 @@ def q_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM events
        ),
        last_daily AS (SELECT user_id, bucket, value FROM daily WHERE rn = 1),
-       b AS (SELECT MIN(bucket) AS d0, MAX(bucket) AS d1 FROM last_daily),
-       grid AS (SELECT u.user_id, CAST(g.g AS DATE) AS bucket
-                FROM (SELECT DISTINCT user_id FROM events) u,
-                     (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS g FROM b) g),
+       b AS (SELECT user_id, MIN(bucket) AS d0, MAX(bucket) AS d1
+             FROM last_daily GROUP BY user_id),
+       grid AS (SELECT user_id,
+                       CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS bucket
+                FROM b),
        f AS (SELECT g.user_id, g.bucket, l.value
              FROM grid g LEFT JOIN last_daily l USING (user_id, bucket))
        SELECT user_id, CAST(bucket AS VARCHAR) AS day,
@@ -3316,8 +3317,10 @@ def q_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar resampling + forward fill per user (the hypertable
-    gap-fill op): irregular events → dense daily grid carrying the last
-    observed value forward. Every stage partitions by user."""
+    gap-fill op): irregular events → dense daily grid spanning each
+    user's OWN [first, last] observation, carrying the last observed
+    value forward. Every stage partitions by user; grid rows are
+    bounded by per-key lifetimes, not the global date range."""
     from .operators.timeseries import resample_ffill
 
     e = _events(spark, sf_dir)

@@ -140,6 +140,30 @@ def test_emb_lsh_auto_planes_scale_with_corpus(spark):
     assert top < 200
 
 
+def test_resample_grid_bounded_by_key_lifetimes(spark):
+    """One key spanning 3 years next to 2000 keys alive a single day:
+    the resample grid must be sum-of-key-lifetimes (1097 + 2000 rows),
+    NOT keys x global-range (2001 x 1097 ~ 2.2M dead rows), and the
+    gap-filled long key must carry its first value forward."""
+    from data_transformation_2022_spark.operators.timeseries import resample_ffill
+
+    rows = [(0, "2020-01-01 00:00:00", 1.0, 1), (0, "2023-01-01 00:00:00", 2.0, 2)]
+    rows += [(k, "2021-06-15 12:00:00", float(k), 10 + k) for k in range(1, 2001)]
+    events = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_ffill(events, "user_id", "ts", "value", tie_col="event_id")
+    assert out.count() == 1097 + 2000
+    long_key = {
+        str(r["bucket"]): r["value_ffill"]
+        for r in out.filter(F.col("user_id") == 0).collect()
+    }
+    assert long_key["2020-01-01"] == 1.0
+    assert long_key["2022-12-31"] == 1.0
+    assert long_key["2023-01-01"] == 2.0
+    assert out.filter(F.col("value_ffill").isNull()).count() == 0
+
+
 def test_scrub_hot_set_broadcast_thresholded(spark):
     """anti_join_hot honors spark.sql.autoBroadcastJoinThreshold: under a
     normal threshold the hot set is broadcast (BroadcastHashJoin LeftAnti);
