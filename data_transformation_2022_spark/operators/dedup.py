@@ -461,14 +461,18 @@ def keep_best_per_cluster(
     retain the longest/cleanest copy, not the accidental minimum id.
 
     ``components`` is (id, component) from ``connected_components``;
-    documents absent from it are singletons (their own component). One
-    left join + one per-component top-1 window — component groups are
-    duplicate clusters, so the window partitions are small by
-    construction (a pathological mega-cluster is bounded upstream by
-    the band-bucket caps). Returns (id_col, component, keep).
-    """
-    from pyspark.sql import Window
+    documents absent from it are singletons (their own component).
+    Returns (id_col, component, keep).
 
+    The canonical pick is a ``max_by(id, struct(quality, -id))``
+    aggregation, NOT a per-component row_number window: the aggregate
+    is map-side combinable (each task reduces its slice of a component
+    to one candidate before the shuffle), so a pathological mega-cluster
+    — transitive chaining can weld many capped band buckets into one
+    component — costs O(rows) streaming work instead of a single-reducer
+    sort of the whole component. The winner rejoins on the component key
+    (one row per component on the build side; AQE's skew-join split
+    handles a hot component on the probe side)."""
     comp = components.select(
         F.col("id").alias(id_col), F.col("component")
     )
@@ -477,13 +481,16 @@ def keep_best_per_cluster(
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
         F.col(quality_col),
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col(quality_col).desc(), F.col(id_col)
+    best = joined.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(quality_col), (-F.col(id_col)).alias("__neg_id")),
+        ).alias("__best_id")
     )
-    return joined.select(
+    return joined.join(best, "component").select(
         F.col(id_col),
         F.col("component"),
-        (F.row_number().over(w) == 1).alias("keep"),
+        (F.col(id_col) == F.col("__best_id")).alias("keep"),
     )
 
 

@@ -140,6 +140,30 @@ def test_emb_lsh_auto_planes_scale_with_corpus(spark):
     assert top < 200
 
 
+def test_keep_best_mega_cluster_bounded(spark):
+    """One 50k-row duplicate cluster: the canonical pick must complete
+    bounded (map-side-combinable max_by, not a single-reducer window
+    sort of the whole component) and keep exactly the highest-quality
+    member, ties broken by minimum id."""
+    from data_transformation_2022_spark.operators.dedup import keep_best_per_cluster
+
+    n = 50_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # two docs tie at the top quality (9): ids 9 and n-1... make ties
+        (F.col("id") % 10).cast("int").alias("quality"),
+    )
+    comp = spark.range(n).select(F.col("id"), F.lit(0).alias("component"))
+    out = keep_best_per_cluster(docs, comp, "doc_id", "quality").persist()
+    try:
+        assert out.count() == n
+        kept = out.filter(F.col("keep")).collect()
+        # max quality 9; min id among quality==9 rows is 9
+        assert [(r["doc_id"], r["component"]) for r in kept] == [(9, 0)]
+    finally:
+        out.unpersist()
+
+
 def test_resample_grid_bounded_by_key_lifetimes(spark):
     """One key spanning 3 years next to 2000 keys alive a single day:
     the resample grid must be sum-of-key-lifetimes (1097 + 2000 rows),
