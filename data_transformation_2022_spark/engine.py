@@ -140,8 +140,17 @@ class Executor:
         df = self.sample
         key: tuple = ()
         for s in steps:
+            # args are keyed by (type, repr): distinct values with equal
+            # str() — 1 vs '1', True vs 'True' — must not share a memo slot
             key = key + (
-                (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index), tuple(map(str, s.args))),
+                (
+                    s.t,
+                    s.i_type,
+                    tuple(s.i),
+                    s.o_type,
+                    tuple(s.index),
+                    tuple((type(a).__name__, str(a)) for a in s.args),
+                ),
             )
             hit = self._sample_bases.get(key)
             if hit is not None:
@@ -170,7 +179,11 @@ class Executor:
             with small_input_mode():  # channel frames are sample-bounded
                 derived = self._sample_derived(cand.steps)
                 if coret is None:
-                    out = derived.select(RID, *cand.out_cols).toPandas()
+                    # explicit RID order: tpaths ending in rank/nominalize
+                    # come back in window-sort (or stacked-groupBy hash)
+                    # order, and the batch path sorts by RID — both memo
+                    # fillers must yield the same row order
+                    out = derived.select(RID, *cand.out_cols).orderBy(RID).toPandas()
                 else:
                     if NOT_CALCU_DMT and any(
                         s.t in ("sum", "sub", "mul", "div") for s in cand.steps
@@ -405,6 +418,12 @@ class Executor:
                 for c, t in zip(out_cols, col_types):
                     want = pd_by_spark.get(t)
                     if want is not None and str(fr[c].dtype) != want:
+                        # astype('bool') on an object column silently maps
+                        # None->False / NaN->True instead of raising like
+                        # the int casts do — genuine nulls must stay None
+                        # (the solo toPandas path keeps them)
+                        if want == "bool" and fr[c].isna().any():
+                            continue
                         try:
                             fr[c] = fr[c].astype(want)
                         except (ValueError, TypeError):

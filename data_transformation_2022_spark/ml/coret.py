@@ -87,12 +87,22 @@ def pca_fit(df: DataFrame) -> dict | None:
         if len(pdf) == 0:
             return None
         x = pdf[cols].to_numpy(dtype=float)
-        lo = x.min(axis=0)
-        hi = x.max(axis=0)
+        # null cells arrive as NaN: nan-aware bounds + zero-contribution
+        # moments mirror the exact path's null-skipping Spark SUMs over a
+        # count(*) denominator — a single null must not poison lo/span/cov
+        # (plain min/cov would NaN the whole fit and drop the chart)
+        import warnings
+
+        with warnings.catch_warnings():
+            # an all-NaN column yields NaN bounds (fit fails like the
+            # exact path's null min/max) — silence the all-NaN warning
+            warnings.simplefilter("ignore", RuntimeWarning)
+            lo = np.nanmin(x, axis=0)
+            hi = np.nanmax(x, axis=0)
         span = np.where(hi > lo, hi - lo, 1.0)
         xs = (x - lo) / span
-        mean = xs.mean(axis=0)
-        centered = xs - mean
+        mean = np.nansum(xs, axis=0) / len(xs)
+        centered = np.nan_to_num(xs - mean, nan=0.0)
         cov = (centered.T @ centered) / len(xs)
         return _pca_pack(cols, lo, span, mean, cov)
     aggs: list = [F.count(F.lit(1)).alias("n")]

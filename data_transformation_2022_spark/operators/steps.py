@@ -216,10 +216,14 @@ def _apply_rank_stacked(df: DataFrame, step: Step, cols: list[str]) -> DataFrame
     bases = {dtypes[c].split("(")[0] for c in cols}
     if len(bases) == 1:
         vals = [F.col(c) for c in cols]
-    elif bases <= _NUMERIC_SPARK_TYPES:
+    elif bases <= _NUMERIC_SPARK_TYPES and not (bases & {"bigint", "decimal"}):
+        # a heterogeneous mix is unified through double — but bigints
+        # above 2^53 and high-precision decimals can collapse to equal
+        # doubles, changing rank/nominalize vs the native-type per-column
+        # paths; those mixes fall back instead
         vals = [F.col(c).cast("double") for c in cols]
     else:
-        return None  # heterogeneous non-numeric mix: caller falls back
+        return None  # heterogeneous non-double-safe mix: caller falls back
     long = df.select(
         F.col(RID),
         F.explode(

@@ -160,3 +160,24 @@ def test_min_numeric_cols_guard(spark):
     df = spark.createDataFrame(pdf)
     assert run_pca(df) is None  # >2 numeric cols required (Tengine.py:217-220)
     assert run_kmeans(df) is None
+
+
+def test_wide_pca_tolerates_null_cells(spark):
+    """Wide (>32-col) PCA fits on a driver sample; a single null numeric
+    cell must not NaN-poison lo/span/cov and drop the chart (the exact
+    narrow path's Spark aggregates skip nulls)."""
+    import numpy as np
+
+    from data_transformation_2022_spark.ml.coret import pca_fit
+
+    rs = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        rs.normal(size=(60, 40)), columns=[f"c{i}" for i in range(40)]
+    )
+    pdf.iloc[3, 7] = np.nan
+    pdf.insert(0, RID, range(60))
+    fit = pca_fit(spark.createDataFrame(pdf))
+    assert fit is not None
+    flat = np.array(fit["lo"] + fit["span"] + fit["mean"]) 
+    assert np.isfinite(flat).all()
+    assert np.isfinite(np.array(fit["basis"], dtype=float)).all()

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -100,3 +101,25 @@ def test_tpath_fold_and_serialization(df):
     out2 = apply_tpath(df, [step_from_dict(s.to_dict()) for s in steps])
     assert rows(out1) == rows(out2)
     assert set(out1.columns) == {RID, "a", "s", "rs"}
+
+
+def test_stacked_rank_refuses_bigint_mix(spark):
+    """A heterogeneous mix containing bigint must NOT be unified through
+    double (values above 2^53 collapse); the stacked form declines and
+    the per-column native-type path ranks them distinctly."""
+    from data_transformation_2022_spark.operators.steps import _apply_rank_stacked
+
+    big = 2**53
+    pdf = pd.DataFrame(
+        {
+            RID: [0, 1, 2],
+            "h": np.array([big + 1, big + 2, big + 3], dtype=np.int64),
+            "i": np.array([3, 1, 2], dtype=np.int32),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    step = Step(t="rank", i_type="==", i=["h", "i"], index=["rh", "ri"], o_type="new_table")
+    assert _apply_rank_stacked(df, step, ["h", "i"]) is None
+    out = apply_step(df, step)
+    got = {r[RID]: (r["rh"], r["ri"]) for r in rows(out)}
+    assert got == {0: (1, 3), 1: (2, 1), 2: (3, 2)}
