@@ -78,6 +78,52 @@ def test_lsh_cap_is_noop_on_real_corpus(spark, sf_dir):
     assert capped == uncapped and capped
 
 
+def test_ngram_identical_docs_bounded(spark):
+    """10k identical docs through the stop-shingle (max_df) path: every
+    shingle's document frequency blows past the cap, so the whole
+    shingle universe is dropped before the self-join — O(n) work and
+    zero pairs instead of a 50M-row hot-shingle join."""
+    from data_transformation_2022_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _identical_docs(spark, 10_000), "doc_id", "text", n=3, threshold=0.0, max_df=100
+    )
+    assert pairs.count() == 0
+
+
+def test_ngram_jaccard_skew_oracle_equality(spark):
+    """End-to-end oracle equality of the capped path ON A SKEWED CORPUS:
+    60 docs share a viral phrase (df=60 > cap=10, shingles dropped) next
+    to genuine near-dup pairs whose private shingles survive. The Spark
+    operator and the registered DuckDB oracle must agree exactly."""
+    import duckdb
+
+    from data_transformation_2022_spark.operators.dedup import ngram_jaccard_pairs
+    from data_transformation_2022_spark.queries import _JACCARD_MAX_DF, _JACCARD_SQL
+
+    viral = "breaking news wire update flash alert tonight"
+    rows = [(i, f"{viral} singleton tail token{i} end{i}") for i in range(60)]
+    for j in range(10):
+        body = f"private cluster{j} body words shared segment alpha beta gamma"
+        rows.append((100 + 2 * j, f"{body} left variant"))
+        rows.append((101 + 2 * j, f"{body} right variant"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.005, max_df=_JACCARD_MAX_DF
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {(a, b, round(j, 9)) for a, b, j in con.execute(_JACCARD_SQL).fetchall()}
+    con.close()
+    assert got == want
+    assert want, "skewed corpus must still yield surviving near-dup pairs"
+    assert all(a >= 100 for a, _, _ in want), "viral-only pairs must be capped away"
+
+
 def test_emb_lsh_identical_vectors_bounded(spark):
     """10k identical embedding vectors: every (band, bucket) group holds
     all 10k rows -> over the cap -> dropped before the self-join; the
