@@ -118,6 +118,7 @@ class Executor:
         # sharing a derivation (e.g. the global rank step) materialize
         # it once instead of re-running its jobs per chart
         self._derived_bases: dict[tuple, DataFrame] = {}
+        self._persisted_base_keys: set[tuple] = set()
         # sample-side step-prefix memo: many candidates share a leading
         # rank/nominalize step (e.g. "rank all 100 columns" → select
         # subset), and re-attaching that subtree to every candidate's
@@ -278,6 +279,8 @@ class Executor:
         # blocks instead of recomputing the parent's chain.
         by_level: dict[int, list[DataFrame]] = {}
         for key, base in self._derived_bases.items():
+            if key not in self._persisted_base_keys:
+                continue  # lazy projection: nothing to materialize
             by_level.setdefault(len(key), []).append(base)
         for level in sorted(by_level):
             group = by_level[level]
@@ -453,10 +456,19 @@ class Executor:
             list(pool.map(_one_group, range(0, len(pieces), CHUNK)))
 
     def _derived_base(self, derive: list[Step]) -> DataFrame:
-        """Persisted derived table for an append-step chain, memoized on
-        the FULL chain key but built from the longest shared prefix —
-        sibling paths like (rank, sub) / (rank, div) / (rank, mul) share
-        one cached rank table instead of re-running the expensive rank."""
+        """Derived table for an append-step chain, memoized on the FULL
+        chain key but built from the longest shared prefix — sibling
+        paths like (rank, sub) / (rank, div) / (rank, mul) share one
+        cached rank table instead of re-running the expensive rank.
+
+        Only chains whose LAST step is expensive (rank/nominalize — a
+        full-table shuffle) are persisted; arithmetic append steps
+        (sum/sub/mul/div) are narrow per-row expressions, so their
+        "table" stays a lazy projection over the persisted parent —
+        persisting those too re-materialized the whole table once per
+        arithmetic variant (~3 extra full 6M-row writes per recommend
+        at sf1) to cache what codegen computes for free in the
+        consuming aggregate's scan."""
         if not derive:
             return self.df
         key = tuple(
@@ -464,7 +476,11 @@ class Executor:
         )
         if key not in self._derived_bases:
             parent = self._derived_base(derive[:-1])
-            self._derived_bases[key] = apply_tpath(parent, derive[-1:]).persist()
+            child = apply_tpath(parent, derive[-1:])
+            if derive[-1].t in ("rank", "nominalize"):
+                child = child.persist()
+                self._persisted_base_keys.add(key)
+            self._derived_bases[key] = child
         return self._derived_bases[key]
 
 

@@ -333,6 +333,65 @@ def profile_table(
 
 
 # ---------------------------------------------------------------------------
+# profile cache: a TableProfile is a pure function of the backing files
+# ---------------------------------------------------------------------------
+
+_PROFILE_CACHE: dict[str, TableProfile] = {}
+_PROFILE_CACHE_MAX = 64
+
+
+def profile_table_cached(
+    df: DataFrame, key_frame: DataFrame | None = None, **kwargs
+) -> TableProfile:
+    """File-signature-keyed memo around ``profile_table``: the profile
+    is fully determined by (a) the files backing the scan — size+mtime,
+    the same invalidation key the persisted IVF index uses, so an
+    in-place rewrite invalidates — (b) the frame's logical plan shape
+    (a FILTERED read of the same files must not hit the raw table's
+    profile; expression ids are normalized out so two reads of the same
+    table DO share a key), and (c) the profiling parameters. Serving
+    calls re-profile an unchanged table on every request otherwise —
+    at sf1 that is a multi-second full-scan aggregate pass per call.
+
+    Frames that are not file-backed (no inputFiles, or unreadable file
+    status) fall through to a direct, uncached profile. A rid-ingested
+    table is materialized (localCheckpoint) and so carries NO file
+    lineage — pass the raw scan as ``key_frame`` in that case; doing so
+    asserts ``df`` is a deterministic ingest of ``key_frame`` (the
+    frame's own column list still enters the key, so the rid-augmented
+    and raw profiles of one table don't collide).
+
+    The returned profile is SHARED across cache hits: callers that
+    mutate it (e.g. the API's user-confirmed cluster overrides) must
+    profile uncached or copy first."""
+    import json as _json
+    import re as _re
+
+    from .sources.fs import input_file_signature
+
+    src = key_frame if key_frame is not None else df
+    sig = input_file_signature(src)
+    if not sig or any(s[1] is None for s in sig):
+        return profile_table(df, **kwargs)
+    try:
+        plan = src._jdf.queryExecution().logical().toString()
+    except Exception:
+        return profile_table(df, **kwargs)
+    plan = _re.sub(r"#\d+L?", "#", plan)
+    key = _json.dumps(
+        [sig, plan, sorted(df.columns), sorted(kwargs.items())], default=str
+    )
+    hit = _PROFILE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tp = profile_table(df, **kwargs)
+    if len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
+        _PROFILE_CACHE.pop(next(iter(_PROFILE_CACHE)))
+    _PROFILE_CACHE[key] = tp
+    return tp
+
+
+# ---------------------------------------------------------------------------
 # distribution clustering: quantile-sketch Wasserstein + mini DBSCAN
 # ---------------------------------------------------------------------------
 

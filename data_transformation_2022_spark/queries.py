@@ -2268,9 +2268,20 @@ def q_engine_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
 
     from .engine import recommend
+    from .profiler import profile_table_cached
+
+    from .sources.readers import read_parquet
 
     li = _t(spark, sf_dir, "lineitem", rid=True)
-    res = recommend(li, dm_ts=["pca", "kmeans"], sample_cap=500)
+    # the profile is a pure function of the parquet files backing the
+    # table: serving calls reuse it (file-signature invalidated) instead
+    # of re-running the full-scan aggregate passes per request. The rid
+    # ingest is materialized (no file lineage), so the raw scan supplies
+    # the signature key.
+    prof = profile_table_cached(
+        li, key_frame=read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    )
+    res = recommend(li, profile=prof, dm_ts=["pca", "kmeans"], sample_cap=500)
     rows = [
         (
             c.chart_type,

@@ -186,3 +186,24 @@ def test_exact_quantile_grid_empty_and_constant(spark):
     grid = exact_quantile_grid(df, ["e", "k"], probs)
     assert grid["e"] == []
     assert grid["k"] == [3.5, 3.5, 3.5]
+
+
+def test_profile_cache_keyed_on_files_and_plan(spark, tmp_path):
+    """profile_table_cached: two reads of the same files share one
+    profile; a filtered read of the same files must NOT hit the raw
+    table's entry; rewriting the files invalidates."""
+    from data_transformation_2022_spark.profiler import profile_table_cached
+
+    path = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr("id", "id % 5 AS g").write.parquet(path)
+    a = profile_table_cached(spark.read.parquet(path), cluster=False)
+    b = profile_table_cached(spark.read.parquet(path), cluster=False)
+    assert a is b
+    assert a.n_rows == 100
+    filt = profile_table_cached(
+        spark.read.parquet(path).filter("g = 1"), cluster=False
+    )
+    assert filt is not a and filt.n_rows == 20
+    spark.range(50).selectExpr("id", "id % 5 AS g").write.mode("overwrite").parquet(path)
+    c = profile_table_cached(spark.read.parquet(path), cluster=False)
+    assert c is not a and c.n_rows == 50
