@@ -3837,77 +3837,76 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The correctness driver attests the first 50 registry entries per round.
-# Rounds 1-4 together attested every exact-oracle query at least once
-# (union coverage 120/120). The round-5 prefix leads with the queries
-# whose code or oracle changed this round ("attested" means attested
-# for the code that ships): LSH/SimHash band-bucket caps (mirrored as
-# QUALIFY in the oracles), hash-keyed thresholded boilerplate anti-join,
-# deterministic bounded samples (IVF centroid fit, date probe), the
-# size/mtime IVF index signature, source-listing-keyed streaming sink,
-# full-month date formats + dominance detection, chunked profiler
-# aggregates, and the wide-input PCA/rank strategy additions (whose
-# narrow attested paths are unchanged but live in edited modules). It
-# backfills with every remaining query whose last driver row is r01/r02,
-# then r03 rows from the touched modules (steps arithmetic/selectors,
-# profiler outliers). Everything not listed keeps registration order
-# after the prefix.
+# Rounds 1-5 together attested every exact-oracle query at least once
+# (union coverage 120/120; after r5 every exact query's last attestation
+# is r3 or newer). The round-6 prefix leads with the queries whose code
+# or oracle changed this round ("attested" means attested for the code
+# that ships): the per-key resample grid (operator AND oracle changed),
+# the max_by canonical pick, the banded+capped embedding LSH module
+# (every exact query in similarity.py rides the edited file), the
+# stacked-rank bigint/decimal fallback and wide-PCA NaN handling, and
+# the profiler's cached-profile entry path. It then backfills ALL 33
+# remaining r03-stale exact rows (after r5 nothing older exists except
+# the rows-only scoring_scagnostics, which has no oracle to attest),
+# and fills the last slots with r04 rows from this round's edited
+# modules (dedup signatures, streaming twins, engine-adjacent scoring
+# whose tie order the solo-frame RID sort touches). Everything not
+# listed keeps registration order after the prefix.
 
 _PRIORITY: list[str] = [
-    # --- code or oracle changed in round 5 ---
-    # band-bucket caps landed in both engines (QUALIFY in the oracles):
-    "profile_wasserstein",  # NaN guard + Decimal-safe pscale
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_keep_list",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",  # hot-set anti-join through anti_join_hot
-    "dedup_keep_best",  # NEW in round 5 (quality-aware canonical pick)
-    "pipeline_build_corpus",
-    "corpus_boilerplate_scrub",  # hash-keyed thresholded anti-join
-    "sim_ivf_full_probe",  # deterministic centroid-fit sample
-    "corpus_decontaminate",  # dedup.py edited this round (r03-stale)
-    "stream_sink_parquet",  # sink keyed on source file listing
-    "dates_multi_format_parse",  # MMMM formats + 95% dominance rule
-    "profile_column_stats",  # chunked wide aggregates
-    "profile_key_detection",
-    "coret_pca",  # wide-fit path added (narrow exact path unchanged)
-    "basic_rank",  # stacked wide-rank path added (narrow unchanged)
-    "basic_nominalize",
-    # --- stalest driver attestations (r01/r02) ---
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "coret_kmeans",
-    "coret_lida",
-    "corpus_language_stats",
-    "dedup_exact_text",
-    "emb_centroid_by_bucket",
-    "events_resample_ffill",
-    "io_json_roundtrip",
-    "io_partitioned_pruning",
-    "join_asof",
-    "join_semi_anti",
-    "multimodal_frame_sample",
-    "multimodal_image_meta",
-    "text_repetition_filter",  # text.py edited this round (r03-stale)
-    "sim_cosine_topk",
-    "text_langid",
-    "tpch_q18",
-    "tpch_q19",
-    "window_cume_ntile",
-    "window_lag_delta",
-    # --- r03 rows whose modules were touched this round (steps/profiler) ---
-    "basic_select_like",
-    "basic_astype",
-    "basic_hsum",
-    "basic_hmul",
-    "basic_sub",
-    "basic_div",
-    "basic_filter",
-    "sort_with_position",
+    # --- code or oracle changed in round 6 ---
+    "events_resample_ffill",  # per-key grid: operator + oracle changed
+    "dedup_keep_best",  # max_by aggregation replaced the window pick
+    "dedup_keep_list",  # same pipeline; dedup.py edited
+    "dedup_ngram_jaccard",  # stop-shingle path, new skew gates
+    "emb_neardup_pairs",  # similarity.py restructured (banded LSH)
+    "sim_cosine_topk",  # similarity.py edited
+    "sim_ivf_full_probe",  # similarity.py edited
+    "coret_pca",  # wide-path NaN handling added (narrow unchanged)
+    "basic_rank",  # stacked-rank bigint/decimal fallback
+    "basic_nominalize",  # shares the stacked path
+    "profile_column_stats",  # profiler.py edited (cached-profile entry)
+    # --- every remaining r03-stale exact row (33) ---
+    "agg_group_count",
+    "agg_median_mode",
+    "agg_unpivot",
+    "corpus_topk_docs_per_lang",
+    "delta_upsert_merge",
+    "distinct_domain",
+    "emb_quantize_int8",
+    "events_funnel_ordered",
+    "events_json_extract",
+    "events_retention_cohort",
+    "events_sessionize",
+    "io_csv_roundtrip",
+    "join_3way_topk",
+    "join_broadcast_dims",
+    "join_full_outer_reconcile",
+    "join_range_cooccur",
+    "join_skew_salted",
     "profile_outliers",
+    "set_intersect_except",
+    "set_union_all",
+    "stream_static_enrich",
+    "text_fuzzy_name_pairs",
+    "topk_by_value",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q16_notin",
+    "tpch_q22_antijoin",
+    "tpch_q2_corr_min",
+    "tpch_q3",
+    "tpch_q4_exists",
+    "tpch_q5",
+    "tpch_q6",
+    "window_range_frame",
+    # --- r04 rows from this round's edited modules ---
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "stream_dedup_keys",
+    "stream_sessionize",
+    "sig_linearness_fstat",
+    "scoring_correlation",
 ]
 
 def _reorder_registry() -> None:
