@@ -126,6 +126,74 @@ def fingerprint64(text: Column) -> Column:
     return md5_prefix_long(norm, 15)
 
 
+def bigram_fluency(df, id_col: str, text_col: str, k_smooth: int = 1):
+    """Corpus-trained bigram fluency score per document — the
+    model-free stand-in for perplexity filtering (CCNet-style quality
+    gating without an external LM, which this environment has none of).
+
+    Train: bigram counts C(w1,w2) and row totals C(w1·) over the WHOLE
+    corpus; vocabulary V = distinct tokens appearing in any bigram.
+    Score: per-document mean add-k smoothed conditional probability
+      p(w2|w1) = (C(w1,w2) + k) / (C(w1·) + k·V)
+    Documents full of corpus-typical bigrams score high; gibberish,
+    boilerplate-free noise, and wrong-language text score low. The mean
+    probability (not mean log-prob) keeps the whole computation in
+    exactly-reproducible arithmetic: counts are integers, each p is ONE
+    correctly-rounded IEEE double division (bit-identical on any
+    engine), the per-doc sum runs in decimal(38,30) (associative →
+    partition-order-independent), and only the final mean is a double
+    division + round(6) — so a SQL oracle matches hash-exactly, which a
+    log/exp formulation cannot guarantee across libm implementations.
+
+    Shape at scale: bigrams are generated NARROWLY per document
+    (transform over the bound token array — no join, no positional
+    self-join); one groupBy(w1,w2) for counts; the per-doc score joins
+    bigram occurrences to the count tables on (w1,w2)/(w1) — build side
+    is one row per key, so hot bigrams ("of the") stream through the
+    probe side and AQE's skew split applies; final groupBy(doc).
+    Returns (id_col, n_bigrams, fluency); documents with <2 tokens have
+    no bigrams and are absent.
+    """
+    from ..sources.readers import fan_out
+
+    toked = fan_out(df).select(
+        F.col(id_col), tokens_ws(F.lower(F.col(text_col))).alias("__toks")
+    )
+    # slice(transform(...), 1, size-1) instead of a CASE: sequence(0, -1)
+    # would generate a DESCENDING range for 1-token docs, and an empty
+    # array() branch can't type-unify with array<struct>. get() not []:
+    # the 1-token probe entry (sliced away anyway) would throw under
+    # ANSI indexing.
+    bi = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "slice(transform(sequence(0, greatest(size(__toks) - 2, 0)),"
+                " i -> struct(get(__toks, i) AS w1, get(__toks, i+1) AS w2)),"
+                " 1, greatest(size(__toks) - 1, 0))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
+    rowtot = counts.groupBy("w1").agg(F.sum("__c").alias("__rt"))
+    vocab = (
+        bi.select(F.col("w1").alias("w"))
+        .union(bi.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )  # one scalar: metadata-sized driver value
+    p = (F.col("__c") + F.lit(k_smooth)) / (
+        F.col("__rt") + F.lit(k_smooth * vocab)
+    )
+    scored = bi.join(counts, ["w1", "w2"]).join(rowtot, "w1")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(p.cast("decimal(38,30)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("fluency"),
+    )
+
+
 def scrub_boilerplate_segments(
     df,
     id_col: str,

@@ -81,6 +81,43 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(key, salt) < threshold)
 
 
+def balance_by_quota(
+    df: DataFrame,
+    key_cols: list[str],
+    strata_col: str,
+    quota: int,
+    salt: str = "balance",
+) -> DataFrame:
+    """Data-driven corpus balancing: cap every stratum at ~``quota``
+    rows (in expectation) with per-stratum Bernoulli thresholds derived
+    from the OBSERVED stratum counts — the language-rebalancing step of
+    a pretraining mix (downsample the dominant language to the quota,
+    keep rare languages whole) when the mix isn't known up front, unlike
+    ``stratified_hash_sample`` whose rates are caller literals.
+
+    thr = min(BUCKETS, (quota·BUCKETS + n div 2) div n) in EXACT integer
+    arithmetic (round-half-up rational), so a SQL oracle derives
+    bit-identical thresholds from the same counts. One groupBy over the
+    stratum column (domain-sized), a broadcast join of the tiny
+    threshold table, then the same pure codegen'd md5-bucket filter as
+    ``hash_sample`` — no per-stratum sort, no skew: the scalable
+    alternative to an exact-quota rank, which would sort each hot
+    stratum on one reducer. Oversampled strata keep ≈quota rows
+    (Bernoulli variance); strata at or under quota are kept whole."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    thr = F.least(
+        F.lit(_BUCKETS).cast("bigint"),
+        F.expr(f"({quota} * {_BUCKETS}L + __n div 2) div __n"),
+    )
+    rates = counts.select(F.col(strata_col), thr.alias("__thr"))
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_bucket(key, salt) < F.col("__thr"))
+        .select(*df.columns)
+    )
+
+
 def split_train_eval(
     df: DataFrame, key_cols: list[str], eval_fraction: float, salt: str = "split"
 ) -> tuple[DataFrame, DataFrame]:

@@ -3027,6 +3027,63 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+@register(
+    "corpus_balance_languages",
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       r AS (SELECT lang, LEAST(1000000, (100 * 1000000 + n // 2) // n) AS thr
+             FROM c)
+       SELECT d.doc_id, d.lang
+       FROM documents d JOIN r ON r.lang = d.lang
+       WHERE ('0x' || substr(md5(concat_ws('|',
+                 concat_ws('|', CAST(d.doc_id AS VARCHAR)), 'balance')),
+                 1, 15))::BIGINT % 1000000 < r.thr""",
+    tags=("sampling", "pipeline", "text"),
+)
+def q_corpus_balance_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced corpus: cap every language at ~100 docs with
+    per-language Bernoulli thresholds derived from the OBSERVED counts
+    (exact integer round-half-up rational, so the oracle derives the
+    identical thresholds). Under-quota languages are kept whole; the
+    dominant language downsamples. No per-stratum sort — the threshold
+    table broadcasts and the filter is one codegen'd md5 predicate."""
+    from .operators.sampling import balance_by_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    return balance_by_quota(docs, ["doc_id"], "lang", quota=100).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "corpus_bigram_fluency",
+    f"""WITH toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents),
+       bi AS (SELECT doc_id, w[CAST(g AS INT)] AS w1, w[CAST(g AS INT) + 1] AS w2
+              FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(g)),
+       c AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+       rt AS (SELECT w1, SUM(c) AS rt FROM c GROUP BY w1),
+       v AS (SELECT COUNT(DISTINCT w) AS v FROM
+               (SELECT w1 AS w FROM bi UNION SELECT w2 AS w FROM bi)),
+       j AS (SELECT b.doc_id,
+                    CAST(c.c + 1 AS DOUBLE) / CAST(rt.rt + v.v AS DOUBLE) AS p
+             FROM bi b JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+             JOIN rt ON b.w1 = rt.w1 CROSS JOIN v)
+       SELECT doc_id, COUNT(*) AS n_bigrams,
+              ROUND(CAST(SUM(CAST(p AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*), 6)
+                AS fluency
+       FROM j GROUP BY doc_id""",
+    tags=("text", "quality", "pipeline"),
+)
+def q_corpus_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram fluency per document — model-free
+    perplexity-style quality gating (add-1 smoothed mean conditional
+    bigram probability over corpus statistics). All-rational arithmetic
+    + decimal accumulation keeps it hash-exact cross-engine, unlike a
+    log/exp perplexity whose libm bits differ."""
+    from .functions.text import bigram_fluency
+
+    return bigram_fluency(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 _SIMHASH_BANDS_SQL = "\n  UNION ALL ".join(
     f"SELECT doc_id, simhash, {b} AS band, (simhash // {2 ** (b * 8)}) % 256 AS bv FROM fps"
     for b in range(4)
@@ -3841,19 +3898,22 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (union coverage 120/120; after r5 every exact query's last attestation
 # is r3 or newer). The round-6 prefix leads with the queries whose code
 # or oracle changed this round ("attested" means attested for the code
-# that ships): the per-key resample grid (operator AND oracle changed),
-# the max_by canonical pick, the banded+capped embedding LSH module
-# (every exact query in similarity.py rides the edited file), the
-# stacked-rank bigint/decimal fallback and wide-PCA NaN handling, and
-# the profiler's cached-profile entry path. It then backfills ALL 33
-# remaining r03-stale exact rows (after r5 nothing older exists except
-# the rows-only scoring_scagnostics, which has no oracle to attest),
-# and fills the last slots with r04 rows from this round's edited
-# modules (dedup signatures, streaming twins, engine-adjacent scoring
-# whose tie order the solo-frame RID sort touches). Everything not
-# listed keeps registration order after the prefix.
+# that ships): the two NEW round-6 operators (bigram fluency,
+# language-quota balancing), the per-key resample grid (operator AND
+# oracle changed), the max_by canonical pick, the banded+capped
+# embedding LSH module (every exact query in similarity.py rides the
+# edited file), the stacked-rank bigint/decimal fallback and wide-PCA
+# NaN handling, and the profiler's cached-profile entry path. It then
+# backfills ALL 33 remaining r03-stale exact rows (after r5 nothing
+# older exists except the rows-only scoring_scagnostics, which has no
+# oracle to attest), and fills the last slots with r04 rows from this
+# round's edited modules (dedup signatures, streaming twins).
+# Everything not listed keeps registration order after the prefix.
 
 _PRIORITY: list[str] = [
+    # --- NEW in round 6 (first driver attestation) ---
+    "corpus_bigram_fluency",  # model-free perplexity-style quality score
+    "corpus_balance_languages",  # data-driven per-language quota sampling
     # --- code or oracle changed in round 6 ---
     "events_resample_ffill",  # per-key grid: operator + oracle changed
     "dedup_keep_best",  # max_by aggregation replaced the window pick
@@ -3905,8 +3965,6 @@ _PRIORITY: list[str] = [
     "dedup_simhash",
     "stream_dedup_keys",
     "stream_sessionize",
-    "sig_linearness_fstat",
-    "scoring_correlation",
 ]
 
 def _reorder_registry() -> None:

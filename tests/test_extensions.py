@@ -535,3 +535,41 @@ def test_keep_best_per_cluster_semantics(spark):
     assert out[3] == (1, False)
     # 7 is a singleton: its own component, kept
     assert out[7] == (7, True)
+
+
+def test_balance_by_quota(spark):
+    """Over-quota strata downsample to ~quota in expectation; under-quota
+    strata are kept whole; decisions are deterministic under
+    repartitioning (hash-keyed, not partition-keyed)."""
+    from data_transformation_2022_spark.operators.sampling import balance_by_quota
+
+    df = spark.range(10_050).selectExpr(
+        "id", "CASE WHEN id < 10000 THEN 'en' ELSE 'rare' END AS lang"
+    )
+    kept = balance_by_quota(df, ["id"], "lang", quota=100)
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang.get("rare") == 50  # under quota: kept whole
+    assert 60 <= by_lang.get("en", 0) <= 160  # ~Binomial(10000, 0.01)
+    a = {r["id"] for r in kept.collect()}
+    b = {r["id"] for r in balance_by_quota(
+        df.repartition(13, "id"), ["id"], "lang", quota=100).collect()}
+    assert a == b
+
+
+def test_bigram_fluency_values(spark):
+    """Hand-checked corpus: C(a,b)=3, C(b,a)=1, C(z,q)=1, rowtots
+    a:3/b:1/z:1, V=4 -> p(a,b)=4/7, p(b,a)=2/5, p(z,q)=2/5. One-token
+    docs have no bigrams and are absent."""
+    from data_transformation_2022_spark.functions.text import bigram_fluency
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z q"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["fluency"])
+           for r in bigram_fluency(docs, "doc_id", "text").collect()}
+    assert out[1] == (3, round((4/7 + 2/5 + 4/7) / 3, 6))
+    assert out[2] == (1, round(4/7, 6))
+    assert out[3] == (1, 0.4)
+    assert 4 not in out
