@@ -118,6 +118,31 @@ def balance_by_quota(
     )
 
 
+def select_by_token_budget(
+    df: DataFrame,
+    order_cols: list[str],
+    token_col: str,
+    budget: int,
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Data selection under a token budget: keep the best-first prefix
+    of the corpus whose INCLUSIVE cumulative token count stays within
+    ``budget`` — the "take the highest-quality N-token subset" step of
+    assembling a pretraining mix from a scored corpus.
+
+    The cumulative sum runs under the global ``order_cols`` order via
+    the bucketed prefix-sum (``functions.order.global_running_sum``:
+    frozen quantile boundaries → map-side per-bucket sums → bucket-
+    partitioned window + broadcast offsets — no single-reducer window),
+    exact for integral token counts, so a SQL window-SUM oracle matches
+    hash-exactly. Descending quality orders are expressed by negating
+    the score into a column and ordering ascending."""
+    from ..functions.order import global_running_sum
+
+    with_cum = global_running_sum(df, order_cols, token_col, out_col)
+    return with_cum.filter(F.col(out_col) <= budget)
+
+
 def split_train_eval(
     df: DataFrame, key_cols: list[str], eval_fraction: float, salt: str = "split"
 ) -> tuple[DataFrame, DataFrame]:

@@ -3055,6 +3055,38 @@ def q_corpus_balance_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_token_budget",
+    f"""WITH q AS (SELECT doc_id, n_chars,
+                     LEN({_DD_TOKS.format(t='text')}) AS n_tokens
+              FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+                    CAST(SUM(n_tokens) OVER (ORDER BY -n_chars, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             FROM q)
+       SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000""",
+    tags=("sampling", "pipeline", "text"),
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: longest documents first (n_chars
+    desc, doc_id ties), keep the prefix whose inclusive cumulative
+    token count stays within 10k tokens. The cumulative sum is the
+    bucketed exact prefix-sum — no single-reducer window — and the
+    oracle is the equivalent SQL window SUM."""
+    from .functions.text import tokens_ws
+    from .operators.sampling import select_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (-F.col("n_chars")).alias("__negq"),
+        F.size(tokens_ws(F.lower(F.col("text")))).alias("n_tokens"),
+    )
+    kept = select_by_token_budget(
+        docs, ["__negq", "doc_id"], "n_tokens", budget=10_000
+    )
+    return kept.select("doc_id", "n_tokens", "cum_tokens")
+
+
+@register(
     "corpus_bigram_fluency",
     f"""WITH toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents),
        bi AS (SELECT doc_id, w[CAST(g AS INT)] AS w1, w[CAST(g AS INT) + 1] AS w2
@@ -3914,6 +3946,7 @@ _PRIORITY: list[str] = [
     # --- NEW in round 6 (first driver attestation) ---
     "corpus_bigram_fluency",  # model-free perplexity-style quality score
     "corpus_balance_languages",  # data-driven per-language quota sampling
+    "corpus_token_budget",  # budget-bounded best-first data selection
     # --- code or oracle changed in round 6 ---
     "events_resample_ffill",  # per-key grid: operator + oracle changed
     "dedup_keep_best",  # max_by aggregation replaced the window pick
@@ -3964,7 +3997,6 @@ _PRIORITY: list[str] = [
     "dedup_minhash_signatures",
     "dedup_simhash",
     "stream_dedup_keys",
-    "stream_sessionize",
 ]
 
 def _reorder_registry() -> None:

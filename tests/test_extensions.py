@@ -573,3 +573,21 @@ def test_bigram_fluency_values(spark):
     assert out[2] == (1, round(4/7, 6))
     assert out[3] == (1, 0.4)
     assert 4 not in out
+
+
+def test_select_by_token_budget(spark):
+    """Inclusive prefix under the quality order: rows kept while the
+    running token total stays within budget; the first row past the
+    budget is dropped even if later rows would fit."""
+    from data_transformation_2022_spark.operators.sampling import (
+        select_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, -q, t) for i, (q, t) in enumerate([(9, 4), (8, 5), (7, 3), (6, 10), (5, 1)])],
+        "doc_id long, negq long, n_tokens long",
+    )
+    kept = select_by_token_budget(df, ["negq", "doc_id"], "n_tokens", budget=12)
+    got = {r["doc_id"]: r["cum_tokens"] for r in kept.collect()}
+    # order q desc: tokens 4,5,3,10,1 -> cum 4,9,12,22,23; budget 12
+    assert got == {0: 4, 1: 9, 2: 12}
