@@ -591,3 +591,25 @@ def test_select_by_token_budget(spark):
     got = {r["doc_id"]: r["cum_tokens"] for r in kept.collect()}
     # order q desc: tokens 4,5,3,10,1 -> cum 4,9,12,22,23; budget 12
     assert got == {0: 4, 1: 9, 2: 12}
+
+
+def test_new_ops_plan_shapes(spark):
+    """Plan gates: the balance threshold table broadcasts (never a
+    shuffle join against the domain-sized rates), and the token-budget
+    prefix sum plans with no single-partition exchange."""
+    from data_transformation_2022_spark.operators.sampling import (
+        balance_by_quota,
+        select_by_token_budget,
+    )
+
+    df = spark.range(5000).selectExpr(
+        "id", "CASE WHEN id % 7 = 0 THEN 'a' ELSE 'b' END AS lang",
+        "CAST(id % 13 AS BIGINT) AS n_tokens", "-id AS negq"
+    )
+    bal = balance_by_quota(df, ["id"], "lang", quota=100)
+    plan_b = bal._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+
+    kept = select_by_token_budget(df, ["negq", "id"], "n_tokens", budget=500)
+    plan_t = kept._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan_t
