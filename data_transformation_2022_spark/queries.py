@@ -2398,14 +2398,21 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_lsh_neardup", None, tags=("similarity", "approx"))
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup via BANDED random-hyperplane LSH (4 bands ×
-    8 planes; candidate = collision in any band; hot buckets capped
-    before the self-join exactly like the text LSH). Recall < 1 by
-    design → rows-only check; exactness is covered by emb_neardup_pairs,
-    precision 1.0 + a recall floor by test_invariants."""
+    auto-scaled planes; candidate = collision in any band; hot buckets
+    capped before the self-join exactly like the text LSH). Planes per
+    band grow with corpus size (clamp(ceil(log2 n) - 4, 8, 24)) so the
+    expected bucket population stays bounded — at 60k vectors a fixed
+    8-plane signature left ~230 vectors per bucket and the within-bucket
+    join crept quadratic (measured 8× cost for 10× data; auto restores
+    ~1.4×). Recall < 1 by design → rows-only check; exactness is covered
+    by emb_neardup_pairs, precision 1.0 + a recall floor by
+    test_invariants."""
     from .operators.similarity import lsh_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(e, "vec_id", "embedding", threshold=0.4, n_planes=8, bands=4)
+    return lsh_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, n_planes="auto", bands=4
+    )
 
 
 # ---------------------------------------------------------------------------
