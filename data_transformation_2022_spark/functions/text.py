@@ -194,6 +194,74 @@ def bigram_fluency(df, id_col: str, text_col: str, k_smooth: int = 1):
     )
 
 
+def _segment_rows(df, id_col: str, text_col: str, seg_words: int):
+    """(id, seg_id, seg, __segh) rows: each document's space-separated
+    words chunked into consecutive ``seg_words``-word segments, in
+    order, plus the segment's 64-bit hash. Hash equality stands in for
+    text equality downstream (collision odds ~n²/2⁶⁴, same contract as
+    the shingle joins in operators/dedup.py): joins shuffle/broadcast
+    8-byte keys, never segment text."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("ord", "word"),
+    )
+    segs = words.groupBy(
+        id_col, F.floor(F.col("ord") / seg_words).alias("seg_id")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("seg")
+    )
+    return segs.withColumn("__segh", F.xxhash64("seg"))
+
+
+def dedup_segments_keep_first(df, id_col: str, text_col: str, seg_words: int = 8):
+    """Exact segment-level dedup, keep-FIRST-occurrence semantics (the
+    exact-substring dedup of RefinedWeb/Falcon pipelines, on fixed
+    ``seg_words``-word segments since this corpus has no line
+    structure): every distinct segment text survives only at its
+    globally first occurrence — minimum (doc_id, seg_id) — and every
+    later repetition is dropped; documents are reassembled from their
+    surviving segments in order. Complements the frequency scrub
+    (``scrub_boilerplate_segments`` drops hot segments EVERYWHERE;
+    this keeps exactly one copy).
+
+    Scale shape: one map-side-combinable ``min(struct(doc, seg))`` per
+    segment hash, then an equi-join back on the 8-byte hash (one row
+    per distinct segment on the build side — never the text), then one
+    per-document reassembly aggregation. No windows, no per-segment
+    sort. Documents whose every segment occurred earlier disappear
+    (deliberate: they are pure repetition).
+
+    Returns (id_col, n_segments_kept, clean_text)."""
+    segs = _segment_rows(df, id_col, text_col, seg_words)
+    first = segs.groupBy("__segh").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_id"))).alias("__first")
+    )
+    kept = (
+        segs.join(first, "__segh")
+        .filter(
+            (F.col(id_col) == F.col("__first").getField(id_col))
+            & (F.col("seg_id") == F.col("__first").getField("seg_id"))
+        )
+        .select(id_col, "seg_id", "seg")
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def scrub_boilerplate_segments(
     df,
     id_col: str,
@@ -221,25 +289,8 @@ def scrub_boilerplate_segments(
     Returns (id_col, n_segments_kept, clean_text).
     """
     from .joins import anti_join_hot
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("ord", "word"),
-    )
-    segs = words.groupBy(
-        id_col, F.floor(F.col("ord") / seg_words).alias("seg_id")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ord", "word"))),
-                lambda x: x["word"],
-            ),
-            " ",
-        ).alias("seg")
-    )
-    # hash equality stands in for text equality (collision odds ~n²/2⁶⁴,
-    # same contract as the shingle joins in operators/dedup.py): the
-    # anti-join then shuffles/broadcasts 8-byte keys, never segments
-    segs = segs.withColumn("__segh", F.xxhash64("seg"))
+
+    segs = _segment_rows(df, id_col, text_col, seg_words)
     hot = (
         segs.groupBy("__segh")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))

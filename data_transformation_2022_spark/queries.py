@@ -3612,6 +3612,43 @@ def q_corpus_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_segment_dedup",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       words AS (
+         SELECT doc_id, t.ord, w[t.ord] AS word
+         FROM docs, UNNEST(range(1, len(w) + 1)) AS t(ord)
+       ), segs AS (
+         SELECT doc_id, CAST(floor((ord - 1) / 8) AS BIGINT) AS seg_id,
+                string_agg(word, ' ' ORDER BY ord) AS seg
+         FROM words GROUP BY doc_id, 2
+       ), ranked AS (
+         SELECT doc_id, seg_id, seg,
+                ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_id) AS rn
+         FROM segs
+       ), kept AS (SELECT doc_id, seg_id, seg FROM ranked WHERE rn = 1)
+       SELECT doc_id, count(*) AS n_segments_kept,
+              md5(string_agg(seg, ' ' ORDER BY seg_id)) AS clean_md5
+       FROM kept GROUP BY doc_id""",
+    tags=("text", "dedup", "pipeline"),
+)
+def q_corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact segment-level dedup with keep-first semantics (the
+    RefinedWeb/Falcon exact-substring dedup on 8-word segments): each
+    distinct segment survives only at its minimum (doc_id, seg_id);
+    later repetitions are dropped and documents reassembled in order.
+    One map-side-combinable min(struct) per segment hash + an 8-byte
+    hash join — no windows."""
+    from .functions.text import dedup_segments_keep_first
+
+    out = dedup_segments_keep_first(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", seg_words=8
+    )
+    return out.select(
+        "doc_id", "n_segments_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+@register(
     "corpus_pack_sequences",
     """WITH toks AS (
          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
@@ -3954,6 +3991,7 @@ _PRIORITY: list[str] = [
     "corpus_bigram_fluency",  # model-free perplexity-style quality score
     "corpus_balance_languages",  # data-driven per-language quota sampling
     "corpus_token_budget",  # budget-bounded best-first data selection
+    "corpus_segment_dedup",  # keep-first exact substring dedup
     # --- code or oracle changed in round 6 ---
     "events_resample_ffill",  # per-key grid: operator + oracle changed
     "dedup_keep_best",  # max_by aggregation replaced the window pick
@@ -4002,7 +4040,6 @@ _PRIORITY: list[str] = [
     "window_range_frame",
     # --- r04 rows from this round's edited modules ---
     "dedup_minhash_signatures",
-    "dedup_simhash",
     "stream_dedup_keys",
 ]
 

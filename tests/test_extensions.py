@@ -613,3 +613,32 @@ def test_new_ops_plan_shapes(spark):
     kept = select_by_token_budget(df, ["negq", "id"], "n_tokens", budget=500)
     plan_t = kept._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan_t
+
+
+def test_segment_dedup_keep_first(spark):
+    """Segment repeated across (and within) documents survives only at
+    its minimum (doc_id, seg_id); docs reassemble in order; a document
+    that is pure repetition disappears."""
+    from data_transformation_2022_spark.functions.text import (
+        dedup_segments_keep_first,
+    )
+
+    seg_a = "a1 a2 a3"
+    seg_b = "b1 b2 b3"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b} {seg_a}"),   # trailing repeat of A dropped
+            (2, f"{seg_b} c1 c2 c3"),          # B dropped (doc1 had it), C kept
+            (3, seg_a),                        # pure repetition: disappears
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_segments_kept"], r["clean_text"])
+        for r in dedup_segments_keep_first(
+            docs, "doc_id", "text", seg_words=3
+        ).collect()
+    }
+    assert out[1] == (2, f"{seg_a} {seg_b}")
+    assert out[2] == (1, "c1 c2 c3")
+    assert 3 not in out
