@@ -3761,6 +3761,108 @@ def q_pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curate_corpus",
+    f"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       words AS (
+         SELECT doc_id, t.ord, w[t.ord] AS word
+         FROM docs, UNNEST(range(1, len(w) + 1)) AS t(ord)
+       ), segs AS (
+         SELECT doc_id, CAST(floor((ord - 1) / 8) AS BIGINT) AS seg_id,
+                string_agg(word, ' ' ORDER BY ord) AS seg
+         FROM words GROUP BY doc_id, 2
+       ), ranked AS (
+         SELECT doc_id, seg_id, seg,
+                ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_id) AS rn
+         FROM segs
+       ), kept AS (SELECT doc_id, seg_id, seg FROM ranked WHERE rn = 1),
+       clean AS (
+         SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_id) AS text
+         FROM kept GROUP BY doc_id
+       ),
+       ctoks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM clean),
+       bi AS (SELECT doc_id, w[CAST(g AS INT)] AS w1, w[CAST(g AS INT) + 1] AS w2
+              FROM ctoks, UNNEST(generate_series(1, len(w) - 1)) AS t(g)),
+       c AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+       rt AS (SELECT w1, SUM(c) AS rt FROM c GROUP BY w1),
+       v AS (SELECT COUNT(DISTINCT w) AS v FROM
+               (SELECT w1 AS w FROM bi UNION SELECT w2 AS w FROM bi)),
+       j AS (SELECT b.doc_id,
+                    CAST(c.c + 1 AS DOUBLE) / CAST(rt.rt + v.v AS DOUBLE) AS p
+             FROM bi b JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+             JOIN rt ON b.w1 = rt.w1 CROSS JOIN v),
+       flu AS (SELECT doc_id,
+                      ROUND(CAST(SUM(CAST(p AS DECIMAL(38,30))) AS DOUBLE)
+                            / COUNT(*), 6) AS fluency
+               FROM j GROUP BY doc_id),
+       base AS (
+         SELECT f.doc_id, d.lang, len(ct.w) AS n_tokens, f.fluency
+         FROM flu f
+         JOIN ctoks ct ON ct.doc_id = f.doc_id
+         JOIN documents d ON d.doc_id = f.doc_id
+       ),
+       qc AS (SELECT lang, COUNT(*) AS n FROM base GROUP BY lang),
+       qr AS (SELECT lang, LEAST(1000000, (100 * 1000000 + n // 2) // n) AS thr
+              FROM qc),
+       bal AS (
+         SELECT b.doc_id, b.lang, b.n_tokens, b.fluency
+         FROM base b JOIN qr ON qr.lang = b.lang
+         WHERE ('0x' || substr(md5(concat_ws('|',
+                   concat_ws('|', CAST(b.doc_id AS VARCHAR)), 'balance')),
+                   1, 15))::BIGINT % 1000000 < qr.thr
+       ),
+       sel AS (
+         SELECT doc_id, lang, n_tokens,
+                CAST(SUM(n_tokens) OVER (ORDER BY -fluency, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         FROM bal
+       )
+       SELECT doc_id, lang, n_tokens, cum_tokens
+       FROM sel WHERE cum_tokens <= 5000""",
+    tags=("pipeline", "dedup", "text", "sampling"),
+)
+def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 curation pipeline, one hash-checked query composing
+    the four new operators AS REGISTERED: keep-first exact segment
+    dedup -> bigram fluency scored over the CLEANED corpus ->
+    language-quota balancing (observed counts) -> token-budget
+    best-first selection (fluency desc, 5k tokens). The result is the
+    curated manifest (doc, lang, tokens, running total)."""
+    from .functions.text import bigram_fluency, dedup_segments_keep_first, tokens_ws
+    from .operators.sampling import balance_by_quota, select_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    # clean feeds TWO branches (fluency scoring + token counting) and
+    # base feeds two more (the quota counts + the filter join inside
+    # balance_by_quota): persist both or the whole segment-dedup and
+    # bigram chains re-execute per branch (measured 2x the runtime)
+    clean = (
+        dedup_segments_keep_first(docs, "doc_id", "text", seg_words=8)
+        .select("doc_id", F.col("clean_text"))
+        .persist()
+    )
+    flu = bigram_fluency(clean, "doc_id", "clean_text").select("doc_id", "fluency")
+    base = (
+        flu.join(
+            clean.select(
+                "doc_id",
+                F.size(tokens_ws(F.lower(F.col("clean_text")))).alias("n_tokens"),
+            ),
+            "doc_id",
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .persist()
+    )
+    bal = balance_by_quota(base, ["doc_id"], "lang", quota=100)
+    sel = select_by_token_budget(
+        bal.withColumn("__negflu", -F.col("fluency")),
+        ["__negflu", "doc_id"],
+        "n_tokens",
+        budget=5_000,
+    )
+    return sel.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+@register(
     "stream_dedup_keys",
     "SELECT DISTINCT user_id, event_type FROM events",
     tags=("streaming", "dedup"),
@@ -3992,6 +4094,7 @@ _PRIORITY: list[str] = [
     "corpus_balance_languages",  # data-driven per-language quota sampling
     "corpus_token_budget",  # budget-bounded best-first data selection
     "corpus_segment_dedup",  # keep-first exact substring dedup
+    "pipeline_curate_corpus",  # the four new operators composed end-to-end
     # --- code or oracle changed in round 6 ---
     "events_resample_ffill",  # per-key grid: operator + oracle changed
     "dedup_keep_best",  # max_by aggregation replaced the window pick
@@ -4039,7 +4142,6 @@ _PRIORITY: list[str] = [
     "tpch_q6",
     "window_range_frame",
     # --- r04 rows from this round's edited modules ---
-    "dedup_minhash_signatures",
     "stream_dedup_keys",
 ]
 
