@@ -179,9 +179,20 @@ def ivf_assign_lists(
     sample = df.select(id_col, vec_col).orderBy(id_col).limit(fit_cap).collect()
     x = np.array([r[vec_col] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    labels = _lloyd(x, n_lists, seed)
+    # _lloyd returns CENTERS (k, d), not labels — derive the sample's
+    # label vector from them before averaging per cluster. (Treating
+    # the centers array as labels made `labels == i` an all-False float
+    # comparison, so every centroid silently fell back to x[0] and the
+    # whole corpus landed in ONE list: no test failed because full-probe
+    # is exact regardless and recall is trivially 1.0 with a single hot
+    # list — test_ivf_lists_populated now pins real spread.)
+    centers = _lloyd(x, n_lists, seed)
+    labels = np.argmin(((x[:, None, :] - centers[None]) ** 2).sum(-1), axis=1)
     cents = np.vstack(
-        [x[labels == i].mean(axis=0) if np.any(labels == i) else x[0] for i in range(n_lists)]
+        [
+            x[labels == i].mean(axis=0) if np.any(labels == i) else centers[i]
+            for i in range(n_lists)
+        ]
     )
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     bc = df.sparkSession.sparkContext.broadcast(cents)
@@ -308,6 +319,12 @@ def ivf_build_index(
         "n_lists": n_lists,
         "seed": seed,
         "vec_col": vec_col,
+        # bump when the FIT ALGORITHM changes: the signature must cover
+        # code semantics, not just data + params, or a persisted index
+        # built by an older quantizer silently serves stale lists
+        # (exactly what the round-6 centers-as-labels fix would have
+        # left behind without this field)
+        "fit_version": 2,
     }
     meta_path = f"{path}/meta.json"
     if not force_rebuild and _fs_exists(spark, f"{path}/lists/_SUCCESS"):
@@ -377,6 +394,102 @@ def ivf_query_index(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 9,
+    fit_cap: int = 2_000,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split each vector into ``m``
+    contiguous subvectors and fit ``k`` centroids per subvector with
+    seeded Lloyd's on a deterministic rid-ordered sample (driver numpy;
+    codebooks are metadata-sized: m·k·(d/m) floats). PQ is the standard
+    embedding compression at corpus scale — d·4 bytes/vector become m
+    code bytes — and the codebooks are plain literals, so assignment is
+    a pure codegen'd expression an SQL oracle replays bit-for-bit."""
+    from ..ml.coret import _lloyd
+
+    sample = df.select(id_col, vec_col).orderBy(id_col).limit(fit_cap).collect()
+    x = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = np.ascontiguousarray(x[:, j * sub : (j + 1) * sub])
+        centers = _lloyd(xs, k, seed + j)  # returns CENTERS (k, sub)
+        labels = np.argmin(((xs[:, None, :] - centers[None]) ** 2).sum(-1), axis=1)
+        cents = np.vstack(
+            [
+                xs[labels == c].mean(axis=0) if np.any(labels == c) else centers[c]
+                for c in range(k)
+            ]
+        )
+        books.append([[float(v) for v in row] for row in cents])
+    return books
+
+
+def pq_dist_sql(
+    books: list[list[list[float]]],
+    elem_fmt: str,
+    flit,
+) -> list[list[str]]:
+    """Per-(subvector, centroid) squared-distance formulas as SQL
+    strings — the SAME left-folded ``0.0 + (x−c)·(x−c) + …`` structure
+    on both engines so every double is bit-identical. ``elem_fmt`` is
+    the dialect's 1-based element access (e.g. ``element_at(embedding,
+    {i})`` / ``embedding[{i}]``); ``flit`` renders a double literal
+    that round-trips exactly."""
+    sub = len(books[0][0])
+    out: list[list[str]] = []
+    for j, book in enumerate(books):
+        dists = []
+        for cent in book:
+            terms = ["0.0"]
+            for i, cv in enumerate(cent):
+                a = f"CAST({elem_fmt.format(i=j * sub + i + 1)} AS DOUBLE)"
+                terms.append(f"({a} - {flit(cv)}) * ({a} - {flit(cv)})")
+            dists.append(" + ".join(terms))
+        out.append(dists)
+    return out
+
+
+def pq_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+    flit,
+) -> DataFrame:
+    """Assign each vector its ``m`` PQ codes: argmin over the literal
+    codebook distances, ties to the earlier centroid (first-minimum
+    ``array_position``). Pure whole-stage-codegen expressions — no UDF,
+    no shuffle; at 100 TB this is a map-only pass the optimizer can
+    pipeline into the scan."""
+    dist_groups = pq_dist_sql(books, f"element_at({vec_col}, {{i}})", flit)
+    d = df.select(
+        F.col(id_col),
+        *[
+            F.expr(expr).alias(f"__d_{j}_{c}")
+            for j, dists in enumerate(dist_groups)
+            for c, expr in enumerate(dists)
+        ],
+    )
+    code_cols = []
+    for j, dists in enumerate(dist_groups):
+        names = ", ".join(f"__d_{j}_{c}" for c in range(len(dists)))
+        code_cols.append(
+            F.expr(
+                f"CAST(array_position(array({names}), array_min(array({names}))) - 1 AS INT)"
+            ).alias(f"code_{j}")
+        )
+    return d.select(F.col(id_col), *code_cols)
 
 
 def lsh_band_signatures(

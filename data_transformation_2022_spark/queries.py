@@ -2395,6 +2395,51 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle() -> str:
+    """Re-fit the PQ codebooks on the oracle sf_dir with the exact code
+    path the Spark query uses, then replay the literal-codebook argmin
+    assignment in DuckDB (same left-folded distance formulas, same
+    first-minimum tie policy via list_position)."""
+    from .operators.similarity import pq_dist_sql, pq_fit
+    from .session import get_spark
+
+    spark = get_spark()
+    emb = load_table(spark, _oracle_sf(), "embeddings")
+    books = pq_fit(emb, "vec_id", "embedding")
+    groups = pq_dist_sql(books, "embedding[{i}]", _flit)
+    dist_cols = ", ".join(
+        f"{expr} AS d_{j}_{c}"
+        for j, dists in enumerate(groups)
+        for c, expr in enumerate(dists)
+    )
+    code_cols = []
+    for j, dists in enumerate(groups):
+        names = ", ".join(f"d_{j}_{c}" for c in range(len(dists)))
+        code_cols.append(
+            f"CAST(list_position(list_value({names}),"
+            f" list_min(list_value({names}))) - 1 AS INT) AS code_{j}"
+        )
+    return (
+        f"WITH d AS (SELECT vec_id, {dist_cols} FROM embeddings) "
+        f"SELECT vec_id, {', '.join(code_cols)} FROM d"
+    )
+
+
+@register("emb_pq_codes", _pq_oracle, tags=("similarity", "embedding", "quantization"))
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 4 subvectors × 16 centroids per 64-dim
+    embedding — 256 bytes/vector compress to 4 code bytes, the standard
+    ANN memory layout at corpus scale. Deterministic rid-ordered
+    codebook fit; assignment is literal-codebook argmin as pure codegen
+    expressions (no UDF, map-only). The oracle re-derives the codebooks
+    from the same fit and replays the assignment bit-for-bit."""
+    from .operators.similarity import pq_assign, pq_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_fit(e, "vec_id", "embedding")
+    return pq_assign(e, "vec_id", "embedding", books, _flit)
+
+
 @register("sim_lsh_neardup", None, tags=("similarity", "approx"))
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup via BANDED random-hyperplane LSH (4 bands ×
@@ -4074,19 +4119,20 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver attests the first 50 registry entries per round.
 # Rounds 1-5 together attested every exact-oracle query at least once
 # (union coverage 120/120; after r5 every exact query's last attestation
-# is r3 or newer). The round-6 prefix leads with the queries whose code
-# or oracle changed this round ("attested" means attested for the code
-# that ships): the two NEW round-6 operators (bigram fluency,
-# language-quota balancing), the per-key resample grid (operator AND
-# oracle changed), the max_by canonical pick, the banded+capped
-# embedding LSH module (every exact query in similarity.py rides the
-# edited file), the stacked-rank bigint/decimal fallback and wide-PCA
-# NaN handling, and the profiler's cached-profile entry path. It then
-# backfills ALL 33 remaining r03-stale exact rows (after r5 nothing
-# older exists except the rows-only scoring_scagnostics, which has no
-# oracle to attest), and fills the last slots with r04 rows from this
-# round's edited modules (dedup signatures, streaming twins).
-# Everything not listed keeps registration order after the prefix.
+# is r3 or newer). The round-6 prefix leads with the SIX NEW round-6
+# queries (bigram fluency, language-quota balancing, token-budget
+# selection, keep-first segment dedup, the curation pipeline composing
+# those four, and PQ codes), then the queries whose code or oracle
+# changed this round ("attested" means attested for the code that
+# ships): the per-key resample grid (operator AND oracle changed), the
+# max_by canonical pick, the banded+capped embedding LSH module and the
+# FIXED IVF coarse quantizer (every exact query in similarity.py rides
+# the edited file), the stacked-rank bigint/decimal fallback and
+# wide-PCA NaN handling, and the profiler's cached-profile entry path.
+# It then backfills ALL 33 remaining r03-stale exact rows (after r5
+# nothing older exists except the rows-only scoring_scagnostics, which
+# has no oracle to attest). Everything not listed keeps registration
+# order after the prefix.
 
 _PRIORITY: list[str] = [
     # --- NEW in round 6 (first driver attestation) ---
@@ -4095,6 +4141,7 @@ _PRIORITY: list[str] = [
     "corpus_token_budget",  # budget-bounded best-first data selection
     "corpus_segment_dedup",  # keep-first exact substring dedup
     "pipeline_curate_corpus",  # the four new operators composed end-to-end
+    "emb_pq_codes",  # product quantization, literal-codebook assignment
     # --- code or oracle changed in round 6 ---
     "events_resample_ffill",  # per-key grid: operator + oracle changed
     "dedup_keep_best",  # max_by aggregation replaced the window pick
@@ -4141,8 +4188,6 @@ _PRIORITY: list[str] = [
     "tpch_q5",
     "tpch_q6",
     "window_range_frame",
-    # --- r04 rows from this round's edited modules ---
-    "stream_dedup_keys",
 ]
 
 def _reorder_registry() -> None:

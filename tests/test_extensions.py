@@ -642,3 +642,28 @@ def test_segment_dedup_keep_first(spark):
     assert out[1] == (2, f"{seg_a} {seg_b}")
     assert out[2] == (1, "c1 c2 c3")
     assert 3 not in out
+
+
+def test_pq_codes_deterministic_and_compressive(spark, sf_dir):
+    """PQ assignment: codes in [0, k), stable under repartitioning
+    (rid-ordered fit), and actually using the codebook (multiple
+    distinct codes per subvector on real embeddings)."""
+    from data_transformation_2022_spark.operators.similarity import pq_assign, pq_fit
+    from data_transformation_2022_spark.queries import _flit
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, "vec_id", "embedding")
+    a = {tuple(r) for r in pq_assign(emb, "vec_id", "embedding", books, _flit).collect()}
+    shuffled = emb.repartition(11, "vec_id")
+    books2 = pq_fit(shuffled, "vec_id", "embedding")
+    assert books == books2
+    b = {tuple(r) for r in pq_assign(shuffled, "vec_id", "embedding", books2, _flit).collect()}
+    assert a == b
+    import collections
+    per_sub = collections.defaultdict(set)
+    for row in a:
+        for j, c in enumerate(row[1:]):
+            assert 0 <= c < 16
+            per_sub[j].add(c)
+    assert all(len(s) >= 4 for s in per_sub.values())

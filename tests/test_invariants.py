@@ -224,14 +224,20 @@ def test_sim_ann_topk_fast_recall(spark, sf_dir, exact_topk):
 def test_sim_ivf_topk_recall(spark, sf_dir, exact_topk):
     ivf = _neighbor_sets(_run(spark, sf_dir, "sim_ivf_topk"))
     r = _recall(ivf, exact_topk)
-    # n_probe=4/16 operating point; measured 1.0 at sf0.001 — gate with margin
-    assert r >= 0.8, f"IVF recall {r:.3f}"
+    # n_probe=4/16 operating point. HONEST floor: before round 6 the
+    # centroid fit silently degenerated (every vector in ONE list —
+    # ml._lloyd returns centers, not labels) so recall measured a
+    # vacuous 1.0; with real 16-way partitioning the measured recall is
+    # 0.66 at 4/16 probes (0.86 at 8/16) — gate the real number with
+    # margin.
+    assert r >= 0.55, f"IVF recall {r:.3f}"
 
 
 def test_sim_ivf_persisted_recall_and_live_equality(spark, sf_dir, exact_topk):
     pers = _run(spark, sf_dir, "sim_ivf_persisted")
     r = _recall(_neighbor_sets(pers), exact_topk)
-    assert r >= 0.8, f"persisted IVF recall {r:.3f}"
+    # same honest 4/16 operating point as test_sim_ivf_topk_recall
+    assert r >= 0.55, f"persisted IVF recall {r:.3f}"
     live = _run(spark, sf_dir, "sim_ivf_topk")
     assert sorted((x["query_id"], x["cand_id"], x["rank"]) for x in pers) == sorted(
         (x["query_id"], x["cand_id"], x["rank"]) for x in live

@@ -302,6 +302,26 @@ def test_sample_transforms_partition_invariant(spark, runner):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_ivf_lists_populated(spark, sf_dir):
+    """The coarse quantizer must actually PARTITION the corpus: at
+    least half the lists populated and no single list holding the
+    whole corpus. (Regression: the centers-as-labels bug collapsed
+    every vector into list 0 and no recall/exactness test noticed —
+    full-probe stays exact and recall is trivially 1.0 on one list.)"""
+    from data_transformation_2022_spark.operators.similarity import ivf_assign_lists
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_assign_lists(emb, "vec_id", "embedding", n_lists=16)
+    sizes = {
+        r["list_id"]: r["n"]
+        for r in assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(sizes.values())
+    assert len(sizes) >= 8, f"only {len(sizes)} lists populated"
+    assert max(sizes.values()) < 0.5 * total, "one list holds most of the corpus"
+
+
 def test_ivf_centroids_partition_invariant(spark, sf_dir):
     from data_transformation_2022_spark.operators.similarity import ivf_assign_lists
     from data_transformation_2022_spark.sources.readers import load_table
