@@ -3203,6 +3203,84 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_TOKS = _DD_TOKS.format(t="text")
+_GOPHER_STOP_HITS = " + ".join(
+    f"CAST(list_contains({_GOPHER_TOKS}, '{w}') AS INT)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+_GOPHER_SQL = f"""WITH feats AS (
+  SELECT doc_id,
+         LEN({_GOPHER_TOKS}) AS n_words,
+         CAST(COALESCE(list_sum(list_transform({_GOPHER_TOKS},
+                  t -> LENGTH(t))), 0) AS BIGINT) AS sum_word_len,
+         LEN(list_filter({_GOPHER_TOKS},
+                  t -> regexp_matches(t, '[a-z]'))) AS n_alpha_words,
+         {_GOPHER_STOP_HITS} AS stop_hits,
+         LENGTH(text) - LENGTH(replace(text, '#', '')) AS n_hash,
+         LENGTH(text) - LENGTH(replace(text, '...', '')) AS ellip3,
+         LEN(string_split(text, chr(10))) AS n_lines,
+         LEN(list_filter(string_split(text, chr(10)),
+                  l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+                       OR ltrim(l) LIKE '•%')) AS n_bullet,
+         LEN(list_filter(string_split(text, chr(10)),
+                  l -> rtrim(l) LIKE '%...')) AS n_ellip_end
+  FROM documents
+)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, stop_hits,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_word_count,
+       CAST(3 * n_words <= sum_word_len
+            AND sum_word_len <= 10 * n_words AS INT) AS r_mean_word_len,
+       CAST(10 * (3 * n_hash + ellip3) <= 3 * n_words AS INT) AS r_symbol_ratio,
+       CAST(10 * n_bullet <= n_lines AS INT) AS r_bullet_lines,
+       CAST(10 * n_ellip_end <= 3 * n_lines AS INT) AS r_ellipsis_lines,
+       CAST(5 * n_alpha_words >= 4 * n_words AS INT) AS r_alpha_words,
+       CAST(stop_hits >= 2 AS INT) AS r_stopwords,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+       + CAST(3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS INT)
+       + CAST(10 * (3 * n_hash + ellip3) <= 3 * n_words AS INT)
+       + CAST(10 * n_bullet <= n_lines AS INT)
+       + CAST(10 * n_ellip_end <= 3 * n_lines AS INT)
+       + CAST(5 * n_alpha_words >= 4 * n_words AS INT)
+       + CAST(stop_hits >= 2 AS INT) AS n_rules_passed,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+            AND 10 * (3 * n_hash + ellip3) <= 3 * n_words
+            AND 10 * n_bullet <= n_lines
+            AND 10 * n_ellip_end <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND stop_hits >= 2 AS INT) AS keep
+FROM feats"""
+
+
+@register("corpus_gopher_rules", _GOPHER_SQL, tags=("text", "pipeline"))
+def q_corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gates (Rae et al. 2021 §A1.1):
+    word count, mean word length, symbol ratio, bullet/ellipsis line
+    ratios, alpha-word ratio, required stopwords. Every ratio test is
+    an integer cross-multiplication — zero float divides, so the flags
+    are bit-exact on any engine — and the whole thing is one map-only
+    codegen'd projection that pipelines into the scan at 100 TB."""
+    from .functions.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    r = gopher_rules(F.col("text"))
+    flags = [k for k in r if k.startswith("r_")]
+    keep = None
+    for k in flags:
+        keep = r[k] if keep is None else keep & r[k]
+    return d.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        r["sum_word_len"].alias("sum_word_len"),
+        r["n_alpha_words"].alias("n_alpha_words"),
+        r["stop_hits"].alias("stop_hits"),
+        *[r[k].cast("int").alias(k) for k in flags],
+        sum(r[k].cast("int") for k in flags).alias("n_rules_passed"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 @register(
     "corpus_language_stats",
     f"""WITH feats AS (

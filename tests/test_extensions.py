@@ -667,3 +667,42 @@ def test_pq_codes_deterministic_and_compressive(spark, sf_dir):
             assert 0 <= c < 16
             per_sub[j].add(c)
     assert all(len(s) >= 4 for s in per_sub.values())
+
+
+def test_gopher_rules_fire_individually(spark):
+    """Each Gopher gate trips on a crafted document while the control
+    document passes all seven — integer cross-multiplied rules, so the
+    expected flags are computable by hand."""
+    from data_transformation_2022_spark.functions.text import gopher_rules
+
+    good = "the quick brown fox jumps with vigor " * 8 + "that have be of"
+    short = "the and that have words"
+    bullets = "\n".join(f"- {w}" for w in ["the and of that"] * 10)
+    ellipsis = "\n".join(f"the and of that have {i} ..." for i in range(10))
+    symbols = ("the and that have " + "# " * 20) * 4
+    digits = ("1 2 3 4 5 6 7 8 9 10 " * 6) + "the and"
+    longwords = ("pneumonoultramicroscopic " * 60) + "the and that have"
+    docs = spark.createDataFrame(
+        [
+            (1, good), (2, short), (3, bullets), (4, ellipsis),
+            (5, symbols), (6, digits), (7, longwords), (8, ""),
+        ],
+        "doc_id long, text string",
+    )
+    r = gopher_rules(F.col("text"))
+    rows = {
+        row["doc_id"]: row
+        for row in docs.select(
+            "doc_id", *[r[k].alias(k) for k in r]
+        ).collect()
+    }
+    assert all(rows[1][k] for k in rows[1].asDict() if k.startswith("r_"))
+    assert not rows[2]["r_word_count"]          # 5 words < 50
+    assert not rows[3]["r_bullet_lines"]        # 100% bulleted lines
+    assert not rows[4]["r_ellipsis_lines"]      # 100% '...'-ending lines
+    assert not rows[5]["r_symbol_ratio"]        # '#' per word >> 0.1
+    assert not rows[6]["r_alpha_words"]         # mostly digit tokens
+    assert not rows[7]["r_mean_word_len"]       # mean word length > 10
+    assert rows[8]["n_words"] == 0 and rows[8]["sum_word_len"] == 0
+    # empty doc: ratio gates pass vacuously (0 <= 0), word count fails
+    assert not rows[8]["r_word_count"] and rows[8]["r_symbol_ratio"]
