@@ -466,30 +466,128 @@ def pq_assign(
     vec_col: str,
     books: list[list[list[float]]],
     flit,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector its ``m`` PQ codes: argmin over the literal
     codebook distances, ties to the earlier centroid (first-minimum
-    ``array_position``). Pure whole-stage-codegen expressions — no UDF,
-    no shuffle; at 100 TB this is a map-only pass the optimizer can
-    pipeline into the scan."""
-    dist_groups = pq_dist_sql(books, f"element_at({vec_col}, {{i}})", flit)
+    ``array_position``). Pure codegen expressions — no UDF, no shuffle;
+    at 100 TB this is a map-only pass the optimizer can pipeline into
+    the scan.
+
+    The distances are built as ``aggregate(zip_with(subvec, centroid,
+    (x,c) -> (x−c)²), 0.0, +)`` — a LOOP in generated code rather than
+    an unrolled 64-term tree (which trips janino's 64 KB method limit
+    and falls back to interpreted eval). The left fold runs the exact
+    same IEEE addition sequence ``((0.0+t₁)+t₂)+…`` as the oracle's
+    unrolled ``pq_dist_sql`` string, so the doubles stay bit-identical."""
+    sub = len(books[0][0])
+
+    def _dist(j: int, cent: list[float]):
+        seg = F.slice(F.col(vec_col), j * sub + 1, sub)
+        lits = F.array(*[F.lit(float(v)) for v in cent])
+        sq = F.zip_with(
+            seg, lits, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
+
     d = df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         *[
-            F.expr(expr).alias(f"__d_{j}_{c}")
-            for j, dists in enumerate(dist_groups)
-            for c, expr in enumerate(dists)
+            _dist(j, cent).alias(f"__d_{j}_{c}")
+            for j, book in enumerate(books)
+            for c, cent in enumerate(book)
         ],
     )
     code_cols = []
-    for j, dists in enumerate(dist_groups):
-        names = ", ".join(f"__d_{j}_{c}" for c in range(len(dists)))
+    for j, book in enumerate(books):
+        names = ", ".join(f"__d_{j}_{c}" for c in range(len(book)))
         code_cols.append(
             F.expr(
                 f"CAST(array_position(array({names}), array_min(array({names}))) - 1 AS INT)"
             ).alias(f"code_{j}")
         )
-    return d.select(F.col(id_col), *code_cols)
+    return d.select(F.col(id_col), *[F.col(c) for c in extra_cols], *code_cols)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+    flit,
+    threshold: float = 0.35,
+    round_digits: int = 6,
+    max_cluster: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
+    k-means clusters over the embedding space, exact cosine only WITHIN
+    each cluster, drop every vector that has a lower-id neighbor at
+    cosine ≥ ``threshold`` in its cluster. Returns the KEPT (id,
+    cluster) rows.
+
+    ``books`` is a single-group PQ codebook (``pq_fit(m=1, k=…)``), so
+    cluster assignment is the same literal-centroid argmin codegen
+    expression as PQ coding — no UDF, map-only, and an SQL oracle
+    replays it bit-for-bit. The within-cluster self-join shuffles on the
+    cluster id; per-cluster pair work is O(cᵢ²), kept linear overall by
+    scaling k with corpus size (cluster population ≈ n/k). The
+    ``max_cluster`` guard bounds the degenerate case (every vector
+    identical → one cluster): only each cluster's first ``max_cluster``
+    members BY ID take part in pairing (windowed row_number riding the
+    join's own exchange, mirrored in the oracle as QUALIFY), so a
+    pathological cluster degrades to partial dedup instead of an O(n²)
+    job — same policy as the banded-LSH hot-bucket caps in
+    operators/dedup.py."""
+    if len(books) != 1:
+        raise ValueError("semantic_dedup expects a single-group codebook (m=1)")
+    assigned = pq_assign(
+        df, id_col, vec_col, books, flit, extra_cols=(vec_col,)
+    ).withColumnRenamed("code_0", "cluster")
+    # Materialize the assignment once: the self-join below would
+    # otherwise re-derive the k×d literal-centroid expression trees on
+    # BOTH sides (2× the distance work, and Catalyst chokes optimizing
+    # a join over two copies of those trees). At corpus scale the
+    # cluster assignment is a real pipeline stage you'd persist anyway
+    # — same policy as the connected-components rounds in
+    # operators/dedup.py.
+    assigned = assigned.localCheckpoint()
+    pool = assigned
+    if max_cluster is not None:
+        w = Window.partitionBy("cluster").orderBy(id_col)
+        pool = (
+            assigned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_cluster)
+            .drop("__rn")
+        )
+    a = pool.select(
+        "cluster",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_exact(F.col(vec_col)).alias("na"),
+    )
+    b = pool.select(
+        "cluster",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_exact(F.col(vec_col)).alias("nb"),
+    )
+    pairs = a.join(b, on="cluster").filter(F.col("id_a") < F.col("id_b"))
+    dropped = (
+        pairs.select(
+            "id_b",
+            F.round(
+                dot_exact(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_b")
+        .distinct()
+    )
+    return assigned.join(
+        dropped, assigned[id_col] == dropped["id_b"], "left_anti"
+    ).select(F.col(id_col), F.col("cluster"))
 
 
 def lsh_band_signatures(

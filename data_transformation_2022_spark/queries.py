@@ -2440,6 +2440,69 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_assign(e, "vec_id", "embedding", books, _flit)
 
 
+_SEMDEDUP_K = 16
+_SEMDEDUP_TAU = 0.35
+_SEMDEDUP_CAP = 10_000
+
+
+def _semantic_dedup_oracle() -> str:
+    """Re-fit the coarse centroids with the exact code path the Spark
+    query uses (deterministic rid-ordered sample), then replay in
+    DuckDB: literal-centroid argmin assignment, QUALIFY row_number cap,
+    within-cluster decimal-exact cosine, NOT-IN anti-join."""
+    from .operators.similarity import pq_dist_sql, pq_fit
+    from .session import get_spark
+
+    spark = get_spark()
+    emb = load_table(spark, _oracle_sf(), "embeddings")
+    books = pq_fit(emb, "vec_id", "embedding", m=1, k=_SEMDEDUP_K)
+    dists = pq_dist_sql(books, "embedding[{i}]", _flit)[0]
+    dist_cols = ", ".join(f"{e} AS d_{c}" for c, e in enumerate(dists))
+    names = ", ".join(f"d_{c}" for c in range(len(dists)))
+    return f"""WITH d AS (SELECT vec_id, embedding, {dist_cols} FROM embeddings),
+asg AS (SELECT vec_id, embedding,
+        CAST(list_position(list_value({names}),
+             list_min(list_value({names}))) - 1 AS INT) AS cluster FROM d),
+pool AS (SELECT * FROM asg QUALIFY ROW_NUMBER()
+         OVER (PARTITION BY cluster ORDER BY vec_id) <= {_SEMDEDUP_CAP}),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS qv, b.embedding AS cv
+          FROM pool a JOIN pool b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+elem AS (SELECT id_a, id_b, UNNEST(qv) AS qe, UNNEST(cv) AS ce FROM pairs),
+sums AS (SELECT id_a, id_b,
+    CAST(SUM(CAST(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS qq,
+    CAST(SUM(CAST(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS cc
+  FROM elem GROUP BY 1, 2),
+dropped AS (SELECT DISTINCT id_b FROM sums
+            WHERE ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) >= {_SEMDEDUP_TAU})
+SELECT vec_id, cluster FROM asg
+WHERE vec_id NOT IN (SELECT id_b FROM dropped)"""
+
+
+@register(
+    "sim_semantic_dedup",
+    _semantic_dedup_oracle,
+    tags=("similarity", "dedup", "pipeline"),
+)
+def q_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse k-means clusters over the
+    embedding space, exact cosine only within each cluster, drop any
+    vector with a lower-id neighbor at cosine ≥ τ. Cluster assignment
+    is the PQ-style literal-centroid argmin (pure codegen, map-only);
+    pair work is bounded per cluster by a windowed cap riding the
+    join's own exchange. Returns the kept (vec_id, cluster) rows."""
+    from .operators.similarity import pq_fit, semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_fit(e, "vec_id", "embedding", m=1, k=_SEMDEDUP_K)
+    return semantic_dedup(
+        e, "vec_id", "embedding", books, _flit,
+        threshold=_SEMDEDUP_TAU, max_cluster=_SEMDEDUP_CAP,
+    )
+
+
 @register("sim_lsh_neardup", None, tags=("similarity", "approx"))
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup via BANDED random-hyperplane LSH (4 bands ×

@@ -706,3 +706,56 @@ def test_gopher_rules_fire_individually(spark):
     assert rows[8]["n_words"] == 0 and rows[8]["sum_word_len"] == 0
     # empty doc: ratio gates pass vacuously (0 <= 0), word count fails
     assert not rows[8]["r_word_count"] and rows[8]["r_symbol_ratio"]
+
+
+def test_semantic_dedup_semantics(spark):
+    """Near-identical vectors in the same cluster collapse to the
+    minimum id; orthogonal vectors survive; the kept set carries its
+    cluster assignment."""
+    from data_transformation_2022_spark.operators.similarity import (
+        pq_fit,
+        semantic_dedup,
+    )
+    from data_transformation_2022_spark.queries import _flit
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0 -> dropped
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.999, 0.0, 0.0]),   # near-dup of 2 -> dropped
+        (4, [0.0, 0.0, 1.0, 0.0]),      # unique -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_fit(df, "vec_id", "embedding", m=1, k=2, fit_cap=100)
+    kept = semantic_dedup(
+        df, "vec_id", "embedding", books, _flit, threshold=0.95
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert 0 in ids and 2 in ids and 4 in ids
+    assert 1 not in ids and 3 not in ids
+
+
+def test_semantic_dedup_identical_vectors_bounded(spark):
+    """Degenerate skew gate: 10k identical vectors land in ONE cluster;
+    the windowed cap bounds pairing to the first ``max_cluster`` ids, so
+    the job completes quickly and dedups within the capped pool while
+    keeping everything beyond it (partial dedup, never O(n^2))."""
+    from data_transformation_2022_spark.operators.similarity import (
+        pq_fit,
+        semantic_dedup,
+    )
+    from data_transformation_2022_spark.queries import _flit
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0), F.lit(4.0)).alias("embedding"),
+    )
+    books = pq_fit(df, "vec_id", "embedding", m=1, k=4, fit_cap=500)
+    kept = semantic_dedup(
+        df, "vec_id", "embedding", books, _flit, threshold=0.9, max_cluster=100
+    )
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    # first 100 ids collapse to id 0; ids >= 100 sat out of pairing
+    assert ids[0] == 0 and len(ids) == 1 + (n - 100)
+    assert ids[1] == 100
