@@ -199,6 +199,135 @@ def gopher_rules(
     }
 
 
+def word_bigrams(df, id_col: str, text_col: str):
+    """One row per consecutive word bigram: (id, w1, w2), generated
+    NARROWLY per document (transform over the bound token array — no
+    join, no positional self-join). slice(transform(...), 1, size-1)
+    instead of a CASE: sequence(0, -1) would generate a DESCENDING
+    range for 1-token docs, and an empty array() branch can't
+    type-unify with array<struct>. get() not []: the 1-token probe
+    entry (sliced away anyway) would throw under ANSI indexing."""
+    from ..sources.readers import fan_out
+
+    toked = fan_out(df).select(
+        F.col(id_col), tokens_ws(F.lower(F.col(text_col))).alias("__toks")
+    )
+    return toked.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "slice(transform(sequence(0, greatest(size(__toks) - 2, 0)),"
+                " i -> struct(get(__toks, i) AS w1, get(__toks, i+1) AS w2)),"
+                " 1, greatest(size(__toks) - 1, 0))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def hashed_bigram_log_ratios(
+    target_counts: dict[int, int],
+    raw_counts: dict[int, int],
+    n_buckets: int,
+    k_smooth: int = 1,
+) -> dict[int, float]:
+    """Per-bucket log(p_target(b)/p_raw(b)) with add-k smoothing, done
+    ONCE in Python from the (metadata-sized) bucket count tables. Both
+    the Spark operator and the SQL oracle derive their own counts from
+    the data, then run their integer counts through THIS function — the
+    only transcendental (math.log) is evaluated by one implementation,
+    so the per-bucket ratios are bit-identical by construction while
+    each engine still independently computes everything data-shaped."""
+    import math
+
+    t_tot = sum(target_counts.values()) + k_smooth * n_buckets
+    r_tot = sum(raw_counts.values()) + k_smooth * n_buckets
+    return {
+        b: math.log((target_counts.get(b, 0) + k_smooth) / t_tot)
+        - math.log((raw_counts.get(b, 0) + k_smooth) / r_tot)
+        for b in range(n_buckets)
+    }
+
+
+def dsir_weights(
+    df,
+    id_col: str,
+    text_col: str,
+    target_col,
+    n_buckets: int = 256,
+    k_smooth: int = 1,
+    round_digits: int = 6,
+):
+    """DSIR-style importance weights (Xie et al. 2023): hashed-bigram
+    features, per-bucket log-likelihood ratio of a TARGET slice vs the
+    RAW corpus, per-document mean log-ratio as the selection weight.
+    Documents that look like the target distribution score high;
+    resample by weight to shift the corpus toward the target.
+
+    ``target_col`` is a boolean Column marking the target slice (e.g.
+    ``F.col("lang") == "en"``). Shape at scale: bigrams explode
+    narrowly; bucket counts are two ``n_buckets``-row aggregates
+    (map-side combined) collected as metadata; the scoring pass is one
+    groupBy(doc, bucket) + a broadcast join against the n_buckets-row
+    ratio table + one decimal-exact groupBy(doc) fold. Nothing
+    document-shaped ever sits on the driver.
+
+    Exactness contract: per-bucket counts are integers (engine-
+    portable); the log-ratios come from ``hashed_bigram_log_ratios``
+    (single Python implementation, see its docstring); each per-doc
+    term c·ratio is one IEEE double product folded in DECIMAL(28,18)
+    (order-independent), and only the final mean is a double division +
+    round — the same contract the cosine/fluency operators use.
+    """
+    spark = df.sparkSession
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), target_col.alias("__is_target")
+    )
+    bi = word_bigrams(flagged, id_col, text_col)
+    bucketed = bi.select(
+        F.col(id_col),
+        (
+            md5_prefix_long(F.concat_ws(" ", F.col("w1"), F.col("w2")), 15)
+            % n_buckets
+        ).alias("bucket"),
+    )
+    per_doc = bucketed.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    with_flag = per_doc.join(
+        flagged.select(F.col(id_col), "__is_target"), id_col
+    )
+    # two n_buckets-row count tables -> driver (metadata-sized)
+    agg = (
+        with_flag.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__is_target"), F.col("c")).otherwise(0)).alias("t"),
+            F.sum("c").alias("r"),
+        )
+        .collect()
+    )
+    target_counts = {int(row["bucket"]): int(row["t"]) for row in agg}
+    raw_counts = {int(row["bucket"]): int(row["r"]) for row in agg}
+    ratios = hashed_bigram_log_ratios(
+        target_counts, raw_counts, n_buckets, k_smooth
+    )
+    ratio_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, ratios[b]) for b in sorted(ratios)], "bucket bigint, lr double"
+        )
+    )
+    term = (F.col("c") * F.col("lr")).cast("decimal(28,18)")
+    return (
+        per_doc.join(ratio_df, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.sum(term).cast("double") / F.sum("c"), round_digits
+            ).alias("dsir_weight"),
+        )
+    )
+
+
 def bigram_fluency(df, id_col: str, text_col: str, k_smooth: int = 1):
     """Corpus-trained bigram fluency score per document — the
     model-free stand-in for perplexity filtering (CCNet-style quality
@@ -227,26 +356,7 @@ def bigram_fluency(df, id_col: str, text_col: str, k_smooth: int = 1):
     Returns (id_col, n_bigrams, fluency); documents with <2 tokens have
     no bigrams and are absent.
     """
-    from ..sources.readers import fan_out
-
-    toked = fan_out(df).select(
-        F.col(id_col), tokens_ws(F.lower(F.col(text_col))).alias("__toks")
-    )
-    # slice(transform(...), 1, size-1) instead of a CASE: sequence(0, -1)
-    # would generate a DESCENDING range for 1-token docs, and an empty
-    # array() branch can't type-unify with array<struct>. get() not []:
-    # the 1-token probe entry (sliced away anyway) would throw under
-    # ANSI indexing.
-    bi = toked.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "slice(transform(sequence(0, greatest(size(__toks) - 2, 0)),"
-                " i -> struct(get(__toks, i) AS w1, get(__toks, i+1) AS w2)),"
-                " 1, greatest(size(__toks) - 1, 0))"
-            )
-        ).alias("bg"),
-    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bi = word_bigrams(df, id_col, text_col)
     counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
     rowtot = counts.groupBy("w1").agg(F.sum("__c").alias("__rt"))
     vocab = (

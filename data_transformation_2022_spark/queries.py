@@ -3231,6 +3231,70 @@ def q_corpus_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_fluency(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_DSIR_BUCKETS = 256
+
+_DSIR_BI = f"""toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents),
+bi AS (SELECT doc_id, w[CAST(g AS INT)] AS w1, w[CAST(g AS INT) + 1] AS w2
+       FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(g)),
+bk AS (SELECT doc_id,
+              {_dd_md5_long("w1 || ' ' || w2", 15)} % {_DSIR_BUCKETS} AS bucket
+       FROM bi),
+pd AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2)"""
+
+
+def _dsir_oracle() -> str:
+    """Derive the per-bucket target/raw counts INDEPENDENTLY in DuckDB,
+    run the integer counts through the same single Python log-ratio
+    implementation the Spark operator uses (the only transcendental —
+    see functions/text.hashed_bigram_log_ratios), and inline the
+    ratios as literals for the per-document decimal-exact fold."""
+    import duckdb
+
+    from .functions.text import hashed_bigram_log_ratios
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_oracle_sf()}/documents.parquet')"
+    )
+    rows = con.execute(
+        f"""WITH {_DSIR_BI}
+        SELECT bucket,
+               SUM(CASE WHEN d.lang = 'en' THEN c ELSE 0 END) AS t,
+               SUM(c) AS r
+        FROM pd JOIN documents d USING (doc_id) GROUP BY bucket"""
+    ).fetchall()
+    con.close()
+    t = {int(b): int(tv) for b, tv, _ in rows}
+    r = {int(b): int(rv) for b, _, rv in rows}
+    ratios = hashed_bigram_log_ratios(t, r, _DSIR_BUCKETS)
+    values = ", ".join(f"({b}, {_flit(ratios[b])})" for b in sorted(ratios))
+    return f"""WITH {_DSIR_BI},
+ratio AS (SELECT * FROM (VALUES {values}) v(bucket, lr))
+SELECT pd.doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(c * lr AS DECIMAL(28,18))) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS dsir_weight
+FROM pd JOIN ratio ON pd.bucket = ratio.bucket
+GROUP BY pd.doc_id"""
+
+
+@register("corpus_dsir_weights", _dsir_oracle, tags=("text", "sampling", "pipeline"))
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): hashed-bigram
+    features (md5 → 256 buckets), per-bucket log-likelihood ratio of
+    the English slice vs the whole corpus, per-document mean log-ratio
+    as the resampling weight. Bucket counts are two 256-row aggregates
+    (metadata-sized); scoring is a broadcast join + decimal-exact
+    fold. The oracle derives its own counts and shares only the Python
+    log implementation — hash-exact across engines."""
+    from .functions.text import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        F.col("lang") == "en", n_buckets=_DSIR_BUCKETS,
+    )
+
+
 _SIMHASH_BANDS_SQL = "\n  UNION ALL ".join(
     f"SELECT doc_id, simhash, {b} AS band, (simhash // {2 ** (b * 8)}) % 256 AS bv FROM fps"
     for b in range(4)

@@ -759,3 +759,27 @@ def test_semantic_dedup_identical_vectors_bounded(spark):
     # first 100 ids collapse to id 0; ids >= 100 sat out of pairing
     assert ids[0] == 0 and len(ids) == 1 + (n - 100)
     assert ids[1] == 100
+
+
+def test_dsir_weights_separate_target(spark):
+    """Documents made of target-style bigrams outscore off-target
+    documents; the per-bucket ratios come from one shared Python log
+    implementation, so Spark's weights equal a numpy recomputation."""
+    from data_transformation_2022_spark.functions.text import dsir_weights
+
+    target_text = "spark shuffle join plan codegen scan"
+    other_text = "lorem ipsum dolor sit amet consectetur"
+    rows = (
+        [(i, target_text, True) for i in range(10)]
+        + [(100 + i, other_text, False) for i in range(10)]
+        + [(200, target_text, False), (201, other_text, False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_weights(df, "doc_id", "text", F.col("is_t")).collect()
+    }
+    # doc 200 repeats the target bigrams -> high weight;
+    # doc 201 repeats the raw-only bigrams -> low weight
+    assert out[200] > 0 > out[201]
+    assert out[200] == out[0] and out[201] == out[100]
