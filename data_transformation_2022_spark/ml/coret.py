@@ -190,11 +190,19 @@ def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
     """Seeded k-means++ init + Lloyd's on a driver sample. Deterministic."""
     rs = np.random.RandomState(seed)
     centers = [x[rs.randint(len(x))]]
+    # Incremental k-means++: keep the running min distance-to-chosen-set
+    # and fold in ONLY the newest center each round — O(k·n·d) instead
+    # of re-scanning all centers (O(k²·n·d), dominated fit time at
+    # k≳100). Bit-identical to the full rescan: each per-center
+    # distance row uses the same broadcast-subtract + last-axis
+    # pairwise sum, and an elementwise running np.minimum equals the
+    # axis-min over the full matrix exactly.
+    d2 = ((x - centers[0]) ** 2).sum(-1)
     for _ in range(k - 1):
-        d2 = np.min(((x[:, None, :] - np.array(centers)[None]) ** 2).sum(-1), axis=1)
         tot = d2.sum()
         idx = rs.choice(len(x), p=d2 / tot) if tot > 0 else rs.randint(len(x))
         centers.append(x[idx])
+        d2 = np.minimum(d2, ((x - x[idx]) ** 2).sum(-1))
     c = np.array(centers, dtype=float)
     for _ in range(iters):
         lab = ((x[:, None, :] - c[None]) ** 2).sum(-1).argmin(1)

@@ -474,40 +474,59 @@ def pq_assign(
     at 100 TB this is a map-only pass the optimizer can pipeline into
     the scan.
 
-    The distances are built as ``aggregate(zip_with(subvec, centroid,
-    (x,c) -> (x−c)²), 0.0, +)`` — a LOOP in generated code rather than
-    an unrolled 64-term tree (which trips janino's 64 KB method limit
-    and falls back to interpreted eval). The left fold runs the exact
-    same IEEE addition sequence ``((0.0+t₁)+t₂)+…`` as the oracle's
-    unrolled ``pq_dist_sql`` string, so the doubles stay bit-identical."""
+    Each group's codebook enters the plan as ONE nested-array literal
+    and the k distances come from a single ``transform(codebook, c ->
+    aggregate(zip_with(subvec, c, (x,cᵢ) -> (x−cᵢ)²), 0.0, +))`` — a
+    loop nest in generated code. An unrolled per-centroid expression
+    tree (k·d literal nodes) is numerically identical but made Catalyst
+    analysis O(seconds) per query at k≳100 and tripped janino's 64 KB
+    method limit into interpreted fallback; the literal form keeps the
+    plan node count O(m). The inner left fold runs the exact same IEEE
+    addition sequence ``((0.0+t₁)+t₂)+…`` as the oracle's unrolled
+    ``pq_dist_sql`` string, so the doubles stay bit-identical."""
     sub = len(books[0][0])
 
-    def _dist(j: int, cent: list[float]):
-        seg = F.slice(F.col(vec_col), j * sub + 1, sub)
-        lits = F.array(*[F.lit(float(v)) for v in cent])
-        sq = F.zip_with(
-            seg, lits, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+    def _dists_for(seg):
+        # real closure: a default-arg "lambda c, _seg=seg" would make
+        # pyspark bind _seg as a second lambda variable
+        return lambda c: F.aggregate(
+            F.zip_with(
+                seg, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
         )
-        return F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
 
-    d = df.select(
+    # Pre-project each subvector as a plain column: a slice expression
+    # INSIDE the transform lambda would re-evaluate (copy the array)
+    # once per centroid per row; a bound column reference is free.
+    m = len(books)
+    seg_of = {0: F.col(vec_col)} if m == 1 else {
+        j: F.col(f"__seg_{j}") for j in range(m)
+    }
+    base = df if m == 1 else df.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
         *[
-            _dist(j, cent).alias(f"__d_{j}_{c}")
-            for j, book in enumerate(books)
-            for c, cent in enumerate(book)
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(f"__seg_{j}")
+            for j in range(m)
         ],
     )
-    code_cols = []
+    sel = [F.col(id_col), *[F.col(c) for c in extra_cols]]
     for j, book in enumerate(books):
-        names = ", ".join(f"__d_{j}_{c}" for c in range(len(book)))
-        code_cols.append(
+        cb = F.lit([[float(v) for v in cent] for cent in book])
+        sel.append(F.transform(cb, _dists_for(seg_of[j])).alias(f"__dists_{j}"))
+    d = base.select(*sel)
+    return d.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        *[
             F.expr(
-                f"CAST(array_position(array({names}), array_min(array({names}))) - 1 AS INT)"
+                f"CAST(array_position(__dists_{j}, array_min(__dists_{j})) - 1 AS INT)"
             ).alias(f"code_{j}")
-        )
-    return d.select(F.col(id_col), *[F.col(c) for c in extra_cols], *code_cols)
+            for j in range(len(books))
+        ],
+    )
 
 
 def semantic_dedup(
@@ -573,8 +592,25 @@ def semantic_dedup(
         norm_exact(F.col(vec_col)).alias("nb"),
     )
     pairs = a.join(b, on="cluster").filter(F.col("id_a") < F.col("id_b"))
+    # Two-stage cosine: a cheap double-precision dot prunes the pair
+    # stream first; the DECIMAL-exact fold (the slow, engine-portable
+    # arithmetic the oracle replays) runs only on pairs within 1e-6 of
+    # the threshold boundary. The double fold's error over 64 unit-ish
+    # terms is ~1e-14 ≪ the margin, so every pair whose EXACT rounded
+    # cosine can reach the threshold survives the prefilter — the
+    # result set is bit-identical to the single-stage form, at a
+    # fraction of the decimal work.
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ) / (F.col("na") * F.col("nb"))
     dropped = (
-        pairs.select(
+        pairs.filter(approx >= F.lit(threshold - 1e-6))
+        .select(
             "id_b",
             F.round(
                 dot_exact(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),

@@ -2440,9 +2440,17 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_assign(e, "vec_id", "embedding", books, _flit)
 
 
-_SEMDEDUP_K = 16
 _SEMDEDUP_TAU = 0.35
 _SEMDEDUP_CAP = 10_000
+
+
+def _semdedup_k(n: int) -> int:
+    """Coarse cluster count for SemDeDup, scaled with corpus size so
+    expected cluster population (≈ n/k ≈ 128) — and with it the
+    within-cluster O((n/k)²) pair work per cluster — stays bounded as
+    the corpus grows. One count job, same policy as the auto-scaled
+    LSH planes; both engines derive the same n, hence the same k."""
+    return max(16, min(65_536, n // 128))
 
 
 def _semantic_dedup_oracle() -> str:
@@ -2455,7 +2463,10 @@ def _semantic_dedup_oracle() -> str:
 
     spark = get_spark()
     emb = load_table(spark, _oracle_sf(), "embeddings")
-    books = pq_fit(emb, "vec_id", "embedding", m=1, k=_SEMDEDUP_K)
+    k = _semdedup_k(emb.count())
+    books = pq_fit(
+        emb, "vec_id", "embedding", m=1, k=k, fit_cap=max(2000, 16 * k)
+    )
     dists = pq_dist_sql(books, "embedding[{i}]", _flit)[0]
     dist_cols = ", ".join(f"{e} AS d_{c}" for c, e in enumerate(dists))
     names = ", ".join(f"d_{c}" for c in range(len(dists)))
@@ -2496,7 +2507,10 @@ def q_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import pq_fit, semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    books = pq_fit(e, "vec_id", "embedding", m=1, k=_SEMDEDUP_K)
+    k = _semdedup_k(e.count())
+    books = pq_fit(
+        e, "vec_id", "embedding", m=1, k=k, fit_cap=max(2000, 16 * k)
+    )
     return semantic_dedup(
         e, "vec_id", "embedding", books, _flit,
         threshold=_SEMDEDUP_TAU, max_cluster=_SEMDEDUP_CAP,
@@ -4334,13 +4348,20 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIXED IVF coarse quantizer (every exact query in similarity.py rides
 # the edited file), the stacked-rank bigint/decimal fallback and
 # wide-PCA NaN handling, and the profiler's cached-profile entry path.
-# It then backfills ALL 33 remaining r03-stale exact rows (after r5
+# It then backfills the remaining r03-stale exact rows (after r5
 # nothing older exists except the rows-only scoring_scagnostics, which
-# has no oracle to attest). Everything not listed keeps registration
-# order after the prefix.
+# has no oracle to attest). Three late round-6 additions (gopher rules,
+# semantic dedup, DSIR weights) take the top slots; to keep the prefix
+# at the driver's 50, agg_group_count / agg_unpivot / io_csv_roundtrip
+# rotate out to round 7 (they stay green in the local strict run and
+# hold r1-r4 attestations — union coverage is unaffected). Everything
+# not listed keeps registration order after the prefix.
 
 _PRIORITY: list[str] = [
     # --- NEW in round 6 (first driver attestation) ---
+    "corpus_gopher_rules",  # Gopher rule-based quality gates
+    "sim_semantic_dedup",  # SemDeDup: cluster-bounded exact-cosine dedup
+    "corpus_dsir_weights",  # DSIR hashed-bigram importance weights
     "corpus_bigram_fluency",  # model-free perplexity-style quality score
     "corpus_balance_languages",  # data-driven per-language quota sampling
     "corpus_token_budget",  # budget-bounded best-first data selection
@@ -4360,9 +4381,7 @@ _PRIORITY: list[str] = [
     "basic_nominalize",  # shares the stacked path
     "profile_column_stats",  # profiler.py edited (cached-profile entry)
     # --- every remaining r03-stale exact row (33) ---
-    "agg_group_count",
     "agg_median_mode",
-    "agg_unpivot",
     "corpus_topk_docs_per_lang",
     "delta_upsert_merge",
     "distinct_domain",
@@ -4371,7 +4390,6 @@ _PRIORITY: list[str] = [
     "events_json_extract",
     "events_retention_cohort",
     "events_sessionize",
-    "io_csv_roundtrip",
     "join_3way_topk",
     "join_broadcast_dims",
     "join_full_outer_reconcile",
