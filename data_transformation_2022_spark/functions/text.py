@@ -534,3 +534,80 @@ def chunk_documents(
         F.length("chunk").alias("chunk_len"),
         F.md5(F.col("chunk")).alias("chunk_md5"),
     )
+
+
+def vocab_stats(df, id_col: str, text_col: str, k: int = 100):
+    """Corpus vocabulary accounting: per-token collection frequency
+    (total occurrences) and document frequency (documents containing
+    the token), top-``k`` by cf (token asc ties).
+
+    Two-level aggregation: tf per (doc, token) first, so document
+    frequency becomes a plain COUNT over the pre-shrunk per-doc table —
+    no COUNT DISTINCT expand, and both groupBys partial-aggregate
+    map-side before their shuffle (hot tokens combine inside each input
+    partition; only (token, partial) rows move). The result is
+    vocabulary-sized, then bounded by the top-k — a
+    TakeOrderedAndProject, never a global sort materialization.
+
+    Returns (token, cf, df)."""
+    from ..sources.readers import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("token"),
+    )
+    per_doc = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.count("*").alias("df"),
+        )
+        .orderBy(F.col("cf").desc(), "token")
+        .limit(k)
+    )
+
+
+def tfidf_topk_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-``k`` characteristic terms per document by a rational
+    tf-idf: ``tf * (2N - 2df + 1) / (2df + 1)`` — the BM25 idf shape
+    ``(N - df + .5) / (df + .5)`` cleared of halves so numerator and
+    denominator are exact integers. One double division of exactly-
+    representable integers + ROUND(.., 6) is bit-identical in any
+    IEEE engine, unlike a log() idf whose libm bits differ.
+
+    Plan shape: tf per (doc, token); df derived FROM the tf table (one
+    row per doc-token, so df is a plain COUNT); N is one metadata
+    scalar. The tf<->df join keys on token — the df side is one row per
+    key, so AQE's skew split handles stopword-heavy probe partitions,
+    and at test scale the vocabulary-sized build side auto-broadcasts.
+    The per-document top-k window partitions by document (bounded by
+    per-doc vocabulary, never a global sort).
+
+    Returns (id_col, token, tfidf, rank)."""
+    from pyspark.sql import Window
+
+    from ..sources.readers import fan_out
+
+    n_docs = df.count()
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "token").select(
+        F.col(id_col),
+        F.col("token"),
+        F.round(
+            (F.col("tf") * (2 * n_docs - 2 * F.col("df") + 1)).cast("double")
+            / (2 * F.col("df") + 1),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tfidf", "rank")
+    )

@@ -613,3 +613,31 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def dup_stats_by(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group duplication accounting — the report a dedup pass is
+    judged by: documents, distinct contents, and duplicate ratio per
+    ``group_col`` (source, crawl snapshot, language, ...).
+
+    Contents are compared by ``fingerprint64`` (whitespace-normalized
+    60-bit md5 prefix) so the distinct-count shuffle moves 8-byte keys,
+    never documents; two-level aggregation ((group, fp) then group)
+    keeps both shuffles partially aggregated — no COUNT DISTINCT expand.
+    The ratio is one double division of exact integers + ROUND, so it is
+    bit-stable cross-engine.
+
+    Returns (group_col, n_docs, n_unique, dup_ratio)."""
+    per_fp = (
+        fan_out(df)
+        .select(F.col(group_col), fingerprint64(F.col(text_col)).alias("__fp"))
+        .groupBy(group_col, "__fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_fp.groupBy(group_col).agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 6
+        ).alias("dup_ratio"),
+    )

@@ -4335,6 +4335,85 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_PD = f"""toks AS (SELECT doc_id, unnest({_DD_TOKS.format(t='text')}) AS token
+         FROM documents),
+pd AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2)"""
+
+
+@register(
+    "corpus_vocab_topk",
+    f"""WITH {_VOCAB_PD}
+       SELECT token, CAST(SUM(tf) AS BIGINT) AS cf, COUNT(*) AS df
+       FROM pd GROUP BY token ORDER BY cf DESC, token LIMIT 100""",
+    tags=("text", "pipeline"),
+)
+def q_corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary accounting: top-100 tokens by collection frequency
+    with document frequency — two partially-aggregated groupBys and a
+    TakeOrderedAndProject, never a global sort (see vocab_stats)."""
+    from .functions.text import vocab_stats
+
+    return vocab_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", k=100)
+
+
+@register(
+    "corpus_tfidf_topk",
+    f"""WITH {_VOCAB_PD},
+       dfreq AS (SELECT token, COUNT(*) AS df FROM pd GROUP BY token),
+       n AS (SELECT COUNT(*) AS n FROM documents),
+       s AS (SELECT pd.doc_id, pd.token,
+                    ROUND(CAST(pd.tf * (2 * n.n - 2 * dfreq.df + 1) AS DOUBLE)
+                          / (2 * dfreq.df + 1), 6) AS tfidf
+             FROM pd JOIN dfreq USING (token) CROSS JOIN n)
+       SELECT doc_id, token, tfidf, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, token) AS rank FROM s)
+       WHERE rank <= 3""",
+    tags=("text", "pipeline"),
+)
+def q_corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by rational tf-idf
+    (integer-exact BM25-shaped idf, one IEEE double division — bit-
+    stable cross-engine; see tfidf_topk_terms for the plan shape)."""
+    from .functions.text import tfidf_topk_terms
+
+    return tfidf_topk_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
+    "corpus_dup_stats",
+    f"""WITH fp AS (
+          SELECT source,
+                 {_dd_md5_long(f"array_to_string({_DD_TOKS.format(t='text')}, ' ')", 15)} AS fp
+          FROM documents),
+       g AS (SELECT source, fp, COUNT(*) AS n FROM fp GROUP BY 1, 2)
+       SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+              COUNT(*) AS n_unique,
+              ROUND(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_ratio
+       FROM g GROUP BY source""",
+    tags=("dedup", "pipeline"),
+)
+def q_corpus_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: fingerprint-keyed two-level
+    aggregation — 8-byte keys shuffle, documents never do."""
+    from .operators.dedup import dup_stats_by
+
+    return dup_stats_by(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+@register("corpus_bpe_merges", None, tags=("text", "pipeline", "iterative"))
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-merge training (8 word-level merges): iterative
+    corpus-wide pair counting + JVM lookbehind rewrite. No single-
+    statement SQL oracle exists for the fixpoint loop — exactness is
+    gated by the pytest that replays naive sequential BPE on the same
+    corpus and asserts identical merge tables
+    (tests/test_extensions.py::test_bpe_merges_match_naive)."""
+    from .operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(_t(spark, sf_dir, "documents"), "text", n_merges=8)
+
+
 # The correctness driver attests the first 50 registry entries per round.
 # Rounds 1-5 together attested every exact-oracle query at least once
 # (union coverage 120/120; after r5 every exact query's last attestation

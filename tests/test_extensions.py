@@ -783,3 +783,100 @@ def test_dsir_weights_separate_target(spark):
     # doc 201 repeats the raw-only bigrams -> low weight
     assert out[200] > 0 > out[201]
     assert out[200] == out[0] and out[201] == out[100]
+
+
+# --- BPE merge training ----------------------------------------------------
+
+
+def _naive_bpe(texts, n_merges=8, min_count=2):
+    """Sequential reference BPE: overlapping pair counts, (count desc,
+    w1, w2) argmax, left-to-right non-overlapping lookbehind rewrite —
+    the exact semantics bpe_train_merges distributes."""
+    from collections import Counter
+
+    seqs = [t.lower().split() for t in texts]
+    merges = []
+    for step in range(n_merges):
+        counts = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += 1
+        if not counts:
+            break
+        (w1, w2), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merged = w1 + " " + w2
+        merges.append((step, w1, w2, cnt, merged))
+        out = []
+        for s in seqs:
+            ns = []
+            for x in s:
+                if ns and ns[-1] == w1 and x == w2:
+                    ns[-1] = merged
+                else:
+                    ns.append(x)
+            out.append(ns)
+        seqs = out
+    return merges, seqs
+
+
+def test_bpe_merges_match_naive(spark, sf_dir):
+    """The distributed trainer's merge table equals the sequential
+    reference's, row for row, on the real sf0.001 corpus."""
+    from data_transformation_2022_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r.text for r in docs.select("text").collect()]
+    expect, _ = _naive_bpe(texts, n_merges=6)
+    got = [
+        (r.step, r.w1, r.w2, int(r.pair_count), r.merged)
+        for r in bpe_train_merges(docs, "text", n_merges=6).orderBy("step").collect()
+    ]
+    assert got == expect
+    assert len(got) == 6  # corpus is repetitive enough to sustain 6 merges
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    """Encoding with a learned merge list shrinks sequences by exactly
+    the number of merge applications, and overlapping runs resolve
+    left-first ('a a a' -> ['a a', 'a'])."""
+    from data_transformation_2022_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "b c b c"), (3, "x y z")], "id int, text string"
+    )
+    enc = {
+        r.id: (list(r.syms), r.n_syms)
+        for r in bpe_encode(df, "text", [("a", "a"), ("b", "c")])
+        .selectExpr("id", "__syms as syms", "n_syms")
+        .collect()
+    }
+    assert enc[1] == (["a a", "a", "b c"], 3)
+    assert enc[2] == (["b c", "b c"], 2)
+    assert enc[3] == (["x", "y", "z"], 3)
+
+
+def test_vocab_and_tfidf_shapes(spark, sf_dir):
+    """vocab_stats is bounded by k and cf >= df everywhere; tfidf ranks
+    are dense 1..k per document with no global sort in the vocab plan
+    (TakeOrderedAndProject, not a full Sort+Exchange materialization)."""
+    from data_transformation_2022_spark.functions.text import (
+        tfidf_topk_terms,
+        vocab_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = vocab_stats(docs, "doc_id", "text", k=10)
+    assert "TakeOrderedAndProject" in v._jdf.queryExecution().executedPlan().toString()
+    rows = v.collect()
+    assert len(rows) == 10 and all(r.cf >= r.df > 0 for r in rows)
+
+    t = tfidf_topk_terms(docs.limit(50), "doc_id", "text", k=3)
+    by_doc = {}
+    for r in t.collect():
+        by_doc.setdefault(r.doc_id, []).append(r.rank)
+    assert len(by_doc) == 50
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
