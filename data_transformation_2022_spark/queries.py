@@ -4433,8 +4433,11 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantic dedup, DSIR weights) take the top slots; to keep the prefix
 # at the driver's 50, agg_group_count / agg_unpivot / io_csv_roundtrip
 # rotate out to round 7 (they stay green in the local strict run and
-# hold r1-r4 attestations — union coverage is unaffected). Everything
-# not listed keeps registration order after the prefix.
+# hold r1-r4 attestations — union coverage is unaffected). The three
+# final round-6 exact additions (vocab/tf-idf/dup-stats) displace
+# events_sessionize / join_full_outer_reconcile / profile_outliers to
+# round 7 on the same reasoning. Everything not listed keeps
+# registration order after the prefix.
 
 _PRIORITY: list[str] = [
     # --- NEW in round 6 (first driver attestation) ---
@@ -4447,6 +4450,11 @@ _PRIORITY: list[str] = [
     "corpus_segment_dedup",  # keep-first exact substring dedup
     "pipeline_curate_corpus",  # the four new operators composed end-to-end
     "emb_pq_codes",  # product quantization, literal-codebook assignment
+    "corpus_vocab_topk",  # vocabulary cf/df accounting
+    "corpus_tfidf_topk",  # rational tf-idf characteristic terms
+    "corpus_dup_stats",  # per-source duplication report
+    # (corpus_bpe_merges is rows-only — pytest-gated vs naive sequential
+    # BPE, so it would waste an attestation slot like scoring_scagnostics)
     # --- code or oracle changed in round 6 ---
     "events_resample_ffill",  # per-key grid: operator + oracle changed
     "dedup_keep_best",  # max_by aggregation replaced the window pick
@@ -4468,13 +4476,10 @@ _PRIORITY: list[str] = [
     "events_funnel_ordered",
     "events_json_extract",
     "events_retention_cohort",
-    "events_sessionize",
     "join_3way_topk",
     "join_broadcast_dims",
-    "join_full_outer_reconcile",
     "join_range_cooccur",
     "join_skew_salted",
-    "profile_outliers",
     "set_intersect_except",
     "set_union_all",
     "stream_static_enrich",
