@@ -140,6 +140,24 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_rows(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(id, band, bh) rows: the k signature columns split into ``bands``
+    groups of k/bands, each group md5-condensed into one bucket hash —
+    shared by the self-join (lsh_candidate_pairs) and cross-corpus
+    (lsh_incremental_pairs) forms so both sides of any join band
+    identically."""
+    r = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * r + j}").cast("string") for j in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("bh"))
+        )
+    return sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -164,17 +182,7 @@ def lsh_candidate_pairs(
     the window's exchange satisfies the join's distribution
     requirement, and a degenerate bucket costs O(bucket) to count, not
     O(bucket²) to join."""
-    r = k // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * r + j}").cast("string") for j in range(r)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("bh"))
-        )
-    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
-    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
+    banded = _cap_buckets(_band_rows(sigs, id_col, k, bands), ["band", "bh"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -184,6 +192,42 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def lsh_incremental_pairs(
+    corpus_sigs: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Cross-corpus LSH candidate pairs: each NEW document against the
+    EXISTING corpus only — the incremental crawl-ingestion shape. Both
+    signature sets band identically (shared ``_band_rows``), then the
+    new slice's bands join the corpus's bands on (band, bh).
+
+    Why a dedicated form instead of unioning and self-joining: an
+    already-deduped 100 TB corpus re-pairs against itself O(n²/buckets)
+    every time a crawl slice arrives. Here corpus×corpus pairs are never
+    generated — join output is linear in the NEW slice's collisions, and
+    the corpus side arrives pre-banded (band rows are a persistable
+    byproduct of the corpus's own dedup pass, so steady-state ingestion
+    re-bands only the slice).
+
+    The hot-bucket cap applies to EACH side independently (the corpus
+    side's boilerplate buckets are the blow-up risk; a degenerate
+    all-identical slice is the same risk mirrored), exactly as the
+    oracle's per-side QUALIFY. Returns distinct (new_id, corpus_id)."""
+    cb = _cap_buckets(_band_rows(corpus_sigs, id_col, k, bands), ["band", "bh"], max_bucket)
+    nb = _cap_buckets(_band_rows(new_sigs, id_col, k, bands), ["band", "bh"], max_bucket)
+    return (
+        nb.withColumnRenamed(id_col, "new_id")
+        .join(cb.withColumnRenamed(id_col, "corpus_id"), ["band", "bh"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

@@ -4335,6 +4335,89 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "io_orc_roundtrip",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+              MIN(o_orderdate) AS first_date
+       FROM orders GROUP BY o_orderstatus""",
+    tags=("io", "orc"),
+)
+def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source path (the third columnar warehouse format after
+    parquet and the row sinks): write orders to ORC, read it back,
+    aggregate with decimal-exact sums. The oracle reads the ORIGINAL
+    parquet — the roundtrip must be lossless for ints/strings/decimals/
+    dates. ORC is a native Spark format, so the read-back still gets
+    predicate pushdown and column pruning."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_io/orders_orc_{tag}"
+    _t(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderdate").alias("first_date"),
+    )
+
+
+_CRAWL_KEY_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|crawl'), 1, 15))::BIGINT"
+    " % 1000000"
+)
+
+_INCR_LSH_SQL = f"""WITH toks AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, UNNEST({_DD_SHINGLES.format(w='w')}) AS sh FROM toks
+), hashed AS (
+  SELECT doc_id, {_dd_md5_long('sh', 8)} AS h FROM sh
+), sigs AS (
+  SELECT doc_id,
+{_mh_sig_cols()}
+  FROM hashed GROUP BY doc_id
+), banded0 AS (
+  {' UNION ALL '.join(_mh_bands)}
+), sided AS (
+  SELECT doc_id, band, bh, {_CRAWL_KEY_SQL} < 100000 AS is_new FROM banded0
+), nb AS (
+  SELECT doc_id, band, bh FROM sided WHERE is_new
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {_MAX_BAND_BUCKET}
+), cb AS (
+  SELECT doc_id, band, bh FROM sided WHERE NOT is_new
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {_MAX_BAND_BUCKET}
+)
+SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+FROM nb n JOIN cb c ON n.band = c.band AND n.bh = c.bh"""
+
+
+@register("dedup_incremental_lsh", _INCR_LSH_SQL, tags=("dedup", "pipeline"))
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-ingestion dedup: a deterministic 10% hash slice
+    plays the NEW crawl, the complement is the EXISTING corpus; banded
+    MinHash signatures on each side join cross-corpus only — no
+    corpus×corpus pairs, per-side hot-bucket caps (see
+    lsh_incremental_pairs for the 100 TB rationale)."""
+    from .operators.dedup import lsh_incremental_pairs, minhash_signatures
+    from .operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id").cast("string"), "crawl")
+    new_sigs = minhash_signatures(
+        docs.filter(bkt < 100_000), "doc_id", "text", k=_MINHASH_K
+    )
+    corpus_sigs = minhash_signatures(
+        docs.filter(bkt >= 100_000), "doc_id", "text", k=_MINHASH_K
+    )
+    return lsh_incremental_pairs(
+        corpus_sigs, new_sigs, "doc_id", k=_MINHASH_K, bands=4
+    )
+
+
 _VOCAB_PD = f"""toks AS (SELECT doc_id, unnest({_DD_TOKS.format(t='text')}) AS token
          FROM documents),
 pd AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2)"""
@@ -4436,8 +4519,11 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hold r1-r4 attestations — union coverage is unaffected). The three
 # final round-6 exact additions (vocab/tf-idf/dup-stats) displace
 # events_sessionize / join_full_outer_reconcile / profile_outliers to
-# round 7 on the same reasoning. Everything not listed keeps
-# registration order after the prefix.
+# round 7 on the same reasoning; the incremental-LSH + ORC additions
+# and the two queries riding the _band_rows banding refactor
+# (dedup_minhash_lsh, dedup_components) displace agg_median_mode /
+# distinct_domain / text_fuzzy_name_pairs / topk_by_value. Everything
+# not listed keeps registration order after the prefix.
 
 _PRIORITY: list[str] = [
     # --- NEW in round 6 (first driver attestation) ---
@@ -4453,6 +4539,10 @@ _PRIORITY: list[str] = [
     "corpus_vocab_topk",  # vocabulary cf/df accounting
     "corpus_tfidf_topk",  # rational tf-idf characteristic terms
     "corpus_dup_stats",  # per-source duplication report
+    "dedup_incremental_lsh",  # cross-corpus crawl-ingestion LSH
+    "io_orc_roundtrip",  # ORC sink + source, decimal-exact aggregate
+    "dedup_minhash_lsh",  # banding refactored into shared _band_rows
+    "dedup_components",  # rides the same refactor
     # (corpus_bpe_merges is rows-only — pytest-gated vs naive sequential
     # BPE, so it would waste an attestation slot like scoring_scagnostics)
     # --- code or oracle changed in round 6 ---
@@ -4468,10 +4558,8 @@ _PRIORITY: list[str] = [
     "basic_nominalize",  # shares the stacked path
     "profile_column_stats",  # profiler.py edited (cached-profile entry)
     # --- every remaining r03-stale exact row (33) ---
-    "agg_median_mode",
     "corpus_topk_docs_per_lang",
     "delta_upsert_merge",
-    "distinct_domain",
     "emb_quantize_int8",
     "events_funnel_ordered",
     "events_json_extract",
@@ -4483,8 +4571,6 @@ _PRIORITY: list[str] = [
     "set_intersect_except",
     "set_union_all",
     "stream_static_enrich",
-    "text_fuzzy_name_pairs",
-    "topk_by_value",
     "tpch_q10",
     "tpch_q14",
     "tpch_q16_notin",

@@ -352,3 +352,48 @@ def test_profiler_date_probe_partition_invariant(spark):
     for frame in (base, base.repartition(17), base.repartition(5, F.col("d"))):
         prof = profile_table(frame, cluster=False)
         assert prof.column("d").date_format is not None, frame
+
+
+def test_incremental_lsh_identical_docs_bounded(spark):
+    """Degenerate incremental ingestion: 10k identical docs split
+    new-vs-corpus — every band bucket on BOTH sides is oversized ->
+    dropped per side; the cross join emits nothing instead of ~25M
+    pairs (exact dedup handles literal duplicates)."""
+    from data_transformation_2022_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    docs = _identical_docs(spark, 10_000)
+    new = docs.filter("doc_id % 2 = 0")
+    corpus = docs.filter("doc_id % 2 = 1")
+    pairs = lsh_incremental_pairs(
+        minhash_signatures(corpus, "doc_id", "text"),
+        minhash_signatures(new, "doc_id", "text"),
+        "doc_id",
+    )
+    assert pairs.count() == 0
+
+
+def test_incremental_lsh_cross_only(spark):
+    """Near-dup pairs inside the corpus side (or inside the new side)
+    are never emitted — only new x corpus collisions."""
+    from data_transformation_2022_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, base), (2, base), (10, base), (11, base), (20, "zz " * 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.filter("doc_id < 10")       # 1, 2 (near-dups of each other)
+    corpus = df.filter("doc_id >= 10")   # 10, 11 (near-dups), 20 (unique)
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in lsh_incremental_pairs(
+            minhash_signatures(corpus, "doc_id", "text"),
+            minhash_signatures(new, "doc_id", "text"),
+            "doc_id",
+        ).collect()
+    }
+    assert got == {(1, 10), (1, 11), (2, 10), (2, 11)}
