@@ -1,0 +1,92 @@
+"""Z-order (Morton) interleaving for multi-dimensional data clustering.
+
+A 100 TB table range-partitioned on ONE column prunes scans only on
+that column. Interleaving the bits of two quantized dimensions into a
+single Morton key and clustering files by that key gives BOTH columns
+tight per-file min/max ranges, so parquet footer stats prune
+two-dimensional predicates — the layout trick behind Delta/Databricks
+OPTIMIZE ZORDER and the classic UB-tree (Bayer 1997). Everything here
+is pure integer/IEEE arithmetic (no UDF, map-only, codegen'd), so an
+SQL oracle reproduces the keys bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue(cx: Column, cy: Column, bits: int) -> Column:
+    """Interleave two ``bits``-wide non-negative integers into a
+    ``2·bits``-wide Morton key: x occupies the even bit positions, y the
+    odd. A flat sum of shift/mask terms — constant-folds into one
+    codegen expression, no join, no shuffle."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(cy, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(lambda a, b: a + b, terms)
+
+
+def zorder_extent_report(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    bucket_bits: int = 4,
+) -> DataFrame:
+    """Cluster rows by Morton key and report each z-bucket's bounding
+    box — the demonstration that z-clustering localizes BOTH dimensions
+    at once (each of the ``2^bucket_bits`` buckets covers a small
+    rectangle of the grid, so a file written per bucket prunes on either
+    column's min/max stats).
+
+    ``x_col`` must be integral — its cell comes from EXACT bigint
+    scaling ``(x - lo) * 2^bits div (hi - lo + 1)``, safe beyond 2^53
+    where a float path would corrupt keys. ``y_col`` may be floating:
+    IEEE scaling, the identical left-to-right expression on both
+    engines. Global min/max enter through a broadcast 1-row aggregate,
+    the z-key is a map-only expression, and the report is one
+    partially-aggregated groupBy over ``2^bucket_bits`` keys. At scale
+    the same key feeds ``df.repartitionByRange(z)`` +
+    ``sortWithinPartitions(z)`` before the parquet write; this report
+    stage is how you VERIFY the layout paid off (``extent_frac`` ≪ 1
+    per bucket)."""
+    cells = 1 << bits
+    bounds = df.agg(
+        F.min(x_col).alias("__xlo"),
+        F.max(x_col).alias("__xhi"),
+        F.min(y_col).alias("__ylo"),
+        F.max(y_col).alias("__yhi"),
+    )
+    b = df.crossJoin(F.broadcast(bounds))
+    cx = F.expr(
+        f"CAST((({x_col} - __xlo) * {cells}) div (__xhi - __xlo + 1) AS BIGINT)"
+    )
+    # y == hi lands exactly on cells; clamp into the top cell
+    cy = F.least(
+        F.lit(cells - 1).cast("bigint"),
+        F.floor(
+            (F.col(y_col) - F.col("__ylo"))
+            * F.lit(float(cells))
+            / (F.col("__yhi") - F.col("__ylo"))
+        ).cast("bigint"),
+    )
+    keyed = b.select(cx.alias("cx"), cy.alias("cy")).withColumn(
+        "zbucket",
+        F.shiftright(zvalue(F.col("cx"), F.col("cy"), bits), 2 * bits - bucket_bits),
+    )
+    frac = (
+        (F.max("cx") - F.min("cx") + F.lit(1))
+        * (F.max("cy") - F.min("cy") + F.lit(1))
+    ).cast("double") / F.lit(float(cells) * float(cells))
+    return keyed.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cx").alias("min_cx"),
+        F.max("cx").alias("max_cx"),
+        F.min("cy").alias("min_cy"),
+        F.max("cy").alias("max_cy"),
+        F.round(frac, 6).alias("extent_frac"),
+    )

@@ -1,0 +1,158 @@
+"""Deterministic cardinality sketches (KMV / k-minimum-values).
+
+COUNT(DISTINCT) is the classic 100 TB wall: the exact form shuffles
+every distinct key to one reducer per group. The KMV synopsis (Beyer et
+al., "On Synopses for Distinct-Value Estimation Under Multiset
+Operations", SIGMOD 2007) keeps only the k smallest hash values per
+group and estimates the cardinality as ``(k-1) / U_(k)`` where
+``U_(k)`` is the k-th minimum normalized to [0, 1). Unlike
+HyperLogLog-style sketches (whose register layouts differ per engine),
+KMV is *engine-portable by construction*: the sketch is literally "the
+k smallest md5 prefixes", so an SQL oracle reproduces the estimate
+bit-for-bit — and the sketch is MERGEABLE: the k smallest of a union of
+per-group sketches is exactly the union's sketch, which is why a
+1000-executor fleet can sketch partitions independently and combine
+metadata-sized results.
+
+Scale shape:
+
+* hashing is a map-only codegen'd expression (md5 prefix → 60-bit
+  bigint, the repo-wide idiom from functions/text.md5_prefix_long);
+* the distinct pass is a partially-aggregated groupBy on 8-byte keys —
+  map-side combine collapses duplicates before the shuffle;
+* per-group k-minimums run TWO-LEVEL: first the k smallest within each
+  (group, h % fan) sub-bucket — that window rides a 64-way-wider key so
+  no single reducer ever sees more than ~distinct/fan rows — then the k
+  smallest of the ≤ fan·k survivors per group. Exactly the global
+  k-minimums (each global top-k member is top-k within its sub-bucket),
+  never a per-group single-reducer sort over the full distinct set.
+
+The reference has no sketches (its COUNT DISTINCT is pandas nunique,
+reference search.py's domain profiling); this module is part of the
+extension surface a warehouse-scale engine needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_prefix_long
+
+# 60-bit hash space: md5_prefix_long(_, 15) is uniform on [0, 2^60).
+HASH_SPACE = float(1 << 60)
+# Sub-bucket fan-out for the two-level k-minimums (see module docstring).
+KMV_FAN = 64
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], key: Column, k: int = 64
+) -> DataFrame:
+    """The per-group KMV synopsis: the ``k`` smallest distinct 60-bit
+    hashes of ``key`` per group — (group_cols…, h) rows, ≤ k per group.
+    This IS the mergeable sketch: union sketches of disjoint slices,
+    re-take the k smallest, and you have the union's sketch."""
+    hashed = df.select(*group_cols, md5_prefix_long(key, 15).alias("h"))
+    d = hashed.groupBy(*group_cols, "h").agg(F.lit(1).alias("__one")).drop("__one")
+    sub = Window.partitionBy(*group_cols, F.col("h") % KMV_FAN).orderBy("h")
+    pruned = (
+        d.withColumn("__rn", F.row_number().over(sub))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    top = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        pruned.withColumn("__rn", F.row_number().over(top))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: exact count
+    when the group holds fewer than ``k`` hashes (the sketch saw the
+    whole domain), else ``(k-1) · 2^60 / h_(k)``. Pure arithmetic on the
+    metadata-sized sketch — this is the step a driver (or an SQL oracle)
+    replays bit-for-bit."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("hk").cast("double")
+    )
+    return agg.select(*group_cols, F.round(est, 6).alias("est_distinct"))
+
+
+def kmv_distinct_report(
+    df: DataFrame, group_cols: list[str], key: Column, k: int = 64
+) -> DataFrame:
+    """Sketch-vs-exact report per group: exact distinct (the expensive
+    thing the sketch replaces — computed here only to exhibit the
+    error), the KMV estimate, and the relative error. At production
+    scale you would keep only the estimate path."""
+    hashed = df.select(*group_cols, md5_prefix_long(key, 15).alias("h"))
+    exact = (
+        hashed.groupBy(*group_cols, "h")
+        .agg(F.lit(1).alias("__one"))
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = kmv_estimate(kmv_sketch(df, group_cols, key, k), group_cols, k)
+    joined = exact.join(est, group_cols)
+    rel = F.round(
+        F.abs(F.col("est_distinct") - F.col("n_exact").cast("double"))
+        / F.col("n_exact").cast("double"),
+        6,
+    )
+    return joined.select(
+        *group_cols, "n_exact", "est_distinct", rel.alias("rel_err")
+    )
+
+
+def kmv_union_report(
+    df: DataFrame, group_cols: list[str], key: Column, k: int = 64
+) -> DataFrame:
+    """The merge property, end-to-end: build PER-GROUP sketches, then
+    estimate the GLOBAL distinct count from the merged sketches alone —
+    the k smallest distinct hashes across all group sketches (≤ groups·k
+    rows ever touched past the sketch stage; the raw data contributes
+    only through the per-group sketches, exactly how a fleet combines
+    per-partition synopses). Returns one row: the number of merged
+    sketch rows, exact global distinct (for the error exhibit), the
+    merged-sketch estimate, and relative error."""
+    sketches = kmv_sketch(df, group_cols, key, k)
+    merged = sketches.select("h").distinct()
+    top = Window.orderBy("h")  # input bounded: ≤ groups·k sketch rows
+    global_sketch = (
+        merged.withColumn("__rn", F.row_number().over(top))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    agg = global_sketch.agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept")
+    )
+    n_sketch = sketches.agg(F.count(F.lit(1)).alias("n_sketch_rows"))
+    exact = (
+        df.select(md5_prefix_long(key, 15).alias("h"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("hk").cast("double")
+    )
+    joined = n_sketch.crossJoin(exact).crossJoin(agg.select(est.alias("__raw")))
+    rel = F.round(
+        F.abs(F.round(F.col("__raw"), 6) - F.col("n_exact").cast("double"))
+        / F.col("n_exact").cast("double"),
+        6,
+    )
+    return joined.select(
+        "n_sketch_rows",
+        "n_exact",
+        F.round("__raw", 6).alias("est_distinct"),
+        rel.alias("rel_err"),
+    )

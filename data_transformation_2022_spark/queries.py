@@ -4497,6 +4497,220 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_t(spark, sf_dir, "documents"), "text", n_merges=8)
 
 
+# --- KMV cardinality sketches (operators/sketches.py) ---------------------
+
+# Shared estimator fragment: (k-1) · 2^60 / h_(k), exact count when the
+# sketch saw the whole domain. 63.0 * 2^60 is exactly representable, so
+# the only rounding is the final IEEE division — identical cross-engine.
+_KMV_K = 64
+_KMV_EST = (
+    f"CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE) "
+    f"ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END"
+)
+_KMV_KEY_DD = _dd_md5_long(
+    "CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d')", 15
+)
+
+
+def _kmv_key_spark() -> F.Column:
+    return F.concat_ws(
+        "|", F.col("user_id").cast("string"), F.date_format("ts", "yyyy-MM-dd")
+    )
+
+
+@register(
+    "sketch_kmv_distinct",
+    f"""WITH keyed AS (SELECT event_type, {_KMV_KEY_DD} AS h FROM events),
+       d AS (SELECT DISTINCT event_type, h FROM keyed),
+       rk AS (SELECT event_type, h,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              FROM d),
+       sk AS (SELECT event_type, MAX(h) AS hk, COUNT(*) AS n_kept
+              FROM rk WHERE rn <= {_KMV_K} GROUP BY event_type),
+       ex AS (SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY event_type),
+       est AS (SELECT event_type, ROUND({_KMV_EST}, 6) AS est_distinct FROM sk)
+       SELECT ex.event_type, ex.n_exact, est.est_distinct,
+              ROUND(ABS(est.est_distinct - CAST(ex.n_exact AS DOUBLE))
+                    / CAST(ex.n_exact AS DOUBLE), 6) AS rel_err
+       FROM ex JOIN est USING (event_type)""",
+    tags=("sketch", "agg"),
+)
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event_type over (user_id, day)
+    keys — daily-active-user cardinality without shuffling the full
+    distinct set to one reducer per group (see operators/sketches.py
+    for the two-level k-minimums plan). The report exhibits exact vs
+    estimate vs relative error; the estimator arithmetic is replayed
+    bit-for-bit by the oracle."""
+    from .operators.sketches import kmv_distinct_report
+
+    return kmv_distinct_report(
+        _events(spark, sf_dir), ["event_type"], _kmv_key_spark(), k=_KMV_K
+    )
+
+
+@register(
+    "sketch_kmv_union",
+    f"""WITH keyed AS (SELECT event_type, {_KMV_KEY_DD} AS h FROM events),
+       d AS (SELECT DISTINCT event_type, h FROM keyed),
+       rk AS (SELECT event_type, h,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              FROM d),
+       sketches AS (SELECT event_type, h FROM rk WHERE rn <= {_KMV_K}),
+       merged AS (SELECT DISTINCT h FROM sketches),
+       gtop AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM merged),
+       gs AS (SELECT MAX(h) AS hk, COUNT(*) AS n_kept FROM gtop
+              WHERE rn <= {_KMV_K}),
+       ns AS (SELECT COUNT(*) AS n_sketch_rows FROM sketches),
+       ex AS (SELECT COUNT(DISTINCT h) AS n_exact FROM keyed)
+       SELECT ns.n_sketch_rows, ex.n_exact,
+              ROUND({_KMV_EST}, 6) AS est_distinct,
+              ROUND(ABS(ROUND({_KMV_EST}, 6) - CAST(ex.n_exact AS DOUBLE))
+                    / CAST(ex.n_exact AS DOUBLE), 6) AS rel_err
+       FROM ns CROSS JOIN ex CROSS JOIN gs""",
+    tags=("sketch", "agg"),
+)
+def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE: the global distinct-(user, day) estimate
+    computed from the per-event-type sketches alone — k smallest of the
+    union of sketches, the property that lets a fleet sketch partitions
+    independently and combine metadata-sized synopses. One row:
+    merged-input size, exact, estimate, relative error."""
+    from .operators.sketches import kmv_union_report
+
+    return kmv_union_report(
+        _events(spark, sf_dir), ["event_type"], _kmv_key_spark(), k=_KMV_K
+    )
+
+
+# --- Z-order clustering (functions/zorder.py) ------------------------------
+
+_Z_BITS = 10
+_Z_TERMS = " + ".join(
+    f"(((cx >> {i}) & 1) << {2 * i}) + (((cy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@register(
+    "io_zorder_cluster",
+    f"""WITH bounds AS (SELECT MIN(o_custkey) AS xlo, MAX(o_custkey) AS xhi,
+                              MIN(o_totalprice) AS ylo, MAX(o_totalprice) AS yhi
+                       FROM orders),
+       cells AS (SELECT
+           CAST(((o_custkey - xlo) * {1 << _Z_BITS}) // (xhi - xlo + 1) AS BIGINT) AS cx,
+           LEAST({(1 << _Z_BITS) - 1}, CAST(FLOOR((o_totalprice - ylo) * {float(1 << _Z_BITS)}
+                 / (yhi - ylo)) AS BIGINT)) AS cy
+         FROM orders CROSS JOIN bounds),
+       z AS (SELECT cx, cy, ({_Z_TERMS}) >> {2 * _Z_BITS - 4} AS zbucket FROM cells)
+       SELECT zbucket, COUNT(*) AS n,
+              MIN(cx) AS min_cx, MAX(cx) AS max_cx,
+              MIN(cy) AS min_cy, MAX(cy) AS max_cy,
+              ROUND(CAST((MAX(cx) - MIN(cx) + 1) * (MAX(cy) - MIN(cy) + 1) AS DOUBLE)
+                    / {float((1 << _Z_BITS) ** 2)}, 6) AS extent_frac
+       FROM z GROUP BY zbucket""",
+    tags=("io", "layout"),
+)
+def q_io_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering report over orders (o_custkey ×
+    o_totalprice): quantize both dimensions to a 1024-cell grid,
+    interleave bits into the Morton key, bucket by its top 4 bits, and
+    report each bucket's bounding box + covered-area fraction — the
+    verification stage of a ZORDER file layout (each bucket's tight
+    extent is what makes parquet min/max stats prune 2-D predicates).
+    Pure integer/IEEE codegen expressions; map-only plus one 16-key
+    groupBy."""
+    from .functions.zorder import zorder_extent_report
+
+    return zorder_extent_report(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice",
+        bits=_Z_BITS, bucket_bits=4,
+    )
+
+
+# --- BPE encode (the inference half of corpus_bpe_merges) ------------------
+
+# The shipped tokenizer artifact: the merge table corpus_bpe_merges
+# learns on this corpus (pytest-pinned against naive sequential BPE),
+# plus one STACKED merge — a pair of already-merged symbols — to
+# exercise recursive merging. A fixed artifact is exactly how encode
+# runs in production: train once, encode everywhere.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("table", "hash"),
+    ("part", "filter"),
+    ("customer", "join"),
+    ("merge", "group"),
+    ("slow", "key"),
+    ("vector", "small"),
+    ("big", "order"),
+    ("merge", "order"),
+    ("table hash", "part filter"),
+]
+# \x1f wraps every symbol (tokens are whitespace-split, so neither
+# sentinel can occur inside one); \x1e joins symbols for fingerprinting.
+_US, _RS = "\x1f", "\x1e"
+
+
+def _bpe_oracle() -> str:
+    toks = _DD_TOKS.format(t="text")
+    wrapped = f"CASE WHEN len({toks}) = 0 THEN '' ELSE '{_US}' || array_to_string({toks}, '{_US}{_US}') || '{_US}' END"
+    expr = wrapped
+    for w1, w2 in _BPE_MERGES:
+        pat = f"{_US}{w1}{_US}{_US}{w2}{_US}"
+        rep = f"{_US}{w1} {w2}{_US}"
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return f"""WITH enc AS (SELECT doc_id, {expr} AS w FROM documents)
+       SELECT doc_id,
+              CAST((LENGTH(w) - LENGTH(REPLACE(w, '{_US}', ''))) // 2 AS BIGINT) AS n_syms,
+              {_dd_md5_long(f"CASE WHEN w = '' THEN '' ELSE REPLACE(SUBSTR(w, 2, LENGTH(w) - 2), '{_US}{_US}', '{_RS}') END", 15)} AS syms_fp
+       FROM enc"""
+
+
+@register("corpus_bpe_encode", _bpe_oracle, tags=("text", "pipeline"))
+def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a fixed BPE merge table to the corpus (the inference half
+    of corpus_bpe_merges): per document, the encoded symbol count and a
+    fingerprint of the symbol sequence. The left-to-right
+    non-overlapping fold is equivalent to sentinel-delimited string
+    ``replace`` (a just-merged symbol can never re-trigger its own
+    pair), which is how the oracle replays it exactly. Map-only, no
+    shuffle — at 100 TB this pipelines into the scan."""
+    from .functions.text import md5_prefix_long
+    from .operators.bpe import bpe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(d, "text", _BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        F.col("n_syms").cast("bigint").alias("n_syms"),
+        md5_prefix_long(F.concat_ws(_RS, F.col("__syms")), 15).alias("syms_fp"),
+    )
+
+
+# --- stream–stream interval join (streaming/pipelines.py) ------------------
+
+
+@register(
+    "stream_stream_join",
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+              epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+       FROM events v JOIN events c
+         ON v.user_id = c.user_id
+        AND v.event_type = 'view' AND c.event_type = 'click'
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 3 HOURS""",
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream interval join (view → click attribution within 3
+    hours): two watermarked streams, event-time range condition bounding
+    the join state — drained output hash-matches the batch interval
+    join. Delay in exact integer microseconds."""
+    from .streaming.pipelines import stream_stream_join
+
+    return stream_stream_join(spark, sf_dir, window_hours=3,
+                              query_name="q_view_click_gate")
+
+
 # The correctness driver attests the first 50 registry entries per round.
 # Rounds 1-5 together attested every exact-oracle query at least once
 # (union coverage 120/120; after r5 every exact query's last attestation
@@ -4524,8 +4738,20 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (dedup_minhash_lsh, dedup_components) displace agg_median_mode /
 # distinct_domain / text_fuzzy_name_pairs / topk_by_value. Everything
 # not listed keeps registration order after the prefix.
+# Five continuation additions (KMV sketch + merge, z-order clustering,
+# BPE encode, stream-stream interval join) take the top slots — all
+# first-time exact queries needing their first attestation — displacing
+# the five prefix-tail entries (tpch_q3/q4_exists/q5/q6 and
+# window_range_frame) to round 7; each holds an r1-r4 attestation, so
+# union coverage is unaffected.
 
 _PRIORITY: list[str] = [
+    # --- NEW in the round-6 continuation (first driver attestation) ---
+    "sketch_kmv_distinct",  # KMV distinct-count sketch per group
+    "sketch_kmv_union",  # KMV merge property end-to-end
+    "io_zorder_cluster",  # Morton-key clustering extent report
+    "corpus_bpe_encode",  # fixed-artifact BPE encode (exact oracle)
+    "stream_stream_join",  # watermarked interval join, batch-exact
     # --- NEW in round 6 (first driver attestation) ---
     "corpus_gopher_rules",  # Gopher rule-based quality gates
     "sim_semantic_dedup",  # SemDeDup: cluster-bounded exact-cosine dedup

@@ -399,6 +399,75 @@ def stream_dedup_keys(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    window_hours: int = 3,
+    query_name: str = "view_click_attr",
+) -> DataFrame:
+    """Stream–stream interval join: each view event joined to the SAME
+    user's click events landing within ``window_hours`` after it — the
+    canonical attribution shape (impression × conversion). Both sides
+    are real streams with their own watermarks; the event-time range
+    condition is what lets Spark BOUND the join state (a view older
+    than watermark + window can never match a future click, so its
+    state row is dropped) — the property that keeps a 100 TB/day
+    two-stream join from accumulating unbounded state. Inner join,
+    append mode; the drained output hash-matches the batch interval
+    join an SQL oracle runs.
+
+    Delay is emitted in exact integer MICROSECONDS (both engines agree
+    bit-for-bit on epoch micros; the session timezone is pinned UTC)."""
+    views = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window_hours} HOURS")
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("view_ts"))).alias(
+            "delay_us"
+        ),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_to_parquet_sink(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> DataFrame:

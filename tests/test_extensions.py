@@ -880,3 +880,157 @@ def test_vocab_and_tfidf_shapes(spark, sf_dir):
         by_doc.setdefault(r.doc_id, []).append(r.rank)
     assert len(by_doc) == 50
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+
+
+# ---------------------------------------------------------------------------
+# round-6 continuation: KMV sketches / z-order / BPE encode / stream join
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_is_exact_k_minimums(spark):
+    """The two-level (sub-bucketed) k-minimums equals the brute-force k
+    smallest distinct hashes per group — the sub-bucket pruning is a
+    plan optimization, never an approximation."""
+    from data_transformation_2022_spark.functions.text import md5_prefix_long
+    from data_transformation_2022_spark.operators.sketches import kmv_sketch
+
+    df = spark.range(2000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "CAST(id % 700 AS STRING) AS key",
+    )
+    sk = kmv_sketch(df, ["g"], F.col("key"), k=32).toPandas()
+    brute = (
+        df.select("g", md5_prefix_long(F.col("key"), 15).alias("h"))
+        .distinct()
+        .toPandas()
+    )
+    for g in ("a", "b"):
+        expect = sorted(set(brute[brute.g == g].h))[:32]
+        got = sorted(sk[sk.g == g].h)
+        assert got == expect, g
+
+
+def test_kmv_estimate_accuracy_and_merge_property(spark):
+    """Estimate within 4 standard errors (stderr ~ 1/sqrt(k-1)) of a
+    5000-key domain, and the merged-sketch estimate equals the estimate
+    from the brute-force GLOBAL k smallest — the KMV merge property."""
+    from data_transformation_2022_spark.functions.text import md5_prefix_long
+    from data_transformation_2022_spark.operators.sketches import (
+        HASH_SPACE,
+        kmv_distinct_report,
+        kmv_union_report,
+    )
+
+    k = 64
+    df = spark.range(20000).selectExpr(
+        "CASE WHEN id % 4 = 0 THEN 'a' WHEN id % 4 = 1 THEN 'b' "
+        "WHEN id % 4 = 2 THEN 'c' ELSE 'd' END AS g",
+        "CAST(id % 5000 AS STRING) AS key",
+    )
+    rep = kmv_distinct_report(df, ["g"], F.col("key"), k=k).collect()
+    assert len(rep) == 4
+    for r in rep:
+        assert r["rel_err"] < 4.0 / (k - 1) ** 0.5, r
+
+    uni = kmv_union_report(df, ["g"], F.col("key"), k=k).collect()[0]
+    assert uni["n_exact"] == 5000
+    hashes = sorted(
+        r["h"]
+        for r in df.select(md5_prefix_long(F.col("key"), 15).alias("h"))
+        .distinct()
+        .collect()
+    )
+    expect = round((k - 1) * HASH_SPACE / float(hashes[k - 1]), 6)
+    assert uni["est_distinct"] == expect
+
+
+def test_zvalue_matches_python_interleave(spark):
+    """The Morton key expression reproduces the reference bit
+    interleave for exhaustive small values and boundary cells."""
+    from data_transformation_2022_spark.functions.zorder import zvalue
+
+    def py_z(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(x, y) for x in range(8) for y in range(8)]
+    pairs += [(1023, 1023), (0, 1023), (1023, 0), (512, 256)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zvalue(F.col("x"), F.col("y"), 10).alias("z")).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == py_z(x, y, 10), (x, y)
+
+
+def test_zorder_buckets_partition_and_localize(spark, sf_dir):
+    """Top-4-bit z-buckets fix 2 high bits of EACH dimension, so every
+    bucket's bounding box covers at most 1/16 of the grid — the
+    guarantee that makes the layout prune 2-D predicates. Buckets
+    partition the table exactly."""
+    from data_transformation_2022_spark.functions.zorder import zorder_extent_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = zorder_extent_report(orders, "o_custkey", "o_totalprice").collect()
+    assert sum(r["n"] for r in rep) == orders.count()
+    for r in rep:
+        assert r["extent_frac"] <= 1.0 / 16 + 1e-9, r
+        assert 0 <= r["zbucket"] < 16
+
+
+def test_bpe_encode_overlap_and_stacked_merges(spark):
+    """Left-to-right non-overlap ("a a a" -> ["a a", "a"]) and stacked
+    merges (a pair of already-merged symbols) both encode correctly."""
+    from data_transformation_2022_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "x y z w")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (list(r["__syms"]), r["n_syms"])
+        for r in bpe_encode(
+            docs, "text", [("a", "a"), ("x", "y"), ("z", "w"), ("x y", "z w")]
+        ).collect()
+    }
+    assert out[1] == (["a a", "a"], 2)
+    assert out[2] == (["x y z w"], 1)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The drained stream-stream interval join emits exactly the batch
+    interval-join pairs (append mode, inner join, both sides
+    watermarked)."""
+    from data_transformation_2022_spark.streaming.pipelines import stream_stream_join
+
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"], r["delay_us"])
+        for r in stream_stream_join(
+            spark, sf_dir, window_hours=3, query_name="t_ssj_gate"
+        ).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = e.filter("event_type = 'view'").selectExpr(
+        "user_id", "event_id AS view_id", "ts AS view_ts"
+    )
+    c = e.filter("event_type = 'click'").selectExpr(
+        "user_id AS c_user", "event_id AS click_id", "ts AS click_ts"
+    )
+    batch = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 3 HOURS")),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+    )
+    expect = {tuple(r) for r in batch.collect()}
+    assert got == expect and len(got) > 0
