@@ -153,3 +153,43 @@ def split_train_eval(
     cut = _threshold(eval_fraction)
     bucket = hash_bucket(key, salt)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    salt: str = "wps",
+) -> DataFrame:
+    """Sequential Poisson sampling (Ohlsson 1998): a weight-proportional
+    fixed-size sample via per-row priority ``u / w`` — ``u`` the row's
+    deterministic 60-bit md5 uniform, ``w`` its weight — keeping the k
+    SMALLEST priorities. The standard πps approximation used by survey
+    statisticians and, here, the "sample the corpus proportional to
+    quality score" step of a training-data mix.
+
+    Determinism/portability: ``u`` comes from the row KEY (stable under
+    retries, repartitioning, engine); the priority is ONE IEEE division
+    (``CAST(h AS DOUBLE) / w`` — identical bits on every engine, no
+    transcendental functions, unlike the exp-draw A-ES formulation
+    whose ``ln`` differs across libm builds). Ties broken on the key
+    hash itself.
+
+    Scale shape: priority is a map-only codegen'd expression; the k
+    smallest arrive via TakeOrderedAndProject (per-partition top-k then
+    a k-row merge) — never a global sort. Zero-or-negative weights are
+    excluded (a weight of 0 must mean "never sample")."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = md5_prefix_long(F.concat_ws("|", key, F.lit(salt)), _HASH_HEX_DIGITS)
+    # RAW division, no rounding: an IEEE quotient of exact inputs is
+    # bit-identical on every engine, while ROUND(x, 6) at ~1e14
+    # magnitudes differs in the last ulp between implementations
+    # (observed Spark HALF_UP-via-BigDecimal vs DuckDB 1 ulp apart).
+    pri = h.cast("double") / F.col(weight_col).cast("double")
+    ranked = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__h", h)
+        .withColumn("priority", pri)
+    )
+    return ranked.orderBy(F.col("priority"), F.col("__h")).limit(k).drop("__h")

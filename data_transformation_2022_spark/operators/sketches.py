@@ -45,14 +45,9 @@ HASH_SPACE = float(1 << 60)
 KMV_FAN = 64
 
 
-def kmv_sketch(
-    df: DataFrame, group_cols: list[str], key: Column, k: int = 64
-) -> DataFrame:
-    """The per-group KMV synopsis: the ``k`` smallest distinct 60-bit
-    hashes of ``key`` per group — (group_cols…, h) rows, ≤ k per group.
-    This IS the mergeable sketch: union sketches of disjoint slices,
-    re-take the k smallest, and you have the union's sketch."""
-    hashed = df.select(*group_cols, md5_prefix_long(key, 15).alias("h"))
+def _k_min(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Two-level per-group k smallest distinct values of column ``h``
+    (see module docstring for why two-level)."""
     d = hashed.groupBy(*group_cols, "h").agg(F.lit(1).alias("__one")).drop("__one")
     sub = Window.partitionBy(*group_cols, F.col("h") % KMV_FAN).orderBy("h")
     pruned = (
@@ -66,6 +61,17 @@ def kmv_sketch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], key: Column, k: int = 64
+) -> DataFrame:
+    """The per-group KMV synopsis: the ``k`` smallest distinct 60-bit
+    hashes of ``key`` per group — (group_cols…, h) rows, ≤ k per group.
+    This IS the mergeable sketch: union sketches of disjoint slices,
+    re-take the k smallest, and you have the union's sketch."""
+    hashed = df.select(*group_cols, md5_prefix_long(key, 15).alias("h"))
+    return _k_min(hashed, group_cols, k)
 
 
 def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
@@ -156,3 +162,69 @@ def kmv_union_report(
         F.round("__raw", 6).alias("est_distinct"),
         rel.alias("rel_err"),
     )
+
+
+def kmv_join_cardinality_report(
+    dfa: DataFrame,
+    key_a: Column,
+    dfb: DataFrame,
+    key_b: Column,
+    k: int = 64,
+) -> DataFrame:
+    """Join-cardinality estimation from sketches (the Beyer et al. 2007
+    multiset-operation algebra): estimate |distinct(A) ∩ distinct(B)|
+    from the two KMV sketches ALONE — the number a cost-based optimizer
+    wants before committing to a join strategy, obtained without
+    touching either table past its sketch pass.
+
+    K∪ = the k smallest of the merged sketches estimates the union
+    cardinality D∪; the fraction ρ of K∪ present in BOTH input sketches
+    estimates Jaccard(A, B); the intersection estimate is ρ · D∪. One
+    row out: exact distinct of each side and of the intersection (the
+    error exhibit), the estimate, relative error."""
+    ha = dfa.select(md5_prefix_long(key_a, 15).alias("h"))
+    hb = dfb.select(md5_prefix_long(key_b, 15).alias("h"))
+    ska = _k_min(ha, [], k)
+    skb = _k_min(hb, [], k)
+    # k smallest of the union of the two sketches (bounded: ≤ 2k rows)
+    merged = ska.union(skb).distinct()
+    top = Window.orderBy("h")
+    ku = (
+        merged.withColumn("__rn", F.row_number().over(top))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    both = ku.join(ska, "h", "semi").join(skb, "h", "semi")
+    agg = ku.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
+    nb = both.agg(F.count(F.lit(1)).alias("n_both"))
+    ex_a = ha.distinct().agg(F.count(F.lit(1)).alias("n_exact_a"))
+    ex_b = hb.distinct().agg(F.count(F.lit(1)).alias("n_exact_b"))
+    ex_i = (
+        ha.distinct()
+        .join(hb.distinct(), "h", "semi")
+        .agg(F.count(F.lit(1)).alias("n_exact_inter"))
+    )
+    raw_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("hk").cast("double")
+    )
+    est = F.col("n_both").cast("double") / F.lit(float(k)) * raw_union
+    joined = (
+        ex_a.crossJoin(ex_b)
+        .crossJoin(ex_i)
+        .crossJoin(agg)
+        .crossJoin(nb)
+        .select(
+            "n_exact_a",
+            "n_exact_b",
+            "n_exact_inter",
+            F.round(est, 6).alias("est_inter"),
+            F.round(
+                F.abs(F.round(est, 6) - F.col("n_exact_inter").cast("double"))
+                / F.greatest(F.col("n_exact_inter").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+    return joined

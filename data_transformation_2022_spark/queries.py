@@ -4583,6 +4583,71 @@ def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_kmv_join_card",
+    f"""WITH ha AS (SELECT DISTINCT {_dd_md5_long('CAST(o_custkey AS VARCHAR)', 15)} AS h FROM orders),
+       hb AS (SELECT DISTINCT {_dd_md5_long('CAST(c_custkey AS VARCHAR)', 15)} AS h FROM customer),
+       ska AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= {_KMV_K}),
+       skb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= {_KMV_K}),
+       merged AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)),
+       ku AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM merged) WHERE rn <= {_KMV_K}),
+       agg AS (SELECT MAX(h) AS hk, COUNT(*) AS n_kept FROM ku),
+       nb AS (SELECT COUNT(*) AS n_both FROM ku
+              WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+       exa AS (SELECT COUNT(*) AS n_exact_a FROM ha),
+       exb AS (SELECT COUNT(*) AS n_exact_b FROM hb),
+       exi AS (SELECT COUNT(*) AS n_exact_inter FROM ha WHERE h IN (SELECT h FROM hb)),
+       est AS (SELECT ROUND(CAST(n_both AS DOUBLE) / {float(_KMV_K)} * ({_KMV_EST}), 6) AS est_inter
+               FROM nb CROSS JOIN agg)
+       SELECT exa.n_exact_a, exb.n_exact_b, exi.n_exact_inter, est.est_inter,
+              ROUND(ABS(est.est_inter - CAST(exi.n_exact_inter AS DOUBLE))
+                    / GREATEST(CAST(exi.n_exact_inter AS DOUBLE), 1.0), 6) AS rel_err
+       FROM exa CROSS JOIN exb CROSS JOIN exi CROSS JOIN est""",
+    tags=("sketch", "join", "agg"),
+)
+def q_sketch_kmv_join_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from KMV sketches alone (orders ×
+    customer on custkey): union sketch → Jaccard fraction →
+    intersection estimate — the CBO's join-size input computed from two
+    metadata-sized synopses, never touching either table past its
+    sketch pass. Exact distincts alongside for the error exhibit."""
+    from .operators.sketches import kmv_join_cardinality_report
+
+    return kmv_join_cardinality_report(
+        _t(spark, sf_dir, "orders"), F.col("o_custkey").cast("string"),
+        _t(spark, sf_dir, "customer"), F.col("c_custkey").cast("string"),
+        k=_KMV_K,
+    )
+
+
+@register(
+    "sample_weighted_priority",
+    f"""WITH pri AS (
+         SELECT doc_id, n_chars,
+                {_dd_md5_long("CAST(doc_id AS VARCHAR) || '|wps'", 15)} AS h
+         FROM documents WHERE n_chars > 0),
+       p2 AS (SELECT doc_id, n_chars, h,
+                     CAST(h AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+              FROM pri)
+       SELECT doc_id, n_chars, priority FROM (
+         SELECT *, ROW_NUMBER() OVER (ORDER BY priority, h) AS rn FROM p2)
+       WHERE rn <= 100""",
+    tags=("sampling", "pipeline"),
+)
+def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson sampling (Ohlsson 1998): 100 documents drawn
+    with probability ∝ length via deterministic hash-uniform priorities
+    u/w — the weight-proportional "sample the corpus by quality" step,
+    reproducible across engines/retries/partitionings. TakeOrdered
+    top-k, never a global sort."""
+    from .operators.sampling import weighted_priority_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_priority_sample(d, ["doc_id"], "n_chars", k=100).select(
+        "doc_id", "n_chars", "priority"
+    )
+
+
 # --- Z-order clustering (functions/zorder.py) ------------------------------
 
 _Z_BITS = 10
@@ -4738,17 +4803,20 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (dedup_minhash_lsh, dedup_components) displace agg_median_mode /
 # distinct_domain / text_fuzzy_name_pairs / topk_by_value. Everything
 # not listed keeps registration order after the prefix.
-# Five continuation additions (KMV sketch + merge, z-order clustering,
-# BPE encode, stream-stream interval join) take the top slots — all
-# first-time exact queries needing their first attestation — displacing
-# the five prefix-tail entries (tpch_q3/q4_exists/q5/q6 and
-# window_range_frame) to round 7; each holds an r1-r4 attestation, so
-# union coverage is unaffected.
+# Seven continuation additions (KMV sketch/merge/join-cardinality,
+# weighted priority sampling, z-order clustering, BPE encode,
+# stream-stream interval join) take the top slots — all first-time
+# exact queries needing their first attestation — displacing the seven
+# prefix-tail entries (tpch_q22_antijoin/q2_corr_min/q3/q4_exists/q5/q6
+# and window_range_frame) to round 7; each holds an r1-r4 attestation,
+# so union coverage is unaffected.
 
 _PRIORITY: list[str] = [
     # --- NEW in the round-6 continuation (first driver attestation) ---
     "sketch_kmv_distinct",  # KMV distinct-count sketch per group
     "sketch_kmv_union",  # KMV merge property end-to-end
+    "sketch_kmv_join_card",  # join-cardinality estimate from sketches
+    "sample_weighted_priority",  # sequential Poisson (weight ∝ quality)
     "io_zorder_cluster",  # Morton-key clustering extent report
     "corpus_bpe_encode",  # fixed-artifact BPE encode (exact oracle)
     "stream_stream_join",  # watermarked interval join, batch-exact

@@ -1034,3 +1034,44 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     )
     expect = {tuple(r) for r in batch.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_weighted_priority_sample_proportional_and_stable(spark):
+    """Inclusion scales with weight (w=10 rows ~10x the w=1 rows in the
+    sample) and the selected id set is invariant under repartitioning —
+    the hash-priority, not the layout, decides."""
+    from data_transformation_2022_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    df = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id < 500 THEN 10 ELSE 1 END AS w"
+    )
+    got = weighted_priority_sample(df, ["id"], "w", k=200)
+    ids = {r["id"] for r in got.collect()}
+    heavy = sum(1 for i in ids if i < 500)
+    light = len(ids) - heavy
+    assert len(ids) == 200
+    assert heavy > 3 * light, (heavy, light)
+    ids2 = {
+        r["id"]
+        for r in weighted_priority_sample(
+            df.repartition(13, "id"), ["id"], "w", k=200
+        ).collect()
+    }
+    assert ids2 == ids
+
+
+def test_kmv_join_cardinality_known_overlap(spark):
+    """A = 0..999, B = 500..1499: exact fields are exact, and the
+    sketch-only intersection estimate lands within a generous
+    statistical bound of the true 500."""
+    from data_transformation_2022_spark.operators.sketches import (
+        kmv_join_cardinality_report,
+    )
+
+    a = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS k")
+    b = spark.range(500, 1500).selectExpr("CAST(id AS STRING) AS k")
+    r = kmv_join_cardinality_report(a, F.col("k"), b, F.col("k"), k=64).collect()[0]
+    assert (r["n_exact_a"], r["n_exact_b"], r["n_exact_inter"]) == (1000, 1000, 500)
+    assert abs(r["est_inter"] - 500) / 500 < 0.6, r["est_inter"]
