@@ -4736,19 +4736,21 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a fixed BPE merge table to the corpus (the inference half
     of corpus_bpe_merges): per document, the encoded symbol count and a
     fingerprint of the symbol sequence. The left-to-right
-    non-overlapping fold is equivalent to sentinel-delimited string
-    ``replace`` (a just-merged symbol can never re-trigger its own
-    pair), which is how the oracle replays it exactly. Map-only, no
-    shuffle — at 100 TB this pipelines into the scan."""
+    non-overlapping fold is equivalent to a sentinel-delimited string
+    ``replace`` chain (a just-merged symbol can never re-trigger its
+    own pair) — BOTH engines run that packed form (the array-fold twin
+    is pytest-pinned equivalent; the packed JVM string scan is ~10×
+    faster than the O(len²) fold). Map-only, no shuffle — at 100 TB
+    this pipelines into the scan."""
     from .functions.text import md5_prefix_long
-    from .operators.bpe import bpe_encode
+    from .operators.bpe import bpe_encode_packed
 
     d = _t(spark, sf_dir, "documents")
-    enc = bpe_encode(d, "text", _BPE_MERGES)
+    enc = bpe_encode_packed(d, "text", _BPE_MERGES)
     return enc.select(
         "doc_id",
-        F.col("n_syms").cast("bigint").alias("n_syms"),
-        md5_prefix_long(F.concat_ws(_RS, F.col("__syms")), 15).alias("syms_fp"),
+        "n_syms",
+        md5_prefix_long(F.col("syms"), 15).alias("syms_fp"),
     )
 
 

@@ -34,6 +34,9 @@ QUERIES = [
     "coret_tsne",
     "engine_recommend",
 ]
+_env = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+if _env:
+    QUERIES = [q.strip() for q in _env.split(",") if q.strip()]
 SFS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", "/tmp/spark_graft_sf1")]
 
 

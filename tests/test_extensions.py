@@ -1075,3 +1075,34 @@ def test_kmv_join_cardinality_known_overlap(spark):
     r = kmv_join_cardinality_report(a, F.col("k"), b, F.col("k"), k=64).collect()[0]
     assert (r["n_exact_a"], r["n_exact_b"], r["n_exact_inter"]) == (1000, 1000, 500)
     assert abs(r["est_inter"] - 500) / 500 < 0.6, r["est_inter"]
+
+
+def test_bpe_encode_packed_equals_fold(spark, sf_dir):
+    """The packed string-replace encoder and the array-fold encoder
+    produce identical symbol sequences on the real corpus (plus the
+    stacked/overlap edge docs)."""
+    from data_transformation_2022_spark.operators.bpe import (
+        PACK_JOIN,
+        bpe_encode,
+        bpe_encode_packed,
+    )
+    from data_transformation_2022_spark.queries import _BPE_MERGES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).union(
+        spark.createDataFrame(
+            [(100001, "a a a"), (100002, "table hash part filter slow key")],
+            "doc_id long, text string",
+        )
+    )
+    merges = _BPE_MERGES + [("a", "a")]
+    fold = {
+        r["doc_id"]: (r["n_syms"], PACK_JOIN.join(r["__syms"]))
+        for r in bpe_encode(docs, "text", merges).collect()
+    }
+    packed = {
+        r["doc_id"]: (r["n_syms"], r["syms"])
+        for r in bpe_encode_packed(docs, "text", merges).collect()
+    }
+    assert fold == packed and len(packed) == docs.count()
