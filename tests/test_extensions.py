@@ -1106,3 +1106,67 @@ def test_bpe_encode_packed_equals_fold(spark, sf_dir):
         for r in bpe_encode_packed(docs, "text", merges).collect()
     }
     assert fold == packed and len(packed) == docs.count()
+
+
+def test_zorder_layout_prunes_2d_box(spark, sf_dir, tmp_path):
+    """End-to-end skipping proof: write orders one partition per
+    z-bucket, answer a 2-D box predicate by reading ONLY the buckets
+    whose bounding box (from the extent report — the skipping index)
+    overlaps the query box, and get exactly the full-scan answer while
+    touching a fraction of the buckets."""
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.functions.zorder import zvalue
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bounds = orders.agg(
+        F.min("o_custkey").alias("xlo"), F.max("o_custkey").alias("xhi"),
+        F.min("o_totalprice").alias("ylo"), F.max("o_totalprice").alias("yhi"),
+    ).collect()[0]
+    cells = 1 << 10
+    b = orders.crossJoin(
+        F.broadcast(spark.createDataFrame([tuple(bounds)], "xlo long, xhi long, ylo double, yhi double"))
+    )
+    cx = F.expr(f"CAST(((o_custkey - xlo) * {cells}) div (xhi - xlo + 1) AS BIGINT)")
+    cy = F.least(
+        F.lit(cells - 1).cast("bigint"),
+        F.floor((F.col("o_totalprice") - F.col("ylo")) * F.lit(float(cells)) / (F.col("yhi") - F.col("ylo"))).cast("bigint"),
+    )
+    keyed = b.withColumn("cx", cx).withColumn("cy", cy).withColumn(
+        "zbucket", F.shiftright(zvalue(F.col("cx"), F.col("cy"), 10), 16)
+    )
+    out = str(tmp_path / "zorders")
+    keyed.write.partitionBy("zbucket").parquet(out)
+
+    # skipping index: per-bucket bounding boxes in RAW units
+    idx = {
+        r["zbucket"]: (r["lo_ck"], r["hi_ck"], r["lo_tp"], r["hi_tp"])
+        for r in keyed.groupBy("zbucket").agg(
+            F.min("o_custkey").alias("lo_ck"), F.max("o_custkey").alias("hi_ck"),
+            F.min("o_totalprice").alias("lo_tp"), F.max("o_totalprice").alias("hi_tp"),
+        ).collect()
+    }
+    ck_lo, ck_hi, tp_lo, tp_hi = 100, 400, 50_000.0, 150_000.0
+    hit = [
+        z for z, (a, b2, c, d) in idx.items()
+        if not (b2 < ck_lo or a > ck_hi or d < tp_lo or c > tp_hi)
+    ]
+    assert 0 < len(hit) < 16 // 2, hit  # the layout actually skips
+
+    pred = (
+        (F.col("o_custkey").between(ck_lo, ck_hi))
+        & (F.col("o_totalprice").between(tp_lo, tp_hi))
+    )
+    pruned = (
+        spark.read.parquet(out)
+        .filter(F.col("zbucket").isin(hit))
+        .filter(pred)
+        .agg(F.count(F.lit(1)), F.sum(F.col("o_totalprice").cast("decimal(18,6)")))
+        .collect()[0]
+    )
+    full = (
+        orders.filter(pred)
+        .agg(F.count(F.lit(1)), F.sum(F.col("o_totalprice").cast("decimal(18,6)")))
+        .collect()[0]
+    )
+    assert tuple(pruned) == tuple(full) and pruned[0] > 0
