@@ -116,3 +116,50 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return probe2.join(build2, [key, "__salt"], how).drop("__salt")
+
+
+def skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective join/groupBy key: the
+    ``top`` most frequent key values with counts and parts-per-million
+    share — the report that decides whether a key needs salting
+    (``salted_join``), AQE skew handling, or a broadcast.
+
+    One partially-aggregated groupBy (map-side combine collapses each
+    partition's repeats) + a ``top``-row TakeOrderedAndProject — never
+    a global sort. The ppm share is exact integer arithmetic."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = df.count()
+    ranked = (
+        counts.orderBy(F.col("n").desc(), F.col(key_col))
+        .limit(top)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col(key_col))
+        ))
+    )
+    return ranked.select(
+        "rank",
+        F.col(key_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"CAST((n * 1000000) div {max(total, 1)} AS BIGINT)").alias("ppm"),
+    )
+
+
+def merge_partial_rollup(
+    old: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge a MATERIALIZED rollup
+    (n, sum_value per key group) with the rollup of a new data slice —
+    counts add, decimal sums add — producing exactly the rollup a full
+    recompute over old∪delta would (partial aggregation is associative;
+    decimal addition is order-independent). This is the 100 TB ETL
+    pattern: the nightly pipeline re-aggregates only the new partition
+    and MERGEs, never rescanning the historical corpus. The merge
+    itself is one partially-aggregated groupBy over the two
+    metadata-sized aggregate tables."""
+    both = old.select(*keys, "n", "sum_value").unionByName(
+        delta.select(*keys, "n", "sum_value")
+    )
+    return both.groupBy(*keys).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_value").alias("sum_value"),
+    )

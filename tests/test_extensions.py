@@ -1170,3 +1170,25 @@ def test_zorder_layout_prunes_2d_box(spark, sf_dir, tmp_path):
         .collect()[0]
     )
     assert tuple(pruned) == tuple(full) and pruned[0] > 0
+
+
+def test_sketch_and_skew_plan_shapes(spark, sf_dir):
+    """Plan gates: the KMV per-group sketch path has NO single-partition
+    exchange (the two-level k-minimums ride sub-bucketed keys), and the
+    skew report ends in TakeOrderedAndProject, never a global sort."""
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.operators.relational import skew_report
+    from data_transformation_2022_spark.operators.sketches import (
+        kmv_distinct_report,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rep = kmv_distinct_report(e, ["event_type"], F.col("user_id").cast("string"))
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = skew_report(li, "l_suppkey", top=10)
+    plan2 = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan2
