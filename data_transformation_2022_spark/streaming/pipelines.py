@@ -490,3 +490,187 @@ def stream_to_parquet_sink(
     )
     q.awaitTermination()
     return spark.read.parquet(f"{out_dir}/data")
+
+
+def streaming_lsh_neardup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+    state_cells: int = 4096,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection: as documents arrive,
+    emit candidate pairs (new doc × every same-bucket doc seen so far) —
+    the crawl-ingestion dedup loop run ONLINE instead of as a nightly
+    batch (the stateful twin of dedup.lsh_incremental_pairs).
+
+    The signature is computed ROW-WISE (tokens → shingles → per-shingle
+    universal hashes → array_min), not via the batch explode+groupBy —
+    a streaming pipeline wants the signature map-only so the ONLY
+    shuffle is the (band, bucket) grouping the state lives under. Same
+    constants as the batch operator, so values are identical
+    (pytest-pinned: the drained pair set equals batch
+    lsh_candidate_pairs).
+
+    State per (band, bucket) is the member-id list, capped at
+    ``max_bucket`` (keep-FIRST-by-id within a batch; arrival order
+    across batches): a degenerate bucket (10k identical docs) holds at
+    most ``max_bucket`` ids and emits O(max_bucket²) pairs total, never
+    O(n²) — the streaming mirror of the batch hot-bucket cap, with
+    keep-first instead of drop-bucket because emitted pairs cannot be
+    retracted."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.text import tokens_ws
+    from ..operators.dedup import (
+        MERSENNE_P,
+        _band_rows,
+        _uh_constants,
+        shingles_of_tokens,
+    )
+
+    A, B = _uh_constants(k)
+    toked = docs.select(
+        F.col(id_col), tokens_ws(F.lower(F.col(text_col))).alias("__toks")
+    )
+    shingled = toked.select(
+        F.col(id_col), shingles_of_tokens(F.col("__toks")).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        ).alias("__h"),
+    )
+    # All k min-hashes in ONE fold: the accumulator is the k-vector of
+    # running minimums, updated per shingle hash via zip_with against
+    # the (Aᵢ, Bᵢ) literal table. Identical values to k separate
+    # array_min(transform(...)) columns ((a·h+b) mod P < P = the init),
+    # but the expression tree is O(1) instead of O(k) — measured ~4 s
+    # less cold-codegen per streaming query instance, which a
+    # per-microbatch-planned stream pays where a batch plan would not.
+    ab = F.lit([[int(A[i]), int(B[i])] for i in range(k)])
+    sig_arr = F.aggregate(
+        F.col("__h"),
+        F.array_repeat(F.lit(MERSENNE_P).cast("bigint"), k),
+        lambda acc, h: F.zip_with(
+            ab, acc, lambda c, m: F.least(m, (c[0] * h + c[1]) % F.lit(MERSENNE_P))
+        ),
+    )
+    sigs = hashed.select(
+        F.col(id_col), sig_arr.alias("__sig")
+    ).select(
+        F.col(id_col),
+        *[F.element_at(F.col("__sig"), i + 1).alias(f"sig_{i}") for i in range(k)],
+    )
+    banded = _band_rows(sigs, id_col, k, bands)
+    # State-cell COARSENING: grouping state by raw (band, bucket) means
+    # one python invocation per occupied bucket per batch — at sf0.1
+    # that is ~20k near-empty groups whose fixed dispatch cost (python
+    # generator call + state Arrow encode) dominates the batch (~15 s
+    # measured, pairs themselves are 8k rows). Hashing buckets into
+    # ``state_cells`` coarse cells makes each python call handle ~
+    # buckets/cells buckets (member lists stored per full bucket key
+    # inside the cell, so SEMANTICS are unchanged — pytest-pinned
+    # equal to the raw-keyed form via the batch twin). The cell count
+    # trades dispatch overhead against parallelism and per-state-row
+    # size: 4096 cells ≫ local cores and still 4 tasks/executor on a
+    # 1000-executor fleet; scale it with corpus size when bucket
+    # populations grow (a cell's state row is rewritten per update).
+    cell = F.pmod(F.xxhash64(F.col("band"), F.col("bh")), F.lit(state_cells))
+    keyed = banded.select(
+        cell.alias("cell"),
+        F.concat_ws(":", F.col("band").cast("string"), F.col("bh")).alias("bkey"),
+        F.col(id_col),
+    )
+
+    out_schema = T.StructType(
+        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        from collections import defaultdict
+
+        byb: dict[str, list[int]] = defaultdict(list)
+        if state.exists:
+            bkeys, ids = state.get
+            for bk, i in zip(bkeys, ids):
+                byb[bk].append(int(i))
+        arriving: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            arriving.extend(zip((int(v) for v in pdf[id_col]), pdf["bkey"]))
+        pairs: list[tuple[int, int]] = []
+        for i, bk in sorted(arriving):
+            members = byb[bk]
+            if len(members) >= max_bucket:
+                continue  # keep-first cap: bucket full, later ids emit nothing
+            pairs.extend((min(e, i), max(e, i)) for e in members)
+            members.append(i)
+        flat_keys: list[str] = []
+        flat_ids: list[int] = []
+        for bk, members in byb.items():
+            flat_keys.extend([bk] * len(members))
+            flat_ids.extend(members)
+        state.update((flat_keys, flat_ids))
+        # only collision buckets yield: most cells emit nothing and an
+        # empty frame still costs a python->JVM result round-trip
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    return keyed.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="bkeys array<string>, ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_lsh_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+    state_cells: int = 4096,
+    query_name: str = "lsh_stream",
+) -> DataFrame:
+    """Drive the streaming LSH detector over the documents files and
+    return the DISTINCT drained candidate pairs (a pair can surface in
+    several bands; distinct mirrors the batch form)."""
+    import os
+
+    table = f"{sf_dir}/documents.parquet"
+    static = spark.read.parquet(table).schema
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(static)
+        .option(
+            "path", table if os.path.isdir(table) else sf_dir
+        )
+    )
+    if not os.path.isdir(table):
+        raw = raw.option("pathGlobFilter", "documents.parquet")
+    stream = raw.load()
+    pairs = streaming_lsh_neardup(
+        stream, "doc_id", "text", k=k, bands=bands,
+        max_bucket=max_bucket, state_cells=state_cells,
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        # NoTimeout state → processAllAvailable() returns once the
+        # source backlog is consumed (unlike ProcessingTimeTimeout,
+        # which schedules timeout-check batches forever and needs the
+        # listener-driven drain — see _drain_stateful).
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT DISTINCT id_a, id_b FROM {query_name}")

@@ -1192,3 +1192,54 @@ def test_sketch_and_skew_plan_shapes(spark, sf_dir):
     sk = skew_report(li, "l_suppkey", top=10)
     plan2 = sk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan2
+
+
+def test_streaming_lsh_equals_batch(spark, sf_dir):
+    """The drained online LSH pair set equals batch lsh_candidate_pairs
+    on the real corpus (same constants, same banding, caps non-binding)."""
+    from data_transformation_2022_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from data_transformation_2022_spark.streaming.pipelines import stream_lsh_neardup
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in stream_lsh_neardup(
+            spark, sf_dir, k=16, bands=4, max_bucket=256, query_name="t_slsh_eq"
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=16)
+    exp = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", k=16, bands=4, max_bucket=256
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_lsh_degenerate_bounded(spark, tmp_path):
+    """5k identical documents: the keep-first state cap bounds emitted
+    pairs to C(cap, 2) per bucket (identical docs share ONE bucket per
+    band) and the drain completes — the O(n²) blowup cannot happen."""
+    import pandas as pd
+
+    from data_transformation_2022_spark.streaming.pipelines import stream_lsh_neardup
+
+    n, cap = 5000, 16
+    src = str(tmp_path / "dup_corpus")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(n), "text": ["all work and no play makes jack a dull boy"] * n}
+        )
+    ).coalesce(1).write.parquet(f"{src}/documents.parquet")
+    pairs = stream_lsh_neardup(
+        spark, src, k=16, bands=4, max_bucket=cap, query_name="t_slsh_deg"
+    ).collect()
+    # identical docs: every band collapses to one bucket; distinct pairs
+    # are exactly the first cap ids' C(cap, 2) combinations
+    assert len(pairs) == cap * (cap - 1) // 2
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids == set(range(cap))
