@@ -44,13 +44,18 @@ def zorder_extent_report(
     column's min/max stats).
 
     ``x_col`` must be integral — its cell comes from EXACT bigint
-    scaling ``(x - lo) * 2^bits div (hi - lo + 1)``, safe beyond 2^53
-    where a float path would corrupt keys. ``y_col`` may be floating:
-    IEEE scaling, the identical left-to-right expression on both
-    engines. Global min/max enter through a broadcast 1-row aggregate,
-    the z-key is a map-only expression, and the report is one
-    partially-aggregated groupBy over ``2^bucket_bits`` keys. At scale
-    the same key feeds ``df.repartitionByRange(z)`` +
+    WIDTH-form quantization ``(x - lo) div ceil(span / 2^bits)``: a
+    division only, no ``(x-lo)·2^bits`` multiply, so the arithmetic
+    cannot overflow int64 for ANY key range (the multiply form wraps
+    silently once the range reaches 2^53 — snowflake-style 63-bit ids
+    would produce garbage keys with no error). ``y_col`` may be
+    floating: IEEE scaling, the identical left-to-right expression on
+    both engines, with a constant-column guard (span 0 → cell 0; the
+    unguarded divide yields NULL in Spark but errors/∞ in other
+    engines). Global min/max enter through a broadcast 1-row
+    aggregate, the z-key is a map-only expression, and the report is
+    one partially-aggregated groupBy over ``2^bucket_bits`` keys. At
+    scale the same key feeds ``df.repartitionByRange(z)`` +
     ``sortWithinPartitions(z)`` before the parquet write; this report
     stage is how you VERIFY the layout paid off (``extent_frac`` ≪ 1
     per bucket)."""
@@ -62,17 +67,23 @@ def zorder_extent_report(
         F.max(y_col).alias("__yhi"),
     )
     b = df.crossJoin(F.broadcast(bounds))
+    # cell width w = ceil(span / cells) ≥ 1; cx = (x - lo) div w — exact
+    # for the full bigint domain (overflow-free: no scaling multiply)
     cx = F.expr(
-        f"CAST((({x_col} - __xlo) * {cells}) div (__xhi - __xlo + 1) AS BIGINT)"
+        f"CAST(({x_col} - __xlo)"
+        f" div ((__xhi - __xlo + {cells}) div {cells}) AS BIGINT)"
     )
-    # y == hi lands exactly on cells; clamp into the top cell
-    cy = F.least(
-        F.lit(cells - 1).cast("bigint"),
-        F.floor(
-            (F.col(y_col) - F.col("__ylo"))
-            * F.lit(float(cells))
-            / (F.col("__yhi") - F.col("__ylo"))
-        ).cast("bigint"),
+    # y == hi lands exactly on cells (clamp into the top cell); a
+    # constant column (yhi == ylo) maps every row to cell 0
+    cy = F.when(F.col("__yhi") == F.col("__ylo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(cells - 1).cast("bigint"),
+            F.floor(
+                (F.col(y_col) - F.col("__ylo"))
+                * F.lit(float(cells))
+                / (F.col("__yhi") - F.col("__ylo"))
+            ).cast("bigint"),
+        )
     )
     keyed = b.select(cx.alias("cx"), cy.alias("cy")).withColumn(
         "zbucket",

@@ -161,11 +161,27 @@ def bpe_encode_packed(
     Returns the input plus ``n_syms`` and ``syms`` (the PACK_JOIN-joined
     symbol string, ready for fingerprinting)."""
     toks = tokens_ws_lower(F.col(text_col))
-    wrapped = F.when(F.size(toks) == 0, F.lit("")).otherwise(
-        F.concat(
-            F.lit(PACK_WRAP),
-            F.array_join(toks, PACK_WRAP + PACK_WRAP),
-            F.lit(PACK_WRAP),
+    # Sentinel-injection guard: \x1f/\x1e are NOT regex whitespace, so a
+    # crawl document containing them would carry them INSIDE tokens,
+    # where they would forge bucket boundaries and silently diverge from
+    # the fold encoder (e.g. "a\x1fa a\x1fa" would false-merge across
+    # the token-internal sentinel). Raise rather than corrupt; callers
+    # with dirty corpora pre-clean or use the sentinel-free bpe_encode.
+    wrapped = F.when(
+        F.col(text_col).contains(PACK_WRAP) | F.col(text_col).contains(PACK_JOIN),
+        F.raise_error(
+            F.lit(
+                "bpe_encode_packed: text contains sentinel bytes \\x1f/\\x1e; "
+                "pre-clean the corpus or use the array-fold bpe_encode"
+            )
+        ),
+    ).otherwise(
+        F.when(F.size(toks) == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit(PACK_WRAP),
+                F.array_join(toks, PACK_WRAP + PACK_WRAP),
+                F.lit(PACK_WRAP),
+            )
         )
     )
     for w1, w2 in merges:

@@ -126,9 +126,18 @@ def skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
 
     One partially-aggregated groupBy (map-side combine collapses each
     partition's repeats) + a ``top``-row TakeOrderedAndProject — never
-    a global sort. The ppm share is exact integer arithmetic."""
+    a global sort. The ppm share is exact integer arithmetic; the total
+    derives from the counts aggregate inside the plan (no eager
+    ``df.count()`` action, no second scan of the table).
+
+    Deliberately orderBy().limit() + a window over the ``top``
+    survivors, NOT one global row_number window: the former plans as a
+    distributed TakeOrderedAndProject (per-partition top-k, k-row
+    merge) with the tiny window touching ≤ ``top`` rows, while a
+    single global window would single-reducer-sort the entire key
+    domain."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-    total = df.count()
+    total = counts.agg(F.sum("n").alias("__total"))
     ranked = (
         counts.orderBy(F.col("n").desc(), F.col(key_col))
         .limit(top)
@@ -136,11 +145,11 @@ def skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
             Window.orderBy(F.col("n").desc(), F.col(key_col))
         ))
     )
-    return ranked.select(
+    return ranked.crossJoin(F.broadcast(total)).select(
         "rank",
         F.col(key_col),
         F.col("n").cast("bigint").alias("n"),
-        F.expr(f"CAST((n * 1000000) div {max(total, 1)} AS BIGINT)").alias("ppm"),
+        F.expr("CAST((n * 1000000) div greatest(__total, 1) AS BIGINT)").alias("ppm"),
     )
 
 

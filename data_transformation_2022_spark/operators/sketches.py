@@ -74,6 +74,18 @@ def kmv_sketch(
     return _k_min(hashed, group_cols, k)
 
 
+def _kmv_raw_est(k: int) -> Column:
+    """The estimator over (hk, n_kept) columns: exact count when the
+    sketch saw the whole domain (n_kept < k), else (k−1)·2^60/h_(k).
+    ONE shared definition — the same arithmetic is mirrored verbatim by
+    the SQL oracles (queries._KMV_EST)."""
+    return F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("hk").cast("double")
+    )
+
+
 def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
     """Distinct-count estimate per group from a KMV sketch: exact count
     when the group holds fewer than ``k`` hashes (the sketch saw the
@@ -83,12 +95,7 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataF
     agg = sketch.groupBy(*group_cols).agg(
         F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept")
     )
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("hk").cast("double")
-    )
-    return agg.select(*group_cols, F.round(est, 6).alias("est_distinct"))
+    return agg.select(*group_cols, F.round(_kmv_raw_est(k), 6).alias("est_distinct"))
 
 
 def kmv_distinct_report(
@@ -145,12 +152,9 @@ def kmv_union_report(
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("hk").cast("double")
+    joined = n_sketch.crossJoin(exact).crossJoin(
+        agg.select(_kmv_raw_est(k).alias("__raw"))
     )
-    joined = n_sketch.crossJoin(exact).crossJoin(agg.select(est.alias("__raw")))
     rel = F.round(
         F.abs(F.round(F.col("__raw"), 6) - F.col("n_exact").cast("double"))
         / F.col("n_exact").cast("double"),
@@ -178,9 +182,14 @@ def kmv_join_cardinality_report(
     touching either table past its sketch pass.
 
     K∪ = the k smallest of the merged sketches estimates the union
-    cardinality D∪; the fraction ρ of K∪ present in BOTH input sketches
-    estimates Jaccard(A, B); the intersection estimate is ρ · D∪. One
-    row out: exact distinct of each side and of the intersection (the
+    cardinality D∪; the fraction ρ = n_both / |K∪| of K∪ present in
+    BOTH input sketches estimates Jaccard(A, B); the intersection
+    estimate is ρ · D∪. The denominator is |K∪| (= n_kept), NOT k:
+    when the union holds fewer than k distinct hashes the sketch IS
+    the whole domain and ρ must be exact — dividing by k there
+    underestimated a 10-element identical pair of sets at ~10/64 of
+    its true intersection (pytest-pinned small-domain case). One row
+    out: exact distinct of each side and of the intersection (the
     error exhibit), the estimate, relative error."""
     ha = dfa.select(md5_prefix_long(key_a, 15).alias("h"))
     hb = dfb.select(md5_prefix_long(key_b, 15).alias("h"))
@@ -204,12 +213,9 @@ def kmv_join_cardinality_report(
         .join(hb.distinct(), "h", "semi")
         .agg(F.count(F.lit(1)).alias("n_exact_inter"))
     )
-    raw_union = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("hk").cast("double")
-    )
-    est = F.col("n_both").cast("double") / F.lit(float(k)) * raw_union
+    est = (
+        F.col("n_both").cast("double") / F.col("n_kept").cast("double")
+    ) * _kmv_raw_est(k)
     joined = (
         ex_a.crossJoin(ex_b)
         .crossJoin(ex_i)

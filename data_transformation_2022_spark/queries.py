@@ -1657,13 +1657,28 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", k=_MINHASH_K)
 
 
-_mh_bands = []
-for _b in range(4):
-    _parts = " || '_' || ".join(f"sig_{_b * 4 + _j}::VARCHAR" for _j in range(4))
-    _mh_bands.append(
-        f"SELECT doc_id, {_b} AS band, md5({_parts}) AS bh FROM sigs"
-    )
-_MH_PAIRS_SQL = f"""WITH toks AS (
+def _mh_band_selects() -> list[str]:
+    """The banding projection fragments (4 bands × 4 sig columns) —
+    shared by every minhash oracle (self-join, streaming keep-first,
+    and cross-corpus incremental) so all of them provably band
+    identically."""
+    out = []
+    for b in range(4):
+        parts = " || '_' || ".join(f"sig_{b * 4 + j}::VARCHAR" for j in range(4))
+        out.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
+    return out
+
+
+def _mh_pairs_sql(cap_clause: str) -> str:
+    """The full minhash→band→capped-bucket→pair oracle pipeline, ONE
+    builder parameterized by the hot-bucket cap policy: the batch form
+    drops over-cap buckets (COUNT(*) OVER ≤ cap) while the streaming
+    form keeps each bucket's first cap members by id (ROW_NUMBER ≤ cap
+    — emitted pairs cannot be retracted online). Everything upstream of
+    the cap is shared so the two attestations provably test the same
+    shingle/hash/band pipeline."""
+    bands = _mh_band_selects()
+    return f"""WITH toks AS (
   SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
 ), sh AS (
   SELECT doc_id, UNNEST({_DD_SHINGLES.format(w='w')}) AS sh FROM toks
@@ -1674,13 +1689,18 @@ _MH_PAIRS_SQL = f"""WITH toks AS (
 {_mh_sig_cols()}
   FROM hashed GROUP BY doc_id
 ), banded0 AS (
-  {' UNION ALL '.join(_mh_bands)}
+  {' UNION ALL '.join(bands)}
 ), banded AS (
   SELECT doc_id, band, bh FROM banded0
-  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {_MAX_BAND_BUCKET}
+  QUALIFY {cap_clause}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
+
+
+_MH_PAIRS_SQL = _mh_pairs_sql(
+    f"COUNT(*) OVER (PARTITION BY band, bh) <= {_MAX_BAND_BUCKET}"
+)
 
 
 @register("dedup_minhash_lsh", _MH_PAIRS_SQL, tags=("dedup",))
@@ -4381,7 +4401,7 @@ _INCR_LSH_SQL = f"""WITH toks AS (
 {_mh_sig_cols()}
   FROM hashed GROUP BY doc_id
 ), banded0 AS (
-  {' UNION ALL '.join(_mh_bands)}
+  {' UNION ALL '.join(_mh_band_selects())}
 ), sided AS (
   SELECT doc_id, band, bh, {_CRAWL_KEY_SQL} < 100000 AS is_new FROM banded0
 ), nb AS (
@@ -4597,7 +4617,7 @@ def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
        exa AS (SELECT COUNT(*) AS n_exact_a FROM ha),
        exb AS (SELECT COUNT(*) AS n_exact_b FROM hb),
        exi AS (SELECT COUNT(*) AS n_exact_inter FROM ha WHERE h IN (SELECT h FROM hb)),
-       est AS (SELECT ROUND(CAST(n_both AS DOUBLE) / {float(_KMV_K)} * ({_KMV_EST}), 6) AS est_inter
+       est AS (SELECT ROUND(CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) * ({_KMV_EST}), 6) AS est_inter
                FROM nb CROSS JOIN agg)
        SELECT exa.n_exact_a, exb.n_exact_b, exi.n_exact_inter, est.est_inter,
               ROUND(ABS(est.est_inter - CAST(exi.n_exact_inter AS DOUBLE))
@@ -4663,9 +4683,11 @@ _Z_TERMS = " + ".join(
                               MIN(o_totalprice) AS ylo, MAX(o_totalprice) AS yhi
                        FROM orders),
        cells AS (SELECT
-           CAST(((o_custkey - xlo) * {1 << _Z_BITS}) // (xhi - xlo + 1) AS BIGINT) AS cx,
-           LEAST({(1 << _Z_BITS) - 1}, CAST(FLOOR((o_totalprice - ylo) * {float(1 << _Z_BITS)}
-                 / (yhi - ylo)) AS BIGINT)) AS cy
+           CAST((o_custkey - xlo)
+                // ((xhi - xlo + {1 << _Z_BITS}) // {1 << _Z_BITS}) AS BIGINT) AS cx,
+           CASE WHEN yhi = ylo THEN 0
+                ELSE LEAST({(1 << _Z_BITS) - 1}, CAST(FLOOR((o_totalprice - ylo) * {float(1 << _Z_BITS)}
+                     / (yhi - ylo)) AS BIGINT)) END AS cy
          FROM orders CROSS JOIN bounds),
        z AS (SELECT cx, cy, ({_Z_TERMS}) >> {2 * _Z_BITS - 4} AS zbucket FROM cells)
        SELECT zbucket, COUNT(*) AS n,
@@ -4819,34 +4841,14 @@ def q_agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_stream_oracle() -> str:
-    """The batch replay of the ONLINE LSH detector: identical minhash/
-    banding fragments as _MH_PAIRS_SQL, but the hot-bucket cap is
-    keep-FIRST-by-id (QUALIFY row_number ≤ cap) instead of drop-bucket —
-    emitted pairs cannot be retracted in a stream, so the streaming cap
-    keeps each bucket's first ``max_bucket`` members; on a single-batch
-    drain arrival order is id order, making this SQL exact."""
-    bands = []
-    for b in range(4):
-        parts = " || '_' || ".join(f"sig_{b * 4 + j}::VARCHAR" for j in range(4))
-        bands.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
-    return f"""WITH toks AS (
-  SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
-), sh AS (
-  SELECT doc_id, UNNEST({_DD_SHINGLES.format(w='w')}) AS sh FROM toks
-), hashed AS (
-  SELECT doc_id, {_dd_md5_long('sh', 8)} AS h FROM sh
-), sigs AS (
-  SELECT doc_id,
-{_mh_sig_cols()}
-  FROM hashed GROUP BY doc_id
-), banded0 AS (
-  {' UNION ALL '.join(bands)}
-), banded AS (
-  SELECT doc_id, band, bh FROM banded0
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id) <= {_MAX_BAND_BUCKET}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
+    """The batch replay of the ONLINE LSH detector: the shared
+    ``_mh_pairs_sql`` pipeline with the keep-FIRST-by-id cap (see that
+    builder's docstring); on a single-batch drain arrival order is id
+    order, making this SQL exact."""
+    return _mh_pairs_sql(
+        f"ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id)"
+        f" <= {_MAX_BAND_BUCKET}"
+    )
 
 
 @register(

@@ -1076,6 +1076,13 @@ def test_kmv_join_cardinality_known_overlap(spark):
     assert (r["n_exact_a"], r["n_exact_b"], r["n_exact_inter"]) == (1000, 1000, 500)
     assert abs(r["est_inter"] - 500) / 500 < 0.6, r["est_inter"]
 
+    # small-domain regression: union < k means every sketch is the whole
+    # domain — the estimate must be EXACT (the n_both/k denominator bug
+    # gave ~10/64 of the truth here)
+    s = spark.range(0, 10).selectExpr("CAST(id AS STRING) AS k")
+    r2 = kmv_join_cardinality_report(s, F.col("k"), s, F.col("k"), k=64).collect()[0]
+    assert r2["n_exact_inter"] == 10 and r2["est_inter"] == 10.0 and r2["rel_err"] == 0.0
+
 
 def test_bpe_encode_packed_equals_fold(spark, sf_dir):
     """The packed string-replace encoder and the array-fold encoder
@@ -1127,7 +1134,9 @@ def test_zorder_layout_prunes_2d_box(spark, sf_dir, tmp_path):
     b = orders.crossJoin(
         F.broadcast(spark.createDataFrame([tuple(bounds)], "xlo long, xhi long, ylo double, yhi double"))
     )
-    cx = F.expr(f"CAST(((o_custkey - xlo) * {cells}) div (xhi - xlo + 1) AS BIGINT)")
+    cx = F.expr(
+        f"CAST((o_custkey - xlo) div ((xhi - xlo + {cells}) div {cells}) AS BIGINT)"
+    )
     cy = F.least(
         F.lit(cells - 1).cast("bigint"),
         F.floor((F.col("o_totalprice") - F.col("ylo")) * F.lit(float(cells)) / (F.col("yhi") - F.col("ylo"))).cast("bigint"),
