@@ -611,3 +611,19 @@ def tfidf_topk_terms(df, id_col: str, text_col: str, k: int = 3):
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tfidf", "rank")
     )
+
+
+def clean_control_chars(text: Column) -> Column:
+    """Corpus pre-clean: control bytes → space, whitespace collapsed,
+    ends trimmed — the sanitation step crawl text needs before
+    sentinel-delimited processing (``bpe_encode_packed`` REFUSES dirty
+    input rather than corrupt silently; this is the cleaner it points
+    at). Two codegen'd regexp passes, map-only.
+
+    Engine-portability detail: the control class strips ``\\x0b``
+    (vertical tab) and ``\\r`` explicitly because Java regex ``\\s``
+    includes ``\\x0b`` while RE2's does not — after this pass the only
+    whitespace left is space/tab/newline, on which both engines'
+    ``\\s+`` agree, so an SQL oracle replays the cleanup exactly."""
+    stripped = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", " ")
+    return F.trim(F.regexp_replace(stripped, "\\s+", " "))

@@ -4872,6 +4872,39 @@ def q_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DD_CLEAN = (
+    "trim(regexp_replace(regexp_replace(text,"
+    " '[\\x00-\\x08\\x0b-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "corpus_clean_text",
+    f"""SELECT doc_id,
+              {_dd_md5_long(_DD_CLEAN, 15)} AS clean_fp,
+              LENGTH({_DD_CLEAN}) AS n_chars_clean,
+              {_DD_CLEAN} <> text AS changed
+       FROM documents""",
+    tags=("text", "pipeline"),
+)
+def q_corpus_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text sanitation (the pre-clean bpe_encode_packed points
+    at): control bytes → space, whitespace collapsed, ends trimmed —
+    two map-only regexp passes whose character classes are chosen so
+    Java regex and RE2 agree (see clean_control_chars). Emits the
+    cleaned-content fingerprint, length, and a changed flag."""
+    from .functions.text import clean_control_chars, md5_prefix_long
+
+    d = _t(spark, sf_dir, "documents")
+    clean = clean_control_chars(F.col("text"))
+    return d.select(
+        "doc_id",
+        md5_prefix_long(clean, 15).alias("clean_fp"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+        (clean != F.col("text")).alias("changed"),
+    )
+
+
 # --- stream–stream interval join (streaming/pipelines.py) ------------------
 
 
@@ -4942,6 +4975,7 @@ _PRIORITY: list[str] = [
     "profile_skew_report",  # heavy-hitter key diagnostic
     "agg_incremental_rollup",  # merged partials == full recompute
     "stream_lsh_neardup",  # online stateful LSH, batch-exact
+    "corpus_clean_text",  # control-byte sanitation pre-clean
     "io_zorder_cluster",  # Morton-key clustering extent report
     "corpus_bpe_encode",  # fixed-artifact BPE encode (exact oracle)
     "stream_stream_join",  # watermarked interval join, batch-exact

@@ -1252,3 +1252,32 @@ def test_streaming_lsh_degenerate_bounded(spark, tmp_path):
     assert len(pairs) == cap * (cap - 1) // 2
     ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
     assert ids == set(range(cap))
+
+
+def test_clean_control_chars_dirty_input(spark):
+    """Control bytes become single spaces, runs collapse, ends trim —
+    and the cleaned text passes the packed-encoder sentinel guard."""
+    from data_transformation_2022_spark.functions.text import clean_control_chars
+    from data_transformation_2022_spark.operators.bpe import bpe_encode_packed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\x1fa\x00b\tc  \r\n d\x7f"),
+            (2, "already clean"),
+            (3, "\x0b\x1e\x01"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in docs.select(
+            "doc_id", clean_control_chars(F.col("text")).alias("clean")
+        ).collect()
+    }
+    assert out[1] == "a a b c d"
+    assert out[2] == "already clean"
+    assert out[3] == ""
+    cleaned = docs.select("doc_id", F.col("text"), clean_control_chars(F.col("text")).alias("c")).drop("text").withColumnRenamed("c", "text")
+    enc = bpe_encode_packed(cleaned, "text", [("a", "a")]).collect()
+    # doc 1 cleans to "a a b c d": (a,a) merges -> ["a a", b, c, d]
+    assert {r["doc_id"]: r["n_syms"] for r in enc} == {1: 4, 2: 2, 3: 0}
