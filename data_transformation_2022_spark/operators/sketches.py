@@ -168,6 +168,83 @@ def kmv_union_report(
     )
 
 
+def hist_quantile_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = 256,
+) -> DataFrame:
+    """Mergeable equi-width histogram → quantile estimates (p50/p90/p99)
+    per group AND for the merged global histogram.
+
+    This is the second synopsis a cost-based optimizer keeps next to
+    the KMV distinct sketch: a fixed-bin histogram whose bins are
+    GLOBAL (one min/max pass), so per-group — or per-partition, or
+    per-day — histograms merge by adding counts. The ``__merged__``
+    output row is computed from the per-group histograms alone,
+    exhibiting exactly how a 1000-executor fleet combines
+    metadata-sized partials into fleet-wide quantiles without ever
+    re-touching the data.
+
+    Scale shape: one min/max aggregate (broadcast back as a 1-row
+    relation — the z-order bounds idiom), one partially-aggregated
+    groupBy on (group, bin); everything after operates on ≤
+    groups·bins synopsis rows (the per-group cumulative window rides
+    ≤ ``bins`` rows per partition). The estimator arithmetic —
+    integer cumulative counts, one IEEE division per quantile, linear
+    interpolation inside the crossing bin — is replayed bit-for-bit
+    by the SQL oracle.
+    """
+    v = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("val"))
+        .filter(F.col("val").isNotNull())
+    )
+    b = v.agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    c = v.crossJoin(F.broadcast(b)).select(
+        "grp",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1).cast("bigint"),
+                F.floor(
+                    ((F.col("val") - F.col("lo")) * F.lit(float(bins)))
+                    / (F.col("hi") - F.col("lo"))
+                ),
+            )
+        )
+        .alias("bin"),
+    )
+    h0 = c.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = (
+        h0.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("__merged__").alias("grp"), "bin", "cnt")
+    )
+    h = h0.select("grp", "bin", "cnt").unionByName(merged)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.withColumn("cum", F.sum("cnt").over(w))  # ≤ bins rows/group
+    totals = h.groupBy("grp").agg(F.sum("cnt").alias("n_rows"))
+    j = cum.join(totals, "grp").crossJoin(F.broadcast(b))
+    out = None
+    for name, q in (("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)):
+        tgt = F.ceil(F.col("n_rows").cast("double") * F.lit(q)).cast("bigint")
+        crossing = j.filter(
+            (F.col("cum") >= tgt) & ((F.col("cum") - F.col("cnt")) < tgt)
+        )
+        est = F.col("lo") + (
+            F.col("bin").cast("double")
+            + (tgt - (F.col("cum") - F.col("cnt"))).cast("double")
+            / F.col("cnt").cast("double")
+        ) * ((F.col("hi") - F.col("lo")) / F.lit(float(bins)))
+        o = crossing.select("grp", "n_rows", F.round(est, 6).alias(name))
+        out = o if out is None else out.join(o, ["grp", "n_rows"])
+    return out
+
+
 def kmv_join_cardinality_report(
     dfa: DataFrame,
     key_a: Column,

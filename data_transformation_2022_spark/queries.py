@@ -4641,6 +4641,116 @@ def q_sketch_kmv_join_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hist_quantile",
+    """WITH v AS (SELECT event_type AS grp, value AS val FROM events
+                  WHERE value IS NOT NULL),
+       b AS (SELECT MIN(val) AS lo, MAX(val) AS hi FROM v),
+       c AS (SELECT grp,
+                    CASE WHEN hi = lo THEN 0
+                         ELSE LEAST(255, CAST(FLOOR(((val - lo) * 256.0)
+                                                    / (hi - lo)) AS BIGINT))
+                    END AS bin
+             FROM v CROSS JOIN b),
+       h0 AS (SELECT grp, bin, COUNT(*) AS cnt FROM c GROUP BY grp, bin),
+       h AS (SELECT grp, bin, cnt FROM h0
+             UNION ALL
+             SELECT '__merged__' AS grp, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+             FROM h0 GROUP BY bin),
+       cum AS (SELECT grp, bin, cnt,
+                      CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bin)
+                           AS BIGINT) AS cum
+               FROM h),
+       t AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM h GROUP BY grp),
+       j AS (SELECT cum.grp, cum.bin, cum.cnt, cum.cum, t.n_rows, b.lo, b.hi
+             FROM cum JOIN t USING (grp) CROSS JOIN b),
+       p50 AS (SELECT grp, n_rows,
+                      ROUND(lo + (CAST(bin AS DOUBLE)
+                            + CAST(CAST(CEIL(CAST(n_rows AS DOUBLE) * 0.5) AS BIGINT)
+                                   - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
+                            * ((hi - lo) / 256.0), 6) AS p50_est
+               FROM j
+               WHERE cum >= CAST(CEIL(CAST(n_rows AS DOUBLE) * 0.5) AS BIGINT)
+                 AND cum - cnt < CAST(CEIL(CAST(n_rows AS DOUBLE) * 0.5) AS BIGINT)),
+       p90 AS (SELECT grp, n_rows,
+                      ROUND(lo + (CAST(bin AS DOUBLE)
+                            + CAST(CAST(CEIL(CAST(n_rows AS DOUBLE) * 0.9) AS BIGINT)
+                                   - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
+                            * ((hi - lo) / 256.0), 6) AS p90_est
+               FROM j
+               WHERE cum >= CAST(CEIL(CAST(n_rows AS DOUBLE) * 0.9) AS BIGINT)
+                 AND cum - cnt < CAST(CEIL(CAST(n_rows AS DOUBLE) * 0.9) AS BIGINT)),
+       p99 AS (SELECT grp, n_rows,
+                      ROUND(lo + (CAST(bin AS DOUBLE)
+                            + CAST(CAST(CEIL(CAST(n_rows AS DOUBLE) * 0.99) AS BIGINT)
+                                   - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
+                            * ((hi - lo) / 256.0), 6) AS p99_est
+               FROM j
+               WHERE cum >= CAST(CEIL(CAST(n_rows AS DOUBLE) * 0.99) AS BIGINT)
+                 AND cum - cnt < CAST(CEIL(CAST(n_rows AS DOUBLE) * 0.99) AS BIGINT))
+       SELECT p50.grp, p50.n_rows, p50.p50_est, p90.p90_est, p99.p99_est
+       FROM p50 JOIN p90 USING (grp, n_rows) JOIN p99 USING (grp, n_rows)""",
+    tags=("sketch", "agg"),
+)
+def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch over events.value:
+    per-event-type p50/p90/p99 estimates PLUS the ``__merged__`` row
+    derived from the per-type histograms alone (counts add — the merge
+    property that lets a fleet combine per-partition synopses; the KMV
+    sketch's quantile-side sibling). One global min/max pass fixes the
+    bins, one partially-aggregated (grp, bin) groupBy builds the
+    histograms; everything downstream touches ≤ groups·256 synopsis
+    rows. The oracle replays the estimator arithmetic bit-for-bit."""
+    from .operators.sketches import hist_quantile_report
+
+    return hist_quantile_report(_events(spark, sf_dir), "event_type", "value")
+
+
+@register(
+    "join_bloom_pruned",
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+       GROUP BY l_returnflag""",
+    tags=("join", "runtime-filter"),
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime-pruned join (functions/bloom.py): revenue of
+    lineitems belonging to urgent 1996-Q1 orders. The filtered dim keys
+    (~0.7% of orders) build a Bloom filter — one bit_or groupBy, word
+    array capped at 16 MiB — that prunes the fact side BEFORE its
+    exchange via a 1-row broadcast + codegen bit tests; the equi-join
+    then re-checks the key, so the result is exact for any
+    false-positive rate (the oracle is the plain join). At 100 TB the
+    win is the ~140× smaller fact shuffle; the explicit build keeps the
+    plan gateable versus relying on the optimizer's own runtime-filter
+    heuristics."""
+    from .functions.bloom import bloom_pruned_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey")
+    )
+    j = bloom_pruned_join(li, dim, "l_orderkey", "o_orderkey")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
     "sample_weighted_priority",
     f"""WITH pri AS (
          SELECT doc_id, n_chars,
@@ -4967,7 +5077,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checks).
 
 _PRIORITY: list[str] = [
-    # --- NEW in the round-6 continuation (first driver attestation) ---
+    # --- NEW in the round-6 continuation (first driver attestation).
+    # The two latest additions (mergeable histogram quantiles, Bloom-
+    # pruned join) displace set_intersect_except / set_union_all (both
+    # r1-r4-attested) past the driver's 50-entry prefix.
+    "sketch_hist_quantile",  # mergeable histogram → p50/p90/p99
+    "join_bloom_pruned",  # Bloom runtime filter ahead of the fact shuffle
     "sketch_kmv_distinct",  # KMV distinct-count sketch per group
     "sketch_kmv_union",  # KMV merge property end-to-end
     "sketch_kmv_join_card",  # join-cardinality estimate from sketches

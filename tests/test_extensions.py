@@ -1281,3 +1281,111 @@ def test_clean_control_chars_dirty_input(spark):
     enc = bpe_encode_packed(cleaned, "text", [("a", "a")]).collect()
     # doc 1 cleans to "a a b c d": (a,a) merges -> ["a a", b, c, d]
     assert {r["doc_id"]: r["n_syms"] for r in enc} == {1: 4, 2: 2, 3: 0}
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    """Every true key survives the probe (no false negatives — the
+    correctness half), and the false-positive rate over a disjoint key
+    set stays near the design point (the pruning half: at 16 bits/key
+    the fp rate is ~1%, so the fact shuffle shrinks ~100x beyond the
+    true-match fraction)."""
+    from data_transformation_2022_spark.functions.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    keys = spark.range(0, 1000).select((F.col("id") * 7 + 3).alias("k"))
+    bloom = bloom_build(keys, "k")
+    assert bloom.n_keys == 1000
+    assert bloom.m >= 16 * 1000
+    # probe the true keys: all pass
+    kept_true = bloom_prune(keys, "k", bloom).count()
+    assert kept_true == 1000
+    # probe 20k keys from a disjoint range: only false positives pass
+    probe = spark.range(100_000, 120_000).select(F.col("id").alias("k"))
+    fp = bloom_prune(probe, "k", bloom).count()
+    assert fp <= 0.05 * 20_000, f"false-positive rate too high: {fp}/20000"
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    """The pruned join returns exactly the plain join's rows — false
+    positives are re-checked by the equi-join — including when the dim
+    side is empty."""
+    from data_transformation_2022_spark.functions.bloom import bloom_pruned_join
+
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 700).alias("fk"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 50).select((F.col("id") * 13).alias("dk"))
+    got = (
+        bloom_pruned_join(fact, dim, "fk", "dk")
+        .select("fk", "payload", "dk")
+        .collect()
+    )
+    exp = (
+        fact.join(dim, fact["fk"] == dim["dk"])
+        .select("fk", "payload", "dk")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert len(exp) > 0
+    empty = dim.filter(F.lit(False))
+    assert bloom_pruned_join(fact, empty, "fk", "dk").count() == 0
+
+
+def test_bloom_build_caps_bit_array(spark):
+    """The word array is bounded by max_bits however many keys arrive —
+    the broadcast stays metadata-sized and only the fp rate degrades."""
+    from data_transformation_2022_spark.functions.bloom import bloom_build
+
+    keys = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", bits_per_key=16, max_bits=1 << 14)
+    assert bloom.m == 1 << 14
+    assert len(bloom.words) == (1 << 14) // 64
+
+
+def test_hist_quantile_merge_and_accuracy(spark):
+    """The __merged__ row is derived from per-group histograms alone and
+    must equal the histogram of the union (mergeability); estimates land
+    within one bin width of numpy's exact quantiles."""
+    import numpy as np
+
+    from data_transformation_2022_spark.operators.sketches import (
+        hist_quantile_report,
+    )
+
+    rng = np.random.RandomState(7)
+    vals_a = rng.uniform(0.0, 100.0, 4000)
+    vals_b = rng.uniform(50.0, 150.0, 2000)
+    rows = [("a", float(v)) for v in vals_a] + [("b", float(v)) for v in vals_b]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    rep = {r["grp"]: r for r in hist_quantile_report(df, "grp", "v").collect()}
+    assert set(rep) == {"a", "b", "__merged__"}
+    assert rep["__merged__"]["n_rows"] == 6000
+    lo, hi = 0.0, 150.0
+    width = (hi - lo) / 256.0
+    allv = np.concatenate([vals_a, vals_b])
+    for grp, data in (("a", vals_a), ("b", vals_b), ("__merged__", allv)):
+        for name, q in (("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)):
+            exact = float(np.quantile(data, q))
+            est = rep[grp][name]
+            assert abs(est - exact) <= 2 * width + 1e-9, (
+                f"{grp}/{name}: est {est} vs exact {exact}"
+            )
+
+
+def test_hist_quantile_constant_column(spark):
+    """Degenerate hi == lo: everything lands in bin 0 and every quantile
+    estimate equals the constant."""
+    from data_transformation_2022_spark.operators.sketches import (
+        hist_quantile_report,
+    )
+
+    df = spark.createDataFrame(
+        [("x", 5.0)] * 40 + [("y", 5.0)] * 10, "grp string, v double"
+    )
+    rep = hist_quantile_report(df, "grp", "v").collect()
+    assert len(rep) == 3
+    for r in rep:
+        for name in ("p50_est", "p90_est", "p99_est"):
+            assert r[name] == 5.0
