@@ -245,6 +245,70 @@ def hist_quantile_report(
     return out
 
 
+def cms_topk_report(
+    df: DataFrame,
+    key: Column,
+    top_n: int = 10,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for the exact top-``top_n`` heaviest keys — the third
+    mergeable synopsis next to KMV (distinct counts) and the equi-width
+    histogram (quantiles): ``depth × width`` integer counters that merge
+    by addition, answering "how often does key x occur" from metadata
+    alone, with one-sided error (always ≥ the true count).
+
+    Scale shape: the sketch build is ONE partially-aggregated groupBy
+    on (row, col) — at most ``depth·width`` counter rows ever shuffle,
+    whatever the data volume; the estimate pass joins the probe keys'
+    ``depth`` positions against the broadcast-sized counter table and
+    takes the per-key MIN. The hashes are the repo's md5-prefix idiom,
+    so the SQL oracle replays build + probe bit-for-bit. The exact
+    top-N (groupBy + TakeOrdered) rides alongside as the error
+    exhibit — at production scale you would keep only the sketch.
+    """
+    from ..functions.text import md5_prefix_long
+
+    keyed = df.select(key.cast("string").alias("key"))
+
+    def _pos(i: int) -> Column:
+        return md5_prefix_long(
+            F.concat(F.col("key"), F.lit(f"|cms{i}")), 15
+        ) % width
+
+    exact = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), "key").limit(top_n)
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("row"), _pos(i).alias("col"))
+                for i in range(depth)
+            ]
+        )
+    ).alias("rc")
+    counters = (
+        keyed.select(rc)
+        .select("rc.row", "rc.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = top.select("key", "n_exact", rc).select(
+        "key", "n_exact", "rc.row", "rc.col"
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("key", "n_exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    rel = F.round(
+        (F.col("est") - F.col("n_exact")).cast("double")
+        / F.col("n_exact").cast("double"),
+        6,
+    )
+    return est.select("key", "n_exact", "est", rel.alias("rel_err"))
+
+
 def kmv_join_cardinality_report(
     dfa: DataFrame,
     key_a: Column,

@@ -4705,6 +4705,62 @@ def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantile_report(_events(spark, sf_dir), "event_type", "value")
 
 
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPN = 4, 1024, 10
+_CMS_KEY_DD = "CAST(user_id AS VARCHAR) || '|' || event_type"
+_CMS_POS_DD = " UNION ALL ".join(
+    "SELECT key, {i} AS row, {h} % {w} AS col FROM keyed".format(
+        i=i, h=_dd_md5_long("key || '|cms{}'".format(i), 15), w=_CMS_WIDTH
+    )
+    for i in range(_CMS_DEPTH)
+)
+
+
+@register(
+    "sketch_cms_topk",
+    f"""WITH keyed AS (SELECT {_CMS_KEY_DD} AS key FROM events
+                       WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       ex AS (SELECT key, COUNT(*) AS n_exact FROM keyed GROUP BY key),
+       top AS (SELECT key, n_exact FROM ex
+               ORDER BY n_exact DESC, key LIMIT {_CMS_TOPN}),
+       pos AS ({_CMS_POS_DD}),
+       counters AS (SELECT row, col, COUNT(*) AS cnt
+                    FROM pos GROUP BY row, col),
+       probes AS (SELECT t.key, t.n_exact, p.row, p.col
+                  FROM top t JOIN pos p ON t.key = p.key),
+       est AS (SELECT key, n_exact, MIN(cnt) AS est
+               FROM (SELECT DISTINCT pr.key, pr.n_exact, pr.row, pr.col
+                     FROM probes pr) q
+               JOIN counters USING (row, col)
+               GROUP BY key, n_exact)
+       SELECT key, n_exact, est,
+              ROUND(CAST(est - n_exact AS DOUBLE)
+                    / CAST(n_exact AS DOUBLE), 6) AS rel_err
+       FROM est""",
+    tags=("sketch", "agg"),
+)
+def q_sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the 10 heaviest
+    (user, event_type) keys — the third mergeable synopsis beside KMV
+    (distinct) and the histogram (quantiles): 4×1024 integer counters
+    that merge by addition and answer point-frequency queries with
+    one-sided error. Build = one (row, col) groupBy shuffling ≤ 4096
+    counter rows regardless of data volume; probe = the exact top-10
+    keys' positions joined against the broadcast counter table, MIN per
+    key. The oracle replays build + probe bit-for-bit via the md5
+    idiom; n_exact rides along as the error exhibit."""
+    from .operators.sketches import cms_topk_report
+
+    e = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit("|"), F.col("event_type")
+    )
+    return cms_topk_report(
+        e, key, top_n=_CMS_TOPN, depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+
+
 @register(
     "join_bloom_pruned",
     """SELECT l_returnflag, COUNT(*) AS n_lines,
@@ -5083,6 +5139,8 @@ _PRIORITY: list[str] = [
     # r1-r4-attested) past the driver's 50-entry prefix.
     "sketch_hist_quantile",  # mergeable histogram → p50/p90/p99
     "join_bloom_pruned",  # Bloom runtime filter ahead of the fact shuffle
+    "sketch_cms_topk",  # Count-Min frequency synopsis (displaces
+    # join_skew_salted — r1-r4-attested — past the 50-entry prefix)
     "sketch_kmv_distinct",  # KMV distinct-count sketch per group
     "sketch_kmv_union",  # KMV merge property end-to-end
     "sketch_kmv_join_card",  # join-cardinality estimate from sketches

@@ -1389,3 +1389,25 @@ def test_hist_quantile_constant_column(spark):
     for r in rep:
         for name in ("p50_est", "p90_est", "p99_est"):
             assert r[name] == 5.0
+
+
+def test_cms_one_sided_error_and_heavy_hitter(spark):
+    """CMS estimates are one-sided (never below the true count), the
+    heavy hitter's estimate is tight (collisions add at most the noise
+    mass over width cells), and the exact top-N ordering is preserved
+    in the probe set."""
+    from data_transformation_2022_spark.operators.sketches import cms_topk_report
+
+    heavy = [("hot",)] * 2000
+    noise = [(f"u{i}",) for i in range(3000)]
+    df = spark.createDataFrame(heavy + noise, "k string")
+    rep = cms_topk_report(df, F.col("k"), top_n=5, depth=4, width=1024)
+    rows = {r["key"]: r for r in rep.collect()}
+    assert "hot" in rows
+    for r in rows.values():
+        assert r["est"] >= r["n_exact"], "CMS must never underestimate"
+    hot = rows["hot"]
+    assert hot["n_exact"] == 2000
+    # expected collision mass per cell ~ 3000/1024 ≈ 3; min over 4 rows
+    # stays far under 5% of the heavy count
+    assert hot["est"] - hot["n_exact"] <= 100
