@@ -536,6 +536,124 @@ def pq_assign(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_cent: int = 16,
+    shortlist: int = 50,
+    seed: int = 9,
+) -> DataFrame:
+    """IVF + PQ + exact rerank — the three-stage ANN serving pipeline
+    the pieces (ivf_topk, pq_fit/pq_assign) compose into at corpus
+    scale:
+
+    1. **coarse probe** (IVF): score each query against ``n_probe`` of
+       ``n_lists`` inverted lists → the scan shrinks to ~n_probe/n_lists
+       of the corpus (partition-pruned when stored bucketed by list);
+    2. **ADC shortlist** (PQ): per query, a ``m × n_cent`` lookup table
+       of subvector distances turns each candidate's m code bytes into
+       an approximate distance — PURE CODEGEN ``element_at`` arithmetic,
+       no vector math per pair, which is the point: at 100 TB the
+       probed lists are still billions of vectors, and ADC touches m
+       bytes instead of d floats per candidate;
+    3. **exact rerank**: only the per-query ``shortlist`` ADC survivors
+       get true cosine (Arrow-batched), restoring exact top-k precision
+       over the shortlist.
+
+    Everything is fit on the repo's deterministic rid-ordered samples:
+    same corpus → same centroids/codebooks/result, any partitioning.
+    Corpus vectors are L2-normalized up front so PQ's squared-L2 ADC is
+    monotone with cosine (‖a−b‖² = 2 − 2·cos when ‖a‖=‖b‖=1) — the
+    shortlist ranking and the rerank ranking agree on metric."""
+    spark = corpus.sparkSession
+    # normalize once, codegen-only: every stage downstream assumes unit
+    # vectors (IVF re-normalizes internally; PQ fits the normalized set)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    unit = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.greatest(nrm, F.lit(1e-12))
+        ).alias(vec_col),
+    )
+    assigned, cents = ivf_assign_lists(unit, id_col, vec_col, n_lists, seed)
+    books = pq_fit(unit, id_col, vec_col, m=m, k=n_cent, seed=seed)
+    coded = pq_assign(
+        assigned, id_col, vec_col, books, None, extra_cols=("list_id", vec_col)
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [int(r[id_col]) for r in q_rows]
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]
+    probes = spark.createDataFrame(
+        [(qid, int(l)) for qid, row in zip(q_ids, order) for l in row],
+        schema="query_id long, list_id int",
+    )
+    # per-query ADC lookup tables: lut[j][c] = ‖q_j − book_j[c]‖²
+    sub = len(books[0][0])
+    bk = np.array(books, dtype=np.float64)  # (m, n_cent, sub)
+    luts = []
+    for i, qid in enumerate(q_ids):
+        qs = q_mat[i].reshape(m, sub)
+        lut = ((qs[:, None, :] - bk) ** 2).sum(axis=2)  # (m, n_cent)
+        luts.append((qid, [[float(v) for v in row] for row in lut]))
+    lut_df = spark.createDataFrame(
+        luts, schema="query_id long, __lut array<array<double>>"
+    )
+
+    cand = (
+        coded.join(F.broadcast(probes), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(lut_df), "query_id")
+    )
+    adc = None
+    for j in range(m):
+        term = F.expr(f"element_at(element_at(__lut, {j + 1}), code_{j} + 1)")
+        adc = term if adc is None else adc + term
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col(id_col).asc()
+    )
+    shortlisted = (
+        cand.withColumn("__adc", adc)
+        .withColumn("__srn", F.row_number().over(short_w))
+        .filter(F.col("__srn") <= shortlist)
+    )
+
+    bq = spark.sparkContext.broadcast({qid: q_mat[i] for i, qid in enumerate(q_ids)})
+
+    @F.pandas_udf("double")
+    def cos(qids: pd.Series, vecs: pd.Series) -> pd.Series:
+        qv = bq.value
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        qm = np.vstack([qv[q] for q in qids])
+        return pd.Series(np.einsum("ij,ij->i", mat, qm))
+
+    scored = shortlisted.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        F.round(cos(F.col("query_id"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

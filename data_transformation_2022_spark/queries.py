@@ -2341,6 +2341,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ivf_pq_rerank", None, tags=("similarity", "approx"))
+def q_sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full three-stage ANN serving pipeline composed from the
+    exact-attested pieces (IVF coarse probe → PQ ADC shortlist → exact
+    cosine rerank, operators/similarity.py ivf_pq_topk): at corpus
+    scale the probe prunes the scan to n_probe/n_lists, ADC prices each
+    surviving candidate from m code BYTES instead of d floats (pure
+    codegen element_at lookups), and only the 50-row-per-query
+    shortlist pays real vector math. Approximate by design (recall
+    floor + full-shortlist-equals-IVF invariants in pytest) → rows-only
+    check; the IVF mechanics and PQ codes are bit-attested separately
+    by sim_ivf_full_probe / emb_pq_codes."""
+    from .operators.similarity import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_lists=16, n_probe=4, m=4, n_cent=16, shortlist=50,
+    )
+
+
 @register("sim_ivf_persisted", None, tags=("similarity", "approx", "index"))
 def q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once/query-many IVF: the inverted lists are WRITTEN

@@ -1411,3 +1411,57 @@ def test_cms_one_sided_error_and_heavy_hitter(spark):
     # expected collision mass per cell ~ 3000/1024 ≈ 3; min over 4 rows
     # stays far under 5% of the heavy count
     assert hot["est"] - hot["n_exact"] <= 100
+
+
+def test_ivf_pq_rerank_recall_and_full_shortlist(spark, sf_dir):
+    """IVF-PQ-rerank invariants: (a) with every list probed and a
+    shortlist covering the whole corpus, the ADC stage cannot drop
+    anyone, so the result matches the float-path IVF full probe up to
+    rounding ties; (b) at the default pruned settings recall against
+    the exact brute force stays above the floor; (c) results are
+    invariant to input partitioning (deterministic fits)."""
+    from data_transformation_2022_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_topk,
+    )
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(e, q, "vec_id", "embedding", k=5)
+    ex: dict[int, set] = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    def sets(df):
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return out
+
+    def recall(ap):
+        return sum(len(ex[k] & ap.get(k, set())) for k in ex) / sum(
+            len(s) for s in ex.values()
+        )
+
+    n = e.count()
+    full = sets(
+        ivf_pq_topk(
+            e, q, "vec_id", "embedding", k=5,
+            n_lists=16, n_probe=16, shortlist=n,
+        )
+    )
+    ivf_full = sets(
+        ivf_topk(e, q, "vec_id", "embedding", k=5, n_lists=16, n_probe=16)
+    )
+    agree = sum(len(full[k] & ivf_full.get(k, set())) for k in full) / sum(
+        len(s) for s in full.values()
+    )
+    assert agree >= 0.98, f"full-shortlist IVF-PQ diverged from IVF: {agree}"
+
+    default = ivf_pq_topk(e, q, "vec_id", "embedding", k=5)
+    assert recall(sets(default)) >= 0.5
+    repart = sets(
+        ivf_pq_topk(e.repartition(7), q, "vec_id", "embedding", k=5)
+    )
+    assert repart == sets(default), "result depends on input partitioning"
