@@ -259,25 +259,37 @@ def connected_components(
     max_iters: int = 20,
     algorithm: str = "auto",
     star_threshold: int = 50_000,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over candidate-pair edges — the dedup
     completion step: near-dup pairs → duplicate CLUSTERS, each labeled
     by its minimum member id (the canonical representative).
 
-    Two interchangeable engines (identical output):
+    Three interchangeable engines (identical output):
 
+    * ``driver`` — bounded collect + union-find. The DEDUPED edge list
+      after LSH banding/capping is a tiny fraction of the corpus (it is
+      the *output* of candidate pruning, not the data); when one count
+      job proves it metadata-sized (≤ ``driver_threshold`` rows — a few
+      MB), the transitive closure is O(E·α(E)) driver arithmetic and the
+      labels re-enter the plan as a literal table. A distributed
+      fixpoint on a graph this small is pure scheduler latency — every
+      round costs jobs, not data movement.
     * ``propagation`` — min-label propagation: join labels across the
       symmetrized edges each round, take the min. O(diameter) rounds;
-      the cheap path for the shallow clusters LSH emits.
+      the cheap distributed path for the shallow clusters LSH emits.
     * ``star`` — alternating large-star/small-star contraction
       (Kiveris et al., "Connected Components in MapReduce and Beyond"):
       O(log n) rounds even on adversarially long chains, with
       ``localCheckpoint`` per round to keep lineage flat. The 100 TB
       path.
 
-    ``auto`` counts the edges once and picks ``star`` beyond
-    ``star_threshold``. Either way, a graph that has not converged
-    after ``max_iters`` raises instead of returning a silently wrong
+    ``auto`` counts the (distinct, non-self) edges once: ≤
+    ``driver_threshold`` → ``driver``; above that → ``star`` (beyond
+    ``star_threshold``, else ``propagation``). The collect in the
+    driver path is gated by that count — it can never pull an unbounded
+    edge set. Either distributed engine raises if the graph has not
+    converged after ``max_iters`` instead of returning a silently wrong
     labeling (the oracle computes the full transitive closure — a
     truncated result is data corruption, not an approximation).
 
@@ -305,7 +317,10 @@ def connected_components(
     n_edges = edges0.count()
     algo = algorithm
     if algo == "auto":
-        algo = "star" if n_edges > star_threshold else "propagation"
+        if n_edges <= driver_threshold:
+            algo = "driver"
+        else:
+            algo = "star" if n_edges > star_threshold else "propagation"
 
     def _with_isolated(labeled: DataFrame) -> DataFrame:
         # nodes whose only pairs were reflexive never reach the edge set;
@@ -321,6 +336,45 @@ def connected_components(
         )
         return labeled.union(singles)
 
+    if algo == "driver":
+        if algorithm == "driver":
+            # explicit request still honors the bound — refusing beats
+            # an unbounded driver collect
+            if n_edges > driver_threshold:
+                raise ValueError(
+                    f"connected_components(driver): {n_edges} edges exceed "
+                    f"driver_threshold={driver_threshold}; use the star engine."
+                )
+        parent: dict = {}
+
+        def _find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        # merges always point the LARGER root at the smaller, so each
+        # final root is its component's minimum id — bit-identical to
+        # the distributed engines' min-label contract
+        for row in edges0.collect():
+            ra, rb = _find(row["src"]), _find(row["dst"])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        from pyspark.sql import types as T
+
+        node_t = raw.schema["src"].dataType
+        schema = T.StructType(
+            [T.StructField("id", node_t), T.StructField("component", node_t)]
+        )
+        labeled = raw.sparkSession.createDataFrame(
+            [(n, _find(n)) for n in parent], schema
+        )
+        return _with_isolated(labeled)
     if algo == "star":
         return _with_isolated(_cc_star(edges0, max_iters))
     edges = edges0.union(

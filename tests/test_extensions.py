@@ -226,12 +226,36 @@ def test_connected_components_self_pair_singletons(spark):
         [(1, 2), (5, 5), (2, 2)], "id_a long, id_b long"
     )
     want = {1: 1, 2: 1, 5: 5}
-    for algo in ("propagation", "star"):
+    for algo in ("propagation", "star", "driver"):
         comp = {
             r["id"]: r["component"]
             for r in connected_components(pairs, algorithm=algo).collect()
         }
         assert comp == want, algo
+
+
+def test_connected_components_driver_path_is_count_gated(spark):
+    """The driver union-find engine collects ONLY after a count job
+    proves the edge set is under the bound; an explicit request above
+    the bound refuses instead of pulling an unbounded edge list."""
+    import pytest
+
+    from data_transformation_2022_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="driver_threshold"):
+        connected_components(pairs, algorithm="driver", driver_threshold=2)
+    # auto respects the same gate: under a tiny threshold it falls back
+    # to a distributed engine and still produces the identical labeling
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, algorithm="auto", driver_threshold=0
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
 def test_sampling_threshold_half_up():

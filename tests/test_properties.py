@@ -245,7 +245,7 @@ class TestConnectedComponentsEquivalence:
         expected = {n: find(n) for n in parent}
 
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-        for algo in ("propagation", "star"):
+        for algo in ("propagation", "star", "driver"):
             got = {
                 r["id"]: r["component"]
                 for r in connected_components(pairs, algorithm=algo).collect()
