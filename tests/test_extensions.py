@@ -1489,3 +1489,30 @@ def test_ivf_pq_rerank_recall_and_full_shortlist(spark, sf_dir):
         ivf_pq_topk(e.repartition(7), q, "vec_id", "embedding", k=5)
     )
     assert repart == sets(default), "result depends on input partitioning"
+
+
+def test_schema_evolution_null_fills_old_batches(spark):
+    """mergeSchema must null-fill v1-batch rows for columns that only
+    exist in the v2 schema, and the merged scan must still prune to the
+    requested columns."""
+    from data_transformation_2022_spark.queries import REGISTRY
+
+    df = REGISTRY["io_schema_evolution"].spark(spark, "/root/testdata/sf0.001")
+    rows = {r["lang"]: r for r in df.collect()}
+    total = sum(r["n"] for r in rows.values())
+    with_src = sum(r["n_with_source"] for r in rows.values())
+    assert 0 < with_src < total  # v1 rows really contribute NULL source
+    # column pruning survives the merged footer: the scan reads only
+    # the aggregated columns, not text
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan.split("ReadSchema")[-1][:400]
+
+
+def test_variant_get_missing_path_is_null(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([('{"k": 7}',), ('{"other": 1}',)], "props string")
+    got = df.select(
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k")
+    ).collect()
+    assert sorted([r["k"] for r in got], key=lambda x: (x is None, x)) == [7, None]
