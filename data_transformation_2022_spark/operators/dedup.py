@@ -260,6 +260,7 @@ def connected_components(
     algorithm: str = "auto",
     star_threshold: int = 50_000,
     driver_threshold: int = 100_000,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Connected components over candidate-pair edges — the dedup
     completion step: near-dup pairs → duplicate CLUSTERS, each labeled
@@ -295,7 +296,17 @@ def connected_components(
 
     Self-pairs (``id_a == id_b``) are dropped as edges but their node
     is still emitted as a singleton component, so every id appearing
-    anywhere in ``pairs`` appears exactly once in the output."""
+    anywhere in ``pairs`` appears exactly once in the output.
+
+    ``pairs_distinct=True`` attests the input carries no duplicate
+    (src, dst) rows — true for every LSH/SimHash candidate generator
+    in this package, which all end in ``.distinct()`` — and skips the
+    redundant dedup exchange here (at 1M pairs that is a full extra
+    shuffle) plus the second checkpoint (a narrow filter over the
+    already-checkpointed pair leaf re-evaluates for free). The flag is
+    performance-only: every engine tolerates duplicate edges (min
+    aggregations and union-find are idempotent), so a wrong attestation
+    cannot change the labeling, only the engine-choice count."""
     # localCheckpoint (not persist): iterative algorithms that only cache
     # keep the FULL logical plan under every round — each round's plan
     # embeds the previous round's, so Catalyst analysis grows
@@ -309,11 +320,9 @@ def connected_components(
     raw = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)
-    edges0 = (
-        raw.filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges0 = raw.filter(F.col("src") != F.col("dst"))
+    if not pairs_distinct:
+        edges0 = edges0.distinct().localCheckpoint(eager=True)
     n_edges = edges0.count()
     algo = algorithm
     if algo == "auto":

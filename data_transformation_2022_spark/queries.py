@@ -1769,7 +1769,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", k=_MINHASH_K)
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
-    return connected_components(pairs).select(
+    return connected_components(pairs, pairs_distinct=True).select(
         F.col("id").alias("doc_id"), "component"
     )
 
@@ -1796,7 +1796,8 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K)
     comp = connected_components(
-        lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
+        lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4),
+        pairs_distinct=True,
     ).select(F.col("id").alias("doc_id"), "component")
     return docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id",
@@ -1838,7 +1839,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K)
     comp = connected_components(
-        lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
+        lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4),
+        pairs_distinct=True,
     )
     scored = docs.select(
         "doc_id", F.size(tokens_ws(F.lower(F.col("text")))).alias("n_tokens")
@@ -4079,7 +4081,8 @@ def q_pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K)
     comp = connected_components(
-        lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
+        lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4),
+        pairs_distinct=True,
     ).select(F.col("id").alias("doc_id"), "component")
     kept = (
         docs.join(comp, "doc_id", "left")
