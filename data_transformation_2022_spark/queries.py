@@ -906,10 +906,12 @@ def q_events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(field) byte-offset lookups instead of per-access string re-parses
     — the difference that matters when a props blob is touched by many
     expressions over 100 TB (get_json_object re-tokenizes the whole
-    string per call). Exact integer aggregates per event type keep the
-    oracle replay bit-for-bit."""
+    string per call). ``try_parse_json`` (NULL on malformed input, like
+    the oracle's json_extract) rather than the strict form — a single
+    truncated props blob must not fail a fleet-scale job. Exact integer
+    aggregates per event type keep the oracle replay bit-for-bit."""
     e = _events(spark, sf_dir)
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
@@ -4442,7 +4444,7 @@ def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "io_schema_evolution",
     """SELECT lang,
               COUNT(*) AS n,
-              CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+              CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN source END) AS BIGINT)
                   AS n_with_source,
               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
                   AS sum_chars

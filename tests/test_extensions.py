@@ -1491,13 +1491,13 @@ def test_ivf_pq_rerank_recall_and_full_shortlist(spark, sf_dir):
     assert repart == sets(default), "result depends on input partitioning"
 
 
-def test_schema_evolution_null_fills_old_batches(spark):
+def test_schema_evolution_null_fills_old_batches(spark, sf_dir):
     """mergeSchema must null-fill v1-batch rows for columns that only
     exist in the v2 schema, and the merged scan must still prune to the
     requested columns."""
     from data_transformation_2022_spark.queries import REGISTRY
 
-    df = REGISTRY["io_schema_evolution"].spark(spark, "/root/testdata/sf0.001")
+    df = REGISTRY["io_schema_evolution"].spark(spark, sf_dir)
     rows = {r["lang"]: r for r in df.collect()}
     total = sum(r["n"] for r in rows.values())
     with_src = sum(r["n_with_source"] for r in rows.values())
