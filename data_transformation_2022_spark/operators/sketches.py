@@ -14,6 +14,18 @@ per-group sketches is exactly the union's sketch, which is why a
 1000-executor fleet can sketch partitions independently and combine
 metadata-sized results.
 
+Why KMV and not Spark's built-in DataSketches HLL (``hll_sketch_agg``)?
+Measured, not assumed: besides being oracle-opaque (engine-specific
+register layout), the built-in HLL estimate is not even
+partitioning-invariant — the same 500-key input returns 396 under one
+repartitioning and 397 under another, because each partial sketch
+promotes through list→set→HLL modes at partition-local thresholds and
+the merged register state differs (likewise union-of-group-sketches vs
+sketch-of-union: 398 vs 396). Every other estimator in this repo is
+bit-stable across plan shapes; KMV keeps the sketch layer to that
+standard. The trade is size: KMV needs k·8 bytes for ~1/√k error where
+HLL needs ~k registers of 6 bits — acceptable at synopsis scale.
+
 Scale shape:
 
 * hashing is a map-only codegen'd expression (md5 prefix → 60-bit

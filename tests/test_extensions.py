@@ -1516,3 +1516,4 @@ def test_variant_get_missing_path_is_null(spark):
         F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k")
     ).collect()
     assert sorted([r["k"] for r in got], key=lambda x: (x is None, x)) == [7, None]
+
