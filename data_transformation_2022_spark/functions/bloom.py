@@ -99,6 +99,14 @@ def bloom_build(
     literals: metadata-sized by construction.
     """
     key = F.col(key) if isinstance(key, str) else key
+    if max_bits & (max_bits - 1):
+        # the probe mask and word-array sizing both assume a power of
+        # two; floor rather than crash — fpp changes, results never do
+        max_bits = 1 << (max_bits.bit_length() - 1)
+    # two passes are inherent (m must be known before positions hash),
+    # so pin the key set across them instead of recomputing the dim
+    # pipeline twice
+    keys = keys.persist()
     n = keys.count()
     m = min(max(_next_pow2(bits_per_key * max(n, 1)), MIN_BITS), max_bits)
     if bits_per_key * max(n, 1) > max_bits:
@@ -118,6 +126,7 @@ def bloom_build(
         .agg(F.expr("bit_or(bit)").alias("bits"))
         .collect()
     )
+    keys.unpersist()
     arr = [0] * (m // 64)
     for r in words:
         arr[r["word"]] = r["bits"]
@@ -165,14 +174,39 @@ def bloom_pruned_join(
     ``fact`` before its exchange, then runs the ordinary equi-join —
     which re-checks the key, so the result equals the plain join for
     ANY false-positive rate. The win is the pruned fact shuffle.
+
+    Only join types where dropping non-matching FACT rows is sound are
+    accepted: inner, the left-semi family, and right outer (whose
+    output never contains an unmatched fact row either). A left/full
+    outer or anti join must SEE the non-matching fact rows the filter
+    exists to drop — pruning would corrupt them, so those raise.
+
+    Both key columns must have the same data type: ``xxhash64`` is
+    type-sensitive (the INT 5 and the BIGINT 5 hash differently), so a
+    mismatch would turn the equi-join's implicit cast into silent
+    Bloom false NEGATIVES. Cast one side explicitly instead.
     """
+    sound = {"inner", "semi", "left_semi", "leftsemi", "right", "right_outer", "rightouter"}
+    if how not in sound:
+        raise ValueError(
+            f"bloom_pruned_join(how={how!r}): pruning the fact side drops "
+            f"exactly the rows a left/full outer or anti join must keep; "
+            f"use the plain join for those types."
+        )
+    ft = fact.schema[fact_key].dataType
+    dt = dim.schema[dim_key].dataType
+    if ft != dt:
+        raise ValueError(
+            f"bloom_pruned_join: fact[{fact_key}] is {ft} but dim[{dim_key}] "
+            f"is {dt}; xxhash64 is type-sensitive, so the Bloom probe would "
+            f"produce false negatives. Cast one side first."
+        )
     bloom = bloom_build(
         dim.select(dim_key), dim_key,
         bits_per_key=bits_per_key, n_hashes=n_hashes,
     )
-    if bloom.n_keys == 0:
+    if bloom.n_keys == 0 and how != "right" and how not in ("right_outer", "rightouter"):
         # empty dim: inner/semi joins are empty; skip the probe noise
-        if how in ("inner", "semi", "left_semi", "leftsemi"):
-            return fact.join(dim, fact.__getattr__(fact_key) == dim.__getattr__(dim_key), how).limit(0)
+        return fact.join(dim, fact.__getattr__(fact_key) == dim.__getattr__(dim_key), how).limit(0)
     pruned = bloom_prune(fact, fact_key, bloom)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

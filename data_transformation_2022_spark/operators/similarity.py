@@ -36,6 +36,62 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(vec_col), norm_exact(F.col(vec_col)).alias(out))
 
 
+def _query_probe_plan(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: np.ndarray,
+    n_probe: int,
+):
+    """The IVF probe stage shared by ivf_topk / ivf_query_index /
+    ivf_pq_topk: collect the query set (small by contract — the same
+    bounded-driver-work contract as ann_topk_fast), L2-normalize on the
+    driver, rank centroids per query, and return
+    ``(q_ids, q_mat, probes, bq, probed)`` where ``probes`` is the
+    broadcastable (query_id, list_id) relation, ``bq`` broadcasts the
+    unit query vectors to executors, and ``probed`` is the sorted
+    distinct list-id set (the static partition filter for a persisted
+    index read)."""
+    spark = queries.sparkSession
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [int(r[id_col]) for r in q_rows]
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]
+    probes = spark.createDataFrame(
+        [(qid, int(l)) for qid, row in zip(q_ids, order) for l in row],
+        schema="query_id long, list_id int",
+    )
+    bq = spark.sparkContext.broadcast({qid: q_mat[i] for i, qid in enumerate(q_ids)})
+    probed = sorted({int(l) for row in order for l in row})
+    return q_ids, q_mat, probes, bq, probed
+
+
+def _cos_vs_query_udf(bq, normalize: bool):
+    """Arrow-batched cosine of each candidate vector against its
+    query's broadcast unit vector. ``normalize=False`` is valid ONLY
+    when the candidate vectors are already unit-length (ivf_pq_topk
+    normalizes the corpus up front); every other caller must pass
+    ``normalize=True``."""
+
+    @F.pandas_udf("double")
+    def cos(qids: pd.Series, vecs: pd.Series) -> pd.Series:
+        qv = bq.value
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        if normalize:
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        qm = np.vstack([qv[q] for q in qids])
+        return pd.Series(np.einsum("ij,ij->i", mat, qm))
+
+    return cos
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k: rounded cosine desc, id tie-break."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -230,18 +286,7 @@ def ivf_topk(
     contract, as in ann_topk_fast); candidates get exact normalized-dot
     cosine; one tiny per-query top-k exchange finishes."""
     assigned, cents = ivf_assign_lists(corpus, id_col, vec_col, n_lists, seed)
-
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = [int(r[id_col]) for r in q_rows]
-    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        [(qid, int(l)) for qid, row in zip(q_ids, order) for l in row],
-        schema="query_id long, list_id int",
-    )
-    bq = spark.sparkContext.broadcast({qid: q_mat[i] for i, qid in enumerate(q_ids)})
+    _, _, probes, bq, _ = _query_probe_plan(queries, id_col, vec_col, cents, n_probe)
 
     cand = assigned.join(F.broadcast(probes), "list_id").filter(
         F.col(id_col) != F.col("query_id")
@@ -273,22 +318,13 @@ def ivf_topk(
             ).alias("cosine"),
         )
     else:
-
-        @F.pandas_udf("double")
-        def cos(qids: pd.Series, vecs: pd.Series) -> pd.Series:
-            qv = bq.value
-            mat = np.array(vecs.tolist(), dtype=np.float64)
-            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            qm = np.vstack([qv[q] for q in qids])
-            return pd.Series(np.einsum("ij,ij->i", mat, qm))
-
+        cos = _cos_vs_query_udf(bq, normalize=True)
         scored = cand.select(
             "query_id",
             F.col(id_col).alias("cand_id"),
             F.round(cos(F.col("query_id"), F.col(vec_col)), 6).alias("cosine"),
         )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def ivf_build_index(
@@ -369,38 +405,19 @@ def ivf_query_index(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["list_id"])]
     )
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = [int(r[id_col]) for r in q_rows]
-    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]
-    probed = sorted({int(l) for row in order for l in row})
-    probes = spark.createDataFrame(
-        [(qid, int(l)) for qid, row in zip(q_ids, order) for l in row],
-        schema="query_id long, list_id int",
-    )
-    bq = spark.sparkContext.broadcast({qid: q_mat[i] for i, qid in enumerate(q_ids)})
+    _, _, probes, bq, probed = _query_probe_plan(queries, id_col, vec_col, cents, n_probe)
 
     lists = spark.read.parquet(f"{path}/lists").filter(F.col("list_id").isin(probed))
     cand = lists.join(F.broadcast(probes), "list_id").filter(
         F.col(id_col) != F.col("query_id")
     )
-
-    @F.pandas_udf("double")
-    def cos(qids: pd.Series, vecs: pd.Series) -> pd.Series:
-        qv = bq.value
-        mat = np.array(vecs.tolist(), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        qm = np.vstack([qv[q] for q in qids])
-        return pd.Series(np.einsum("ij,ij->i", mat, qm))
-
+    cos = _cos_vs_query_udf(bq, normalize=True)
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("cand_id"),
         F.round(cos(F.col("query_id"), F.col(vec_col)), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def pq_fit(
@@ -573,7 +590,12 @@ def ivf_pq_topk(
     shortlist ranking and the rerank ranking agree on metric."""
     spark = corpus.sparkSession
     # normalize once, codegen-only: every stage downstream assumes unit
-    # vectors (IVF re-normalizes internally; PQ fits the normalized set)
+    # vectors (IVF re-normalizes internally; PQ fits the normalized set).
+    # The norm is projected as its own column FIRST: referencing the
+    # O(d) fold inside the per-element transform lambda would re-embed
+    # it in the lambda's expression tree and risk d re-evaluations per
+    # row (O(d²) for a map-only pass) — the same hazard pq_assign
+    # documents for its subvector slices.
     nrm = F.sqrt(
         F.aggregate(
             F.col(vec_col),
@@ -582,9 +604,11 @@ def ivf_pq_topk(
         )
     )
     unit = corpus.select(
+        F.col(id_col), F.col(vec_col), F.greatest(nrm, F.lit(1e-12)).alias("__nrm")
+    ).select(
         F.col(id_col),
         F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / F.greatest(nrm, F.lit(1e-12))
+            F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")
         ).alias(vec_col),
     )
     assigned, cents = ivf_assign_lists(unit, id_col, vec_col, n_lists, seed)
@@ -593,14 +617,8 @@ def ivf_pq_topk(
         assigned, id_col, vec_col, books, None, extra_cols=("list_id", vec_col)
     )
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = [int(r[id_col]) for r in q_rows]
-    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]
-    probes = spark.createDataFrame(
-        [(qid, int(l)) for qid, row in zip(q_ids, order) for l in row],
-        schema="query_id long, list_id int",
+    q_ids, q_mat, probes, bq, _ = _query_probe_plan(
+        queries, id_col, vec_col, cents, n_probe
     )
     # per-query ADC lookup tables: lut[j][c] = ‖q_j − book_j[c]‖²
     sub = len(books[0][0])
@@ -632,26 +650,15 @@ def ivf_pq_topk(
         .filter(F.col("__srn") <= shortlist)
     )
 
-    bq = spark.sparkContext.broadcast({qid: q_mat[i] for i, qid in enumerate(q_ids)})
-
-    @F.pandas_udf("double")
-    def cos(qids: pd.Series, vecs: pd.Series) -> pd.Series:
-        qv = bq.value
-        mat = np.array(vecs.tolist(), dtype=np.float64)
-        qm = np.vstack([qv[q] for q in qids])
-        return pd.Series(np.einsum("ij,ij->i", mat, qm))
-
+    # normalize=False is sound HERE ONLY: `unit` L2-normalized the
+    # corpus up front, so candidate vectors are already unit-length
+    cos = _cos_vs_query_udf(bq, normalize=False)
     scored = shortlisted.select(
         "query_id",
         F.col(id_col).alias("cand_id"),
         F.round(cos(F.col("query_id"), F.col(vec_col)), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _rank_topk(scored, k)
 
 
 def semantic_dedup(

@@ -1368,6 +1368,44 @@ def test_bloom_build_caps_bit_array(spark):
     assert len(bloom.words) == (1 << 14) // 64
 
 
+def test_bloom_non_pow2_cap_floors_instead_of_crashing(spark):
+    """A non-power-of-two max_bits must floor to the mask-compatible
+    power below it — the & (m-1) probe and m//64 sizing both assume a
+    power of two (10_000 used to IndexError at position 9999)."""
+    from data_transformation_2022_spark.functions.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", bits_per_key=16, max_bits=10_000)
+    assert bloom.m == 1 << 13
+    assert bloom_prune(keys, "k", bloom).count() == 2000  # no false negatives
+
+
+def test_bloom_pruned_join_refuses_unsound_types(spark):
+    """Pruning the fact side is only sound for inner/semi/right-outer;
+    a type mismatch between the keys would produce xxhash64 false
+    negatives — both must refuse loudly instead of corrupting."""
+    import pytest
+
+    from data_transformation_2022_spark.functions.bloom import bloom_pruned_join
+
+    fact = spark.range(0, 100).select((F.col("id") % 7).alias("fk"))
+    dim = spark.range(0, 3).select((F.col("id") * 2).alias("dk"))
+    with pytest.raises(ValueError, match="outer or anti"):
+        bloom_pruned_join(fact, dim, "fk", "dk", how="left")
+    with pytest.raises(ValueError, match="outer or anti"):
+        bloom_pruned_join(fact, dim, "fk", "dk", how="left_anti")
+    dim_int = dim.select(F.col("dk").cast("int"))
+    with pytest.raises(ValueError, match="type-sensitive"):
+        bloom_pruned_join(fact, dim_int, "fk", "dk")
+    # right outer IS sound: unmatched fact rows never appear in it
+    got = bloom_pruned_join(fact, dim, "fk", "dk", how="right").count()
+    exp = fact.join(dim, fact["fk"] == dim["dk"], "right").count()
+    assert got == exp
+
+
 def test_hist_quantile_merge_and_accuracy(spark):
     """The __merged__ row is derived from per-group histograms alone and
     must equal the histogram of the union (mergeability); estimates land
