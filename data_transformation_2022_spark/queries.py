@@ -5263,6 +5263,11 @@ _PRIORITY: list[str] = [
     "corpus_segment_dedup",  # keep-first exact substring dedup
     "pipeline_curate_corpus",  # the four new operators composed end-to-end
     "emb_pq_codes",  # product quantization, literal-codebook assignment
+    # --- code changed in the round-6 fourth session: re-attest the CC
+    # chain's one exact consumer not already in the prefix (the driver
+    # fast path + pairs_distinct edits; displaces join_3way_topk — r03-
+    # attested, still green in the local strict run — past the 50) ---
+    "pipeline_build_corpus",
     "corpus_vocab_topk",  # vocabulary cf/df accounting
     "corpus_tfidf_topk",  # rational tf-idf characteristic terms
     "corpus_dup_stats",  # per-source duplication report
