@@ -113,8 +113,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     t0 = time.time()
-    for t in RID_TABLES:
-        load_table(spark, sf_dir, t, rid=True).count()
+    # tables ingest in parallel, as a warehouse load would: each rid
+    # build is its own job chain (boundaries → bucket counts → window),
+    # and the scheduler interleaves them across the executor pool —
+    # same total work, ~2x less wall time than the sequential loop
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(RID_TABLES)) as pool:
+        list(
+            pool.map(
+                lambda t: load_table(spark, sf_dir, t, rid=True).count(),
+                RID_TABLES,
+            )
+        )
     timings["ingest_rid_tables"] = round(time.time() - t0, 3)
 
     start = time.time()
