@@ -3133,6 +3133,52 @@ def q_io_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_dynamic_pruning",
+    """SELECT o_orderpriority,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+       FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       GROUP BY o_orderpriority""",
+    tags=("io", "join", "pruning"),
+)
+def q_io_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact scan's partition filter is
+    not known at compile time — it comes from a JOIN against a
+    dimension filtered at runtime (here: the priority dimension
+    restricted to urgency ≤ 2). Catalyst plants a ``dynamicpruning``
+    subquery on the partitioned scan, reusing the dim side's broadcast,
+    so only the matching partition directories are read — the
+    partitioned-warehouse counterpart of io_partitioned_pruning's
+    static filter, and at 100 TB the difference between scanning 2/5
+    of a fact table and all of it whenever the filter lives in a dim
+    table. Plan-gated in tests/test_plans.py (the executed plan must
+    carry the dynamicpruning expression); the oracle collapses the
+    filtered dim to the equivalent IN list."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/spark_graft_io/dpp_{tag}"
+    orders = _t(spark, sf_dir, "orders")
+    orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(f"{root}/fact")
+    # the dim must be a real scan (not a local relation) for the
+    # runtime-filter planner to treat it as a filterable build side
+    orders.select("o_orderpriority").distinct().select(
+        F.col("o_orderpriority").alias("prio"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("urgency"),
+    ).write.mode("overwrite").parquet(f"{root}/dim")
+    fact = spark.read.parquet(f"{root}/fact")
+    dim = spark.read.parquet(f"{root}/dim").filter(F.col("urgency") <= 2)
+    j = fact.join(F.broadcast(dim), fact["o_orderpriority"] == dim["prio"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
     "io_bucketed_join",
     """SELECT o.o_orderpriority,
               COUNT(*) AS n,
@@ -5234,6 +5280,7 @@ _PRIORITY: list[str] = [
     # they displace two r05-attested prefix-tail rows to round 7.
     "io_schema_evolution",  # mergeSchema across evolved parquet batches
     "events_variant_agg",  # native VARIANT parse-once path access
+    "io_dynamic_pruning",  # runtime dynamicpruning subquery on the fact scan
     # --- NEW in the round-6 continuation (first driver attestation).
     # The two latest additions (mergeable histogram quantiles, Bloom-
     # pruned join) displace set_intersect_except / set_union_all (both

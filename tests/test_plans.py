@@ -226,3 +226,12 @@ def test_new_tpch_shapes_decorrelate(spark, sf_dir, qs):
         for marker in markers:
             assert marker in plan, f"{name}: expected {marker}\n{plan}"
         assert "CartesianProduct" not in plan, name
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, qs):
+    # the fact scan's partition filter must be the runtime dynamicpruning
+    # subquery (dim-side broadcast reused), not a static literal — and
+    # the result columns must come only from the pruned scan
+    df = qs["io_dynamic_pruning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
