@@ -3179,6 +3179,40 @@ def q_io_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_compact_small_files",
+    """SELECT lang,
+              COUNT(*) AS n,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY lang""",
+    tags=("io", "maintenance"),
+)
+def q_io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction roundtrip: fragment documents into 64
+    KB-sized files (what a micro-batch writer leaves behind), compact
+    to target-sized files with a metadata-only sizing pass (sum of
+    listing lengths / target, no data read), and aggregate over the
+    compacted copy — the oracle over the ORIGINAL table proves the
+    rewrite lossless. File-count reduction is pytest-gated
+    (tests/test_sources.py); at fleet scale scan cost is
+    file-count-bound long before it is byte-bound."""
+    import hashlib
+
+    from .sources.writers import compact_files
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/spark_graft_io/compact_{tag}"
+    docs = _t(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(f"{root}/fragmented")
+    compact_files(spark, f"{root}/fragmented", f"{root}/compacted",
+                  target_bytes=64 * 1024 * 1024)
+    back = spark.read.parquet(f"{root}/compacted")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
     "io_bucketed_join",
     """SELECT o.o_orderpriority,
               COUNT(*) AS n,
@@ -5281,6 +5315,7 @@ _PRIORITY: list[str] = [
     "io_schema_evolution",  # mergeSchema across evolved parquet batches
     "events_variant_agg",  # native VARIANT parse-once path access
     "io_dynamic_pruning",  # runtime dynamicpruning subquery on the fact scan
+    "io_compact_small_files",  # metadata-sized compaction, lossless rewrite
     # --- NEW in the round-6 continuation (first driver attestation).
     # The two latest additions (mergeable histogram quantiles, Bloom-
     # pruned join) displace set_intersect_except / set_union_all (both

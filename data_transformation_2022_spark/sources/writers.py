@@ -73,3 +73,44 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back through the catalog (required: reading
     the parquet path directly loses the bucket spec and re-shuffles)."""
     return spark.table(table)
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction — the table-maintenance pass every
+    long-lived ingest needs: streaming/micro-batch writers and
+    over-parallel jobs leave thousands of KB-sized files, and at fleet
+    scale each file costs a listing round-trip, a footer read, and a
+    scheduler task, so scan cost becomes file-count-bound instead of
+    byte-bound.
+
+    Sizing is METADATA work: sum the source file lengths from the
+    listing (no data read), divide by ``target_bytes``, round up —
+    then one ``repartition(n)`` rewrite. Returns the number of data
+    files written. The rewrite is a full shuffle of the data BY DESIGN
+    (that is what compaction is); at 100 TB you run it per partition
+    directory, not per table, and the per-directory form is this same
+    function pointed at one directory.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_path).repartition(n_out).write.mode("overwrite").parquet(
+        dst_path
+    )
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(dst_path)
+        for f in files
+        if f.endswith(".parquet")
+    )

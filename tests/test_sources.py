@@ -86,3 +86,27 @@ def test_fan_out_file_source_never_touches_rdd(spark, sf_dir, monkeypatch):
     out = fan_out(df)
     monkeypatch.undo()
     assert out.count() == 25
+
+
+def test_compact_small_files_reduces_count_losslessly(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.sources.writers import compact_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    df.repartition(48).write.parquet(src)
+    import os
+
+    n_frag = sum(
+        1 for _r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    assert n_frag == 48
+    n_out = compact_files(spark, src, dst, target_bytes=64 * 1024 * 1024)
+    assert n_out < n_frag and n_out >= 1
+    a = spark.read.parquet(dst).groupBy("g").agg(F.sum("id").alias("s")).collect()
+    b = df.groupBy("g").agg(F.sum("id").alias("s")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
