@@ -109,6 +109,15 @@ def main() -> None:
         print(f"BENCH_UNWARMED ({len(unwarmed)}): {' '.join(unwarmed)}", file=sys.stderr)
     print(f"BENCH_WARM done in {time.time() - warm_t0:.0f}s", file=sys.stderr)
 
+    # A warm thread abandoned mid-timeout could have died INSIDE the
+    # streaming pipelines' _state_partitions scope, leaving the shared
+    # session conf at the streaming value; the timed relational suite
+    # must not inherit that. Pin it back explicitly.
+    shuffle_parts = os.environ.get(
+        "SPARK_SHUFFLE_PARTITIONS", str(max(8, os.cpu_count() or 8))
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
+
     from data_transformation_2022_spark.sources.readers import load_table
 
     timings: dict[str, float] = {}

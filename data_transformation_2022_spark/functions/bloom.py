@@ -105,28 +105,34 @@ def bloom_build(
         max_bits = 1 << (max_bits.bit_length() - 1)
     # two passes are inherent (m must be known before positions hash),
     # so pin the key set across them instead of recomputing the dim
-    # pipeline twice
-    keys = keys.persist()
-    n = keys.count()
-    m = min(max(_next_pow2(bits_per_key * max(n, 1)), MIN_BITS), max_bits)
-    if bits_per_key * max(n, 1) > max_bits:
-        log.warning(
-            "bloom_build: %d keys want %d bits, capped at %d — false-positive "
-            "rate degrades (results stay exact, pruning gets weaker)",
-            n, bits_per_key * n, max_bits,
+    # pipeline twice — unless the caller already persisted it (then
+    # the unpersist below must not drop THEIR cache)
+    ours = keys.storageLevel.useMemory is False and keys.storageLevel.useDisk is False
+    if ours:
+        keys = keys.persist()
+    try:
+        n = keys.count()
+        m = min(max(_next_pow2(bits_per_key * max(n, 1)), MIN_BITS), max_bits)
+        if bits_per_key * max(n, 1) > max_bits:
+            log.warning(
+                "bloom_build: %d keys want %d bits, capped at %d — false-positive "
+                "rate degrades (results stay exact, pruning gets weaker)",
+                n, bits_per_key * n, max_bits,
+            )
+        pos = F.explode(F.array(*_positions(key, m, n_hashes))).alias("pos")
+        words = (
+            keys.select(pos)
+            .select(
+                F.shiftright(F.col("pos"), 6).alias("word"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").alias("bit"),
+            )
+            .groupBy("word")
+            .agg(F.expr("bit_or(bit)").alias("bits"))
+            .collect()
         )
-    pos = F.explode(F.array(*_positions(key, m, n_hashes))).alias("pos")
-    words = (
-        keys.select(pos)
-        .select(
-            F.shiftright(F.col("pos"), 6).alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").alias("bit"),
-        )
-        .groupBy("word")
-        .agg(F.expr("bit_or(bit)").alias("bits"))
-        .collect()
-    )
-    keys.unpersist()
+    finally:
+        if ours:
+            keys.unpersist()
     arr = [0] * (m // 64)
     for r in words:
         arr[r["word"]] = r["bits"]
@@ -205,8 +211,10 @@ def bloom_pruned_join(
         dim.select(dim_key), dim_key,
         bits_per_key=bits_per_key, n_hashes=n_hashes,
     )
-    if bloom.n_keys == 0 and how != "right" and how not in ("right_outer", "rightouter"):
-        # empty dim: inner/semi joins are empty; skip the probe noise
+    if bloom.n_keys == 0:
+        # empty dim: every SOUND join type produces an empty result
+        # (inner/semi need a match; every right-outer output row
+        # corresponds to a dim row) — skip the probe noise
         return fact.join(dim, fact.__getattr__(fact_key) == dim.__getattr__(dim_key), how).limit(0)
     pruned = bloom_prune(fact, fact_key, bloom)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
