@@ -12,6 +12,17 @@ Local smoke strategy (no Kafka in this environment): read the events
 parquet as a file stream, aggregate with a watermark, sink to memory,
 ``processAllAvailable()`` — batch-equivalent results, real streaming
 operators.
+
+Environment note: Spark 4's new ``transformWithStateInPandas``
+StatefulProcessor API was probed as a modern replacement for the
+``applyInPandasWithState`` operators here and is UNUSABLE in this
+image — its driver↔worker state protocol needs ``google.protobuf``,
+which is not installed (``ModuleNotFoundError: No module named
+'google'``; the query dies in
+``transform_with_state_driver_worker`` before ``init``). The
+custom-stateful surface therefore stays on ``applyInPandasWithState``
+(running totals, online LSH); migrate when the runtime gains
+protobuf.
 """
 
 from __future__ import annotations
