@@ -627,3 +627,193 @@ def clean_control_chars(text: Column) -> Column:
     ``\\s+`` agree, so an SQL oracle replays the cleanup exactly."""
     stripped = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", " ")
     return F.trim(F.regexp_replace(stripped, "\\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# classifier-based quality filtering (the fastText/CCNet/LLaMA leg)
+# ---------------------------------------------------------------------------
+
+
+def train_quality_classifier(
+    seed: list[tuple[int, int, dict[int, int]]],
+    n_buckets: int,
+    epochs: int = 4000,
+    lr: float = 10.0,
+    l2: float = 1e-5,
+) -> tuple[float, list[float]]:
+    """Deterministic full-batch logistic regression over hashed-token
+    features — the trainer behind classifier-based quality filtering
+    (the fastText-style leg used alongside rule gates in CCNet/Gopher/
+    LLaMA-type pipelines; LLaMA's "pages referenced by Wikipedia"
+    classifier is the canonical instance).
+
+    ``seed``: one entry per seed document, ``(sort_key, label,
+    {bucket: count})`` — bounded by construction (the caller takes the
+    N smallest doc-id hashes), so training is driver-side over
+    metadata-sized sufficient inputs while feature extraction and
+    scoring stay distributed. Features are doc-length-normalized
+    bucket frequencies c_b/n; the model is margin = bias + w·x.
+
+    Determinism contract (the same one hashed_bigram_log_ratios uses):
+    both the Spark operator and the SQL oracle derive their own seed
+    counts from the data, then run them through THIS function — the
+    only transcendentals (exp) are evaluated by one implementation, so
+    the weights are bit-identical by construction. Internally: docs
+    iterate in sorted key order, buckets in sorted order, plain Python
+    floats — no set/dict iteration-order dependence anywhere."""
+    import math
+
+    docs: list[tuple[int, list[tuple[int, float]]]] = []
+    for _, y, counts in sorted(seed, key=lambda r: r[0]):
+        n = sum(counts.values())
+        x = [(b, c / n) for b, c in sorted(counts.items())] if n else []
+        docs.append((y, x))
+    if not docs:
+        return 0.0, [0.0] * n_buckets
+    w = [0.0] * n_buckets
+    bias = 0.0
+    inv = 1.0 / len(docs)
+    for _ in range(epochs):
+        gw = [0.0] * n_buckets
+        gb = 0.0
+        for y, x in docs:
+            m = bias
+            for b, xv in x:
+                m += w[b] * xv
+            # bounded exp: |m| can grow with epochs; clamp keeps exp finite
+            p = 1.0 / (1.0 + math.exp(-m)) if -35.0 < m < 35.0 else (0.0 if m <= -35.0 else 1.0)
+            g = p - y
+            gb += g
+            for b, xv in x:
+                gw[b] += g * xv
+        bias -= lr * gb * inv
+        for k in range(n_buckets):
+            w[k] -= lr * (gw[k] * inv + l2 * w[k])
+    return bias, w
+
+
+def hashed_token_buckets(df, id_col: str, text_col: str, n_buckets: int):
+    """Per-(doc, hashed-token-bucket) counts: (id, bucket, c). Narrow
+    explode over the token array, md5 bucketing (engine-portable), one
+    map-side-combinable groupBy. The shared feature extraction for the
+    quality classifier — per-doc token totals fall out as SUM(c)."""
+    from ..sources.readers import fan_out
+
+    toked = fan_out(df).select(
+        F.col(id_col), F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("__tok")
+    )
+    return (
+        toked.select(
+            F.col(id_col),
+            (md5_prefix_long(F.col("__tok"), 15) % n_buckets).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def classifier_seed_hash(id_col_str):
+    """Deterministic seed-selection key: md5 of the stringified doc id
+    salted with '|clfseed' (so it is independent of every other hash
+    sample in the pipeline). Mirrored verbatim by the SQL oracle."""
+    return md5_prefix_long(F.concat(id_col_str, F.lit("|clfseed")), 15)
+
+
+def quality_classifier_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    label_col,
+    n_buckets: int = 256,
+    seed_n: int = 512,
+    epochs: int = 4000,
+    lr: float = 10.0,
+    l2: float = 1e-5,
+    binarize: bool = True,
+    round_digits: int = 6,
+):
+    """Classifier-based quality scoring (fastText-style linear model
+    over hashed token features): train on a bounded labeled seed,
+    score the whole corpus map-only through a broadcast weight table.
+
+    ``label_col``: boolean Column marking "good" seed documents — the
+    Gopher rule gate on a real corpus, a target-domain flag (the
+    CCNet/LLaMA Wikipedia-reference construction), or any other seed
+    signal. ``binarize=True`` uses presence features (binary
+    bag-of-words, x_b = [c_b > 0]/n_present) — rule-style labels that
+    test token PRESENCE are exactly linearly separable under them;
+    ``binarize=False`` uses length-normalized frequencies c_b/n.
+
+    Shape at scale: the seed is the ``seed_n`` documents with the
+    smallest salted id-hash — a TakeOrderedAndProject, bounded no
+    matter the corpus size; its per-bucket counts (≤ seed_n × buckets
+    rows) come to the driver; training is the deterministic Python
+    trainer above; scoring joins the per-(doc,bucket) counts against
+    the broadcast ``n_buckets``-row weight table and folds margins in
+    DECIMAL(28,18) (order-independent) — one shuffle, no UDF, nothing
+    document-shaped on the driver.
+
+    Exactness contract: margin = ROUND(bias + CAST(Σ DECIMAL(x_b·w_b)
+    AS DOUBLE) / denom, round_digits) where denom = SUM(c) (frequency
+    mode) or COUNT(present buckets) (binary mode); each x·w is one
+    IEEE product of a bigint and a broadcast double, so the fold
+    hash-matches any engine replaying the same weights."""
+    spark = df.sparkSession
+    per_doc = hashed_token_buckets(df, id_col, text_col, n_buckets)
+    seed_ids = (
+        df.select(
+            F.col(id_col),
+            label_col.cast("int").alias("__label"),
+            classifier_seed_hash(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(seed_n)
+        .select(id_col, "__label")
+    )
+    seed_rows = seed_ids.collect()
+    seed_counts = (
+        per_doc.join(F.broadcast(seed_ids.select(id_col)), id_col).collect()
+    )
+    counts_by_doc: dict = {}
+    for r in seed_counts:
+        c = 1 if binarize else int(r["c"])
+        counts_by_doc.setdefault(r[id_col], {})[int(r["bucket"])] = c
+    seed = [
+        (r[id_col], int(r["__label"]), counts_by_doc.get(r[id_col], {}))
+        for r in seed_rows
+    ]
+    bias, w = train_quality_classifier(seed, n_buckets, epochs, lr, l2)
+    empty_margin = round(bias, round_digits)
+
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(b, w[b]) for b in range(n_buckets)], "bucket bigint, w double"
+        )
+    )
+    if binarize:
+        term = F.col("w").cast("decimal(28,18)")
+        denom = F.count(F.lit(1)).cast("double")
+    else:
+        term = (F.col("c") * F.col("w")).cast("decimal(28,18)")
+        denom = F.sum("c").cast("double")
+    scored = (
+        per_doc.join(wdf, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.lit(bias) + F.sum(term).cast("double") / denom,
+                round_digits,
+            ).alias("margin"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce(F.col("margin"), F.lit(empty_margin)).alias("margin"),
+        )
+    )
+    return out.withColumn("pred", (F.col("margin") >= 0).cast("int"))

@@ -22,6 +22,7 @@ that make the Spark result hash-match the DuckDB oracle exactly:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -3604,6 +3605,118 @@ def q_corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- classifier-based quality filtering (fastText/CCNet/LLaMA leg) ---
+# Seed label: the Gopher required-stopword rule relaxed to >=1 hit. The
+# full Gopher conjunction is degenerate on the synthetic corpus (0/500
+# docs pass — the >=2-stopword rule fails everywhere), so the stopword
+# leg alone is the non-degenerate rule-derived seed; on a real corpus
+# the caller passes the full `keep` flag (the operator takes any
+# boolean label Column).
+_CLF_BUCKETS = 256
+_CLF_SEED_N = 512
+
+
+def _clf_seed_label_sql(toks: str) -> str:
+    from .functions.text import GOPHER_STOPWORDS
+
+    hits = " + ".join(
+        f"CAST(list_contains({toks}, '{w}') AS INT)" for w in GOPHER_STOPWORDS
+    )
+    return f"({hits}) >= 1"
+
+
+def _clf_fit() -> tuple[float, list[float]]:
+    """Derive the classifier weights the ORACLE way: seed counts from
+    DuckDB, the shared deterministic Python trainer for the fit (the
+    only transcendental lives in one implementation — the same
+    contract _dsir_oracle uses). Cached per sf_dir: two oracles embed
+    these weights (the classifier query and the curation pipeline)."""
+    return _clf_fit_cached(_oracle_sf())
+
+
+@functools.lru_cache(maxsize=4)
+def _clf_fit_cached(sf_dir: str) -> tuple[float, list[float]]:
+    import duckdb
+
+    from .functions.text import train_quality_classifier
+
+    toks = _DD_TOKS.format(t="text")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    seed_cte = f"""seed AS (
+  SELECT doc_id, {_clf_seed_label_sql(toks)} AS label, {toks} AS w
+  FROM documents
+  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|clfseed'),
+            1, 15))::BIGINT, doc_id
+  LIMIT {_CLF_SEED_N}
+)"""
+    labels = con.execute(
+        f"WITH {seed_cte} SELECT doc_id, label FROM seed"
+    ).fetchall()
+    buckets = con.execute(
+        f"""WITH {seed_cte}
+SELECT DISTINCT doc_id, {_dd_md5_long('t.tok', 15)} % {_CLF_BUCKETS} AS bucket
+FROM seed, UNNEST(w) AS t(tok)"""
+    ).fetchall()
+    con.close()
+    by_doc: dict = {}
+    for did, b in buckets:
+        by_doc.setdefault(did, {})[int(b)] = 1  # binarized presence features
+    seed = [(did, int(lab), by_doc.get(did, {})) for did, lab in labels]
+    return train_quality_classifier(seed, _CLF_BUCKETS)
+
+
+def _quality_clf_oracle() -> str:
+    bias, w = _clf_fit()
+    empty = _flit(round(bias, 6))
+    vals = ", ".join(f"({b}, {_flit(w[b])})" for b in range(_CLF_BUCKETS))
+    toks = _DD_TOKS.format(t="text")
+    return f"""WITH toks AS (SELECT doc_id, {toks} AS w FROM documents),
+bk AS (SELECT doc_id, {_dd_md5_long('t.tok', 15)} % {_CLF_BUCKETS} AS bucket
+       FROM toks, UNNEST(w) AS t(tok)),
+pd AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+wt AS (SELECT * FROM (VALUES {vals}) v(bucket, w)),
+sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+              ROUND({_flit(bias)}
+                    + CAST(SUM(CAST(w AS DECIMAL(28,18))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS margin
+       FROM pd JOIN wt USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+       COALESCE(sc.margin, {empty}) AS margin,
+       CAST(COALESCE(sc.margin, {empty}) >= 0 AS INT) AS pred
+FROM documents d LEFT JOIN sc USING (doc_id)"""
+
+
+@register(
+    "corpus_quality_classifier",
+    _quality_clf_oracle,
+    tags=("text", "pipeline", "ml", "classifier", "dynamic-literal"),
+)
+def q_corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering — the fastText-style leg used
+    alongside rule gates in public pipelines (CCNet perplexity buckets,
+    LLaMA's Wikipedia-reference classifier): deterministic logistic
+    regression over hashed binary bag-of-words features, trained on a
+    bounded rule-labeled seed (Gopher stopword rule, >=1 hit), scored
+    map-only through a broadcast 256-row weight table with a
+    decimal-exact margin fold. Seed selection is the 512 smallest
+    salted doc-id hashes (TakeOrderedAndProject — bounded at any corpus
+    size); the oracle derives its own seed counts in DuckDB and runs
+    them through the same Python trainer, so the weights are
+    bit-identical by construction and the margins hash-match."""
+    from .functions.text import GOPHER_STOPWORDS, quality_classifier_scores, tokens_ws
+
+    d = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    label = F.arrays_overlap(tokens_ws(F.lower(F.col("text"))), stop_arr)
+    return quality_classifier_scores(
+        d, "doc_id", "text", label, n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N
+    )
+
+
 @register(
     "corpus_language_stats",
     f"""WITH feats AS (
@@ -4207,9 +4320,31 @@ def q_pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_curate_corpus",
-    f"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+def _curate_oracle() -> str:
+    """Curation-pipeline oracle with the classifier gate in front: the
+    clf CTEs replay the quality classifier's margin fold (weights from
+    the shared deterministic trainer — see _clf_fit), fdocs keeps docs
+    with margin >= 0, and the round-6 pipeline body runs on fdocs."""
+    bias, w = _clf_fit()
+    empty = _flit(round(bias, 6))
+    vals = ", ".join(f"({b}, {_flit(w[b])})" for b in range(_CLF_BUCKETS))
+    toks = _DD_TOKS.format(t="text")
+    gate = f"""qtoks AS (SELECT doc_id, {toks} AS w FROM documents),
+qbk AS (SELECT doc_id, {_dd_md5_long('t.tok', 15)} % {_CLF_BUCKETS} AS bucket
+        FROM qtoks, UNNEST(w) AS t(tok)),
+qpd AS (SELECT doc_id, bucket, COUNT(*) AS c FROM qbk GROUP BY 1, 2),
+qwt AS (SELECT * FROM (VALUES {vals}) v(bucket, w)),
+qsc AS (SELECT doc_id,
+               ROUND({_flit(bias)}
+                     + CAST(SUM(CAST(w AS DECIMAL(28,18))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS margin
+        FROM qpd JOIN qwt USING (bucket) GROUP BY doc_id),
+fdocs AS (SELECT d.* FROM documents d LEFT JOIN qsc USING (doc_id)
+          WHERE COALESCE(qsc.margin, {empty}) >= 0)"""
+    return f"WITH {gate},\n" + _CURATE_BODY_SQL
+
+
+_CURATE_BODY_SQL = f"""docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM fdocs),
        words AS (
          SELECT doc_id, t.ord, w[t.ord] AS word
          FROM docs, UNNEST(range(1, len(w) + 1)) AS t(ord)
@@ -4245,7 +4380,7 @@ def q_pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT f.doc_id, d.lang, len(ct.w) AS n_tokens, f.fluency
          FROM flu f
          JOIN ctoks ct ON ct.doc_id = f.doc_id
-         JOIN documents d ON d.doc_id = f.doc_id
+         JOIN fdocs d ON d.doc_id = f.doc_id
        ),
        qc AS (SELECT lang, COUNT(*) AS n FROM base GROUP BY lang),
        qr AS (SELECT lang, LEAST(1000000, (100 * 1000000 + n // 2) // n) AS thr
@@ -4264,20 +4399,39 @@ def q_pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM bal
        )
        SELECT doc_id, lang, n_tokens, cum_tokens
-       FROM sel WHERE cum_tokens <= 5000""",
-    tags=("pipeline", "dedup", "text", "sampling"),
+       FROM sel WHERE cum_tokens <= 5000"""
+
+
+@register(
+    "pipeline_curate_corpus",
+    _curate_oracle,
+    tags=("pipeline", "dedup", "text", "sampling", "classifier", "dynamic-literal"),
 )
 def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-6 curation pipeline, one hash-checked query composing
-    the four new operators AS REGISTERED: keep-first exact segment
-    dedup -> bigram fluency scored over the CLEANED corpus ->
+    """The curation pipeline, one hash-checked query: classifier-based
+    quality gate (round-7, the model-based filter public pipelines run
+    in front of curation — margin >= 0 keeps a doc) -> keep-first exact
+    segment dedup -> bigram fluency scored over the CLEANED corpus ->
     language-quota balancing (observed counts) -> token-budget
     best-first selection (fluency desc, 5k tokens). The result is the
     curated manifest (doc, lang, tokens, running total)."""
-    from .functions.text import bigram_fluency, dedup_segments_keep_first, tokens_ws
+    from .functions.text import (
+        GOPHER_STOPWORDS,
+        bigram_fluency,
+        dedup_segments_keep_first,
+        quality_classifier_scores,
+        tokens_ws,
+    )
     from .operators.sampling import balance_by_quota, select_by_token_budget
 
-    docs = _t(spark, sf_dir, "documents")
+    docs_all = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    label = F.arrays_overlap(tokens_ws(F.lower(F.col("text"))), stop_arr)
+    gate = quality_classifier_scores(
+        docs_all, "doc_id", "text", label,
+        n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N,
+    ).filter(F.col("pred") == 1)
+    docs = docs_all.join(gate.select("doc_id"), "doc_id")
     # clean feeds TWO branches (fluency scoring + token counting) and
     # base feeds two more (the quota counts + the filter join inside
     # balance_by_quota): persist both or the whole segment-dedup and

@@ -1555,3 +1555,64 @@ def test_variant_get_missing_path_is_null(spark):
     ).collect()
     assert sorted([r["k"] for r in got], key=lambda x: (x is None, x)) == [7, None]
 
+
+
+# ---------------------------------------------------------------------------
+# classifier-based quality filtering (fastText/CCNet/LLaMA leg)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_separates_good_from_bad(spark):
+    """The classifier leg of quality filtering: train on a labeled seed
+    of clean prose vs gibberish, and the margins must separate the two
+    populations — every known-good doc scores strictly above every
+    known-bad doc, and preds match the labels."""
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.functions.text import (
+        quality_classifier_scores,
+    )
+
+    good_words = "the cat sat on the mat and that dog ran with great joy to be free"
+    bad_words = "zxq vrk jjw qqp zzt xkcd wvut plorg znarf blixt qwop vrmt"
+    rows = []
+    for i in range(40):
+        gw = good_words.split()
+        bw = bad_words.split()
+        rows.append((i, " ".join(gw[i % 5 :] + gw[: i % 5]), 1))
+        rows.append((100 + i, " ".join(bw[i % 4 :] + bw[: i % 4]), 0))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+
+    out = quality_classifier_scores(
+        df, "doc_id", "text", F.col("label") == 1, seed_n=40, epochs=400, lr=5.0
+    ).join(df.select("doc_id", "label"), "doc_id")
+    got = out.collect()
+    assert len(got) == 80
+    good_m = [r["margin"] for r in got if r["label"] == 1]
+    bad_m = [r["margin"] for r in got if r["label"] == 0]
+    assert min(good_m) > max(bad_m), (min(good_m), max(bad_m))
+    assert all(r["pred"] == r["label"] for r in got)
+
+
+def test_quality_classifier_deterministic_and_bounded_seed(spark):
+    """Same data, two runs → identical margins (deterministic trainer,
+    salted-hash seed selection). seed_n smaller than the corpus trains
+    on a strict bounded subset yet still scores every document."""
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.functions.text import (
+        quality_classifier_scores,
+    )
+
+    rows = [
+        (i, ("the good and solid text here " * 3) if i % 2 else "blorp zzt qqk vrm", i % 2)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+    kw = dict(seed_n=16, epochs=300, lr=5.0)
+    a = quality_classifier_scores(df, "doc_id", "text", F.col("label") == 1, **kw)
+    b = quality_classifier_scores(df, "doc_id", "text", F.col("label") == 1, **kw)
+    ra = {r["doc_id"]: (r["n_tokens"], r["margin"], r["pred"]) for r in a.collect()}
+    rb = {r["doc_id"]: (r["n_tokens"], r["margin"], r["pred"]) for r in b.collect()}
+    assert ra == rb
+    assert len(ra) == 60  # every doc scored, not just the seed
