@@ -163,10 +163,24 @@ def _op_exprs(df: DataFrame, step: Step, cols: list[str]) -> tuple[list[Any], li
     if t == "astype":
         target = _CAST_ALIASES.get(str(step.args[0]), str(step.args[0]))
         return [F.col(c).cast(target) for c in cols], list(cols)
-    if t == "sum":  # horizontal, per-row, left-to-right
-        return [reduce(lambda a, b: a + b, [F.col(c) for c in cols])], [f"sum({', '.join(cols)})"]
-    if t == "mul":
-        return [reduce(lambda a, b: a * b, [F.col(c) for c in cols])], [f"mul({', '.join(cols)})"]
+    if t in ("sum", "mul"):  # horizontal, per-row, left-to-right
+        # Overflow policy (chosen, not inherited): the reference's
+        # numpy int64 silently WRAPS on wide-integer folds; Spark under
+        # ANSI THROWS mid-plan. Neither is right, so all-integral folds
+        # widen to DECIMAL(38,0) — sums of int64 columns cannot
+        # overflow 38 digits, and a product that does exceed them fails
+        # visibly instead of wrapping. Float inputs keep IEEE
+        # left-to-right arithmetic (bit-reproducible, oracle-exact).
+        ints = {"tinyint", "smallint", "int", "bigint"}
+        all_integral = all(
+            df.schema[c].dataType.simpleString() in ints for c in cols
+        )
+        terms = [
+            F.col(c).cast("decimal(38,0)") if all_integral else F.col(c)
+            for c in cols
+        ]
+        op = (lambda a, b: a + b) if t == "sum" else (lambda a, b: a * b)
+        return [reduce(op, terms)], [f"{t}({', '.join(cols)})"]
     if t == "sub":
         if len(cols) != 2:
             raise ValueError("sub requires exactly 2 input columns")

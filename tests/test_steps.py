@@ -123,3 +123,32 @@ def test_stacked_rank_refuses_bigint_mix(spark):
     out = apply_step(df, step)
     got = {r[RID]: (r["rh"], r["ri"]) for r in rows(out)}
     assert got == {0: (1, 3), 1: (2, 1), 2: (3, 2)}
+
+
+def test_horizontal_fold_wide_ints_no_overflow(spark):
+    """Overflow policy pin: all-integral horizontal sum/mul folds in
+    DECIMAL(38,0) — a sum/product that overflows int64 keeps its exact
+    magnitude instead of wrapping (reference numpy) or throwing
+    mid-plan (Spark ANSI)."""
+    from decimal import Decimal
+
+    from data_transformation_2022_spark.operators.steps import Step, apply_tpath
+
+    big = 4_000_000_000  # 4e9: pairwise product overflows int64
+    df = spark.createDataFrame(
+        [(big, big, big)], "a bigint, b bigint, c bigint"
+    )
+    s = apply_tpath(df, [Step(t="sum", i_type="all", i=None)]).collect()[0][0]
+    assert s == Decimal(3 * big)
+    m = apply_tpath(df, [Step(t="mul", i_type="all", i=None)]).collect()[0][0]
+    assert m == Decimal(big) ** 3  # 6.4e28 — far past int64, exact in decimal
+
+
+def test_horizontal_sum_floats_keeps_double(spark):
+    """Float inputs keep IEEE double arithmetic (oracle-exact path)."""
+    from data_transformation_2022_spark.operators.steps import Step, apply_tpath
+
+    df = spark.createDataFrame([(1.5, 2.25)], "a double, b double")
+    out = apply_tpath(df, [Step(t="sum", i_type="all", i=None)])
+    assert dict(out.dtypes).popitem()[1] == "double"
+    assert out.collect()[0][0] == 3.75
