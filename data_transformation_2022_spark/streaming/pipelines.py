@@ -28,6 +28,7 @@ protobuf.
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 import pandas as pd
@@ -48,18 +49,39 @@ from pyspark.sql import types as T
 STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
 
 
+# spark.sql.shuffle.partitions is SESSION-global: two interleaved
+# _state_partitions scopes (parallel warm threads, a bench warm thread
+# overlapping a timed run) could each capture the streaming value as
+# "old" and leave the session pinned at the streaming count after both
+# exit. The lock + depth counter make the scope re-entrant: only the
+# OUTERMOST exit restores, and it restores the value captured before
+# any scope was entered.
+_STATE_PARTS_LOCK = threading.RLock()
+_STATE_PARTS_DEPTH = 0
+_STATE_PARTS_SAVED: str | None = None
+
+
 @contextmanager
 def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
     """Scope spark.sql.shuffle.partitions to ``n`` around a streaming
     query START (safe: every query here begins from a fresh temp
     checkpoint, so no existing state layout can mismatch; batch queries
-    planned after the restore are untouched)."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    planned after the restore are untouched). Re-entrant and
+    thread-safe: nested/concurrent scopes restore the pre-scope value
+    exactly once, at depth 0."""
+    global _STATE_PARTS_DEPTH, _STATE_PARTS_SAVED
+    with _STATE_PARTS_LOCK:
+        if _STATE_PARTS_DEPTH == 0:
+            _STATE_PARTS_SAVED = spark.conf.get("spark.sql.shuffle.partitions")
+        _STATE_PARTS_DEPTH += 1
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        with _STATE_PARTS_LOCK:
+            _STATE_PARTS_DEPTH -= 1
+            if _STATE_PARTS_DEPTH == 0 and _STATE_PARTS_SAVED is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTS_SAVED)
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -538,6 +560,39 @@ def stream_to_parquet_sink(
     return spark.read.parquet(f"{out_dir}/data")
 
 
+def auto_state_cells(
+    spark: SparkSession,
+    bands: int,
+    expected_docs: int | None,
+    buckets_per_cell: int = 16,
+    max_cells: int = 1 << 20,
+) -> int:
+    """Derive the state-cell count the same way the batch embedding LSH
+    derives ``n_planes="auto"``: from the executor parallelism and the
+    expected bucket population, instead of a hand-tuned constant.
+
+    Invariants the formula keeps as the corpus grows:
+    * cells ≥ 4 × defaultParallelism — every core keeps ≥4 state tasks,
+      so one slow cell can't serialize a 1000-executor fleet;
+    * ~``buckets_per_cell`` bucket keys per cell (occupied buckets ≈
+      bands × docs; most buckets are singletons) — a cell's state row
+      is rewritten per update, so holding buckets-per-cell constant
+      holds the rewrite size, and with it per-batch latency, flat as
+      the corpus scales (dispatch count per batch is bounded by the
+      batch's own arriving rows either way);
+    * power-of-two, capped at ``max_cells``."""
+    import math
+
+    par = spark.sparkContext.defaultParallelism
+    floor_cells = 4 * max(par, 1)
+    if expected_docs and expected_docs > 0:
+        target = max(bands * expected_docs / buckets_per_cell, 1.0)
+        cells = 2 ** math.ceil(math.log2(target))
+    else:
+        cells = 1024
+    return int(min(max_cells, max(floor_cells, cells)))
+
+
 def streaming_lsh_neardup(
     docs: DataFrame,
     id_col: str,
@@ -545,7 +600,8 @@ def streaming_lsh_neardup(
     k: int = 16,
     bands: int = 4,
     max_bucket: int = 64,
-    state_cells: int = 4096,
+    state_cells: int | str = "auto",
+    expected_docs: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup detection: as documents arrive,
     emit candidate pairs (new doc × every same-bucket doc seen so far) —
@@ -623,10 +679,14 @@ def streaming_lsh_neardup(
     # inside the cell, so SEMANTICS are unchanged — pytest-pinned
     # equal to the raw-keyed form via the batch twin). The cell count
     # trades dispatch overhead against parallelism and per-state-row
-    # size: 4096 cells ≫ local cores and still 4 tasks/executor on a
-    # 1000-executor fleet; scale it with corpus size when bucket
-    # populations grow (a cell's state row is rewritten per update).
-    cell = F.pmod(F.xxhash64(F.col("band"), F.col("bh")), F.lit(state_cells))
+    # size; "auto" derives it from defaultParallelism and the expected
+    # bucket population (see auto_state_cells), so per-batch latency
+    # stays flat as the corpus scales instead of relying on a
+    # hand-tuned constant (a cell's state row is rewritten per update,
+    # so holding buckets-per-cell constant holds the rewrite size).
+    if state_cells == "auto":
+        state_cells = auto_state_cells(docs.sparkSession, bands, expected_docs)
+    cell = F.pmod(F.xxhash64(F.col("band"), F.col("bh")), F.lit(int(state_cells)))
     keyed = banded.select(
         cell.alias("cell"),
         F.concat_ws(":", F.col("band").cast("string"), F.col("bh")).alias("bkey"),
@@ -681,16 +741,20 @@ def stream_lsh_neardup(
     k: int = 16,
     bands: int = 4,
     max_bucket: int = 64,
-    state_cells: int = 4096,
+    state_cells: int | str = "auto",
     query_name: str = "lsh_stream",
 ) -> DataFrame:
     """Drive the streaming LSH detector over the documents files and
     return the DISTINCT drained candidate pairs (a pair can surface in
-    several bands; distinct mirrors the batch form)."""
+    several bands; distinct mirrors the batch form). The known static
+    source gives the expected-docs hint for the auto state-cell
+    derivation (parquet row count — metadata-only, no scan)."""
     import os
 
     table = f"{sf_dir}/documents.parquet"
-    static = spark.read.parquet(table).schema
+    src = spark.read.parquet(table)
+    static = src.schema
+    expected_docs = src.count() if state_cells == "auto" else None
     raw = (
         spark.readStream.format("parquet")
         .schema(static)
@@ -704,6 +768,7 @@ def stream_lsh_neardup(
     pairs = streaming_lsh_neardup(
         stream, "doc_id", "text", k=k, bands=bands,
         max_bucket=max_bucket, state_cells=state_cells,
+        expected_docs=expected_docs,
     )
     # NOT scoped to STATE_PARTITIONS: this query's per-batch cost is
     # real python work across the 4096 state cells (signature pairing),

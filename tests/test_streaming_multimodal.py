@@ -157,3 +157,22 @@ def test_stream_sink_parquet_exactly_once(spark, sf_dir, tmp_path):
     )
     assert second.exceptAll(batch).count() == 0
     assert batch.exceptAll(second).count() == 0
+
+
+def test_auto_state_cells_derivation(spark):
+    """auto_state_cells: >=4 tasks per core, ~16 buckets per cell as
+    the corpus grows (power-of-two), capped."""
+    from data_transformation_2022_spark.streaming.pipelines import auto_state_cells
+
+    par = spark.sparkContext.defaultParallelism
+    # tiny corpus -> parallelism floor dominates
+    assert auto_state_cells(spark, 4, 10) == 4 * par
+    # no hint -> 1024 default (or the floor, whichever is larger)
+    assert auto_state_cells(spark, 4, None) == max(1024, 4 * par)
+    # growing corpus: buckets-per-cell held ~constant => cells scale
+    # linearly (up to pow2 rounding) with docs
+    c1 = auto_state_cells(spark, 4, 50_000)
+    c2 = auto_state_cells(spark, 4, 500_000)
+    assert c1 == 2 ** 14  # 4*50k/16 = 12.5k -> 16384
+    assert c2 == 2 ** 17  # 4*500k/16 = 125k -> 131072
+    assert auto_state_cells(spark, 4, 10**12) == 1 << 20  # hard cap
