@@ -101,3 +101,98 @@ def zorder_extent_report(
         F.max("cy").alias("max_cy"),
         F.round(frac, 6).alias("extent_frac"),
     )
+
+
+def zvalue_nd(cols: list[Column], bits: int) -> Column:
+    """Round-robin interleave N ``bits``-wide non-negative integers into
+    an ``N·bits``-wide Morton key: dimension j's bit i lands at position
+    ``i·N + j`` (the 2-D x-even/y-odd layout is the N=2 case). Flat sum
+    of shift/mask terms — constant-folds into one codegen expression.
+    ``N·bits`` must stay below 63 (bigint, sign bit untouched)."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} dims x {bits} bits = {n * bits} > 62 key bits")
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return reduce(lambda a, b: a + b, terms)
+
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def zorder_extent_report_nd(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 10,
+    bucket_bits: int = 4,
+) -> DataFrame:
+    """N-dimensional generalization of the extent report — the real
+    lakehouse layout call signature (OPTIMIZE ZORDER BY (c1, c2, c3)).
+
+    Per-column quantization picks the exact path by dtype: integral
+    columns use overflow-free WIDTH-form division ``(x - lo) div
+    ceil(span / 2^bits)``; floating columns use the clamped IEEE
+    scaling — both identical expressions to the 2-D form, so an SQL
+    oracle reproduces every cell bit-for-bit. The z-bucket is the top
+    ``bucket_bits`` bits of the N·bits Morton key, which pins
+    ``floor((bucket_bits + N-1-j)/N)`` high bits of dimension j — every
+    bucket's bounding box covers at most ``prod_j 2^-pinned_j`` of the
+    grid, the guarantee that lets parquet min/max stats prune
+    N-dimensional predicates. Output: zbucket, n, per-dimension
+    min_c{j}/max_c{j}, extent_frac."""
+    n = len(cols)
+    cells = 1 << bits
+    kinds = [df.schema[c].dataType.simpleString() for c in cols]
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"__lo{j}"))
+        aggs.append(F.max(c).alias(f"__hi{j}"))
+    b = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    cell_cols = []
+    for j, (c, kind) in enumerate(zip(cols, kinds)):
+        if kind in _INT_TYPES:
+            expr = F.expr(
+                f"CAST(({c} - __lo{j})"
+                f" div ((__hi{j} - __lo{j} + {cells}) div {cells}) AS BIGINT)"
+            )
+        else:
+            expr = F.when(
+                F.col(f"__hi{j}") == F.col(f"__lo{j}"), F.lit(0).cast("bigint")
+            ).otherwise(
+                F.least(
+                    F.lit(cells - 1).cast("bigint"),
+                    F.floor(
+                        (F.col(c) - F.col(f"__lo{j}"))
+                        * F.lit(float(cells))
+                        / (F.col(f"__hi{j}") - F.col(f"__lo{j}"))
+                    ).cast("bigint"),
+                )
+            )
+        cell_cols.append(expr.alias(f"c{j}"))
+    keyed = b.select(*cell_cols).withColumn(
+        "zbucket",
+        F.shiftright(
+            zvalue_nd([F.col(f"c{j}") for j in range(n)], bits),
+            n * bits - bucket_bits,
+        ),
+    )
+    frac = reduce(
+        lambda a, b2: a * b2,
+        [
+            (F.max(f"c{j}") - F.min(f"c{j}") + F.lit(1)).cast("double")
+            for j in range(n)
+        ],
+    ) / F.lit(float(cells) ** n)
+    per_dim = []
+    for j in range(n):
+        per_dim.append(F.min(f"c{j}").alias(f"min_c{j}"))
+        per_dim.append(F.max(f"c{j}").alias(f"max_c{j}"))
+    return keyed.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        *per_dim,
+        F.round(frac, 6).alias("extent_frac"),
+    )

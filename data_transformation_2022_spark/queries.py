@@ -5240,6 +5240,62 @@ def q_io_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z3_BITS = 10
+_Z3_BUCKET_BITS = 6
+_Z3_TERMS = " + ".join(
+    f"(((c{j} >> {i}) & 1) << {i * 3 + j})"
+    for i in range(_Z3_BITS)
+    for j in range(3)
+)
+
+
+@register(
+    "io_zorder_cluster3",
+    f"""WITH bounds AS (SELECT MIN(l_suppkey) AS lo0, MAX(l_suppkey) AS hi0,
+                              MIN(l_partkey) AS lo1, MAX(l_partkey) AS hi1,
+                              MIN(l_extendedprice) AS lo2, MAX(l_extendedprice) AS hi2
+                       FROM lineitem),
+       cells AS (SELECT
+           CAST((l_suppkey - lo0)
+                // ((hi0 - lo0 + {1 << _Z3_BITS}) // {1 << _Z3_BITS}) AS BIGINT) AS c0,
+           CAST((l_partkey - lo1)
+                // ((hi1 - lo1 + {1 << _Z3_BITS}) // {1 << _Z3_BITS}) AS BIGINT) AS c1,
+           CASE WHEN hi2 = lo2 THEN 0
+                ELSE LEAST({(1 << _Z3_BITS) - 1},
+                     CAST(FLOOR((l_extendedprice - lo2) * {float(1 << _Z3_BITS)}
+                          / (hi2 - lo2)) AS BIGINT)) END AS c2
+         FROM lineitem CROSS JOIN bounds),
+       z AS (SELECT c0, c1, c2,
+                    ({_Z3_TERMS}) >> {3 * _Z3_BITS - _Z3_BUCKET_BITS} AS zbucket
+             FROM cells)
+       SELECT zbucket, COUNT(*) AS n,
+              MIN(c0) AS min_c0, MAX(c0) AS max_c0,
+              MIN(c1) AS min_c1, MAX(c1) AS max_c1,
+              MIN(c2) AS min_c2, MAX(c2) AS max_c2,
+              ROUND(CAST((MAX(c0) - MIN(c0) + 1) AS DOUBLE)
+                    * CAST((MAX(c1) - MIN(c1) + 1) AS DOUBLE)
+                    * CAST((MAX(c2) - MIN(c2) + 1) AS DOUBLE)
+                    / {float((1 << _Z3_BITS) ** 3)}, 6) AS extent_frac
+       FROM z GROUP BY zbucket""",
+    tags=("io", "layout"),
+)
+def q_io_zorder_cluster3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-key Z-order clustering report over lineitem (l_suppkey ×
+    l_partkey × l_extendedprice) — the real lakehouse layout signature
+    (OPTIMIZE ZORDER BY (c1, c2, c3)): round-robin bit interleave into
+    a 30-bit Morton key, bucket by its top 6 bits (64 buckets, 2 pinned
+    high bits PER dimension → every bucket's box covers ≤ 1/64 of the
+    3-D grid). Same exact quantization forms as the 2-D report; pure
+    codegen expressions, map-only plus one 64-key groupBy."""
+    from .functions.zorder import zorder_extent_report_nd
+
+    return zorder_extent_report_nd(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_suppkey", "l_partkey", "l_extendedprice"],
+        bits=_Z3_BITS, bucket_bits=_Z3_BUCKET_BITS,
+    )
+
+
 # --- BPE encode (the inference half of corpus_bpe_merges) ------------------
 
 # The shipped tokenizer artifact: the merge table corpus_bpe_merges

@@ -1616,3 +1616,114 @@ def test_quality_classifier_deterministic_and_bounded_seed(spark):
     rb = {r["doc_id"]: (r["n_tokens"], r["margin"], r["pred"]) for r in b.collect()}
     assert ra == rb
     assert len(ra) == 60  # every doc scored, not just the seed
+
+
+def test_zvalue_nd_matches_python_interleave(spark):
+    """The N-D Morton key reproduces the reference round-robin
+    interleave (and its N=2 case equals the 2-D zvalue layout)."""
+    from data_transformation_2022_spark.functions.zorder import zvalue_nd
+
+    def py_z(vals, bits):
+        n = len(vals)
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * n + j)
+        return z
+
+    triples = [(x, y, w) for x in range(4) for y in range(4) for w in range(4)]
+    triples += [(1023, 0, 1023), (512, 256, 7)]
+    df = spark.createDataFrame(triples, "x long, y long, w long")
+    got = {
+        (r["x"], r["y"], r["w"]): r["z"]
+        for r in df.select(
+            "x", "y", "w",
+            zvalue_nd([F.col("x"), F.col("y"), F.col("w")], 10).alias("z"),
+        ).collect()
+    }
+    for t in triples:
+        assert got[t] == py_z(list(t), 10), t
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zvalue_nd([F.col("x")] * 7, 10)  # 70 key bits > 62
+
+
+def test_zorder_nd_buckets_partition_and_localize(spark, sf_dir):
+    """3-key z-buckets from the top 6 Morton bits pin 2 high bits of
+    EACH dimension: every bucket's box covers at most 1/64 of the 3-D
+    grid (1/4 per dimension), and buckets partition the table."""
+    from data_transformation_2022_spark.functions.zorder import (
+        zorder_extent_report_nd,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rep = zorder_extent_report_nd(
+        li, ["l_suppkey", "l_partkey", "l_extendedprice"], bits=10, bucket_bits=6
+    ).collect()
+    assert sum(r["n"] for r in rep) == li.count()
+    cells = 1 << 10
+    for r in rep:
+        assert 0 <= r["zbucket"] < 64
+        assert r["extent_frac"] <= 1.0 / 64 + 1e-9, r
+        for j in range(3):  # 2 pinned bits per dim -> extent <= cells/4
+            assert r[f"max_c{j}"] - r[f"min_c{j}"] + 1 <= cells // 4, (j, r)
+
+
+def test_zorder_nd_layout_prunes_3d_box(spark, sf_dir, tmp_path):
+    """End-to-end 3-D skipping proof: write lineitem one partition per
+    3-key z-bucket, answer a 3-D box predicate reading only buckets
+    whose bounding box overlaps the query box — exactly the full-scan
+    answer while touching a fraction of the 64 buckets."""
+    from data_transformation_2022_spark.functions.zorder import zvalue_nd
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_suppkey", "l_partkey", "l_extendedprice"]
+    bounds = li.agg(
+        *[f(c).alias(f"{p}{j}") for j, c in enumerate(cols)
+          for p, f in (("lo", F.min), ("hi", F.max))]
+    )
+    b = li.crossJoin(F.broadcast(bounds))
+    cells = 1 << 10
+    cs = []
+    for j, c in enumerate(cols[:2]):  # integral dims
+        cs.append(F.expr(
+            f"CAST(({c} - lo{j}) div ((hi{j} - lo{j} + {cells}) div {cells}) AS BIGINT)"
+        ))
+    cs.append(F.least(
+        F.lit(cells - 1).cast("bigint"),
+        F.floor((F.col(cols[2]) - F.col("lo2")) * F.lit(float(cells))
+                / (F.col("hi2") - F.col("lo2"))).cast("bigint"),
+    ))
+    keyed = b.withColumn("zbucket", F.shiftright(zvalue_nd(cs, 10), 30 - 6))
+    out = str(tmp_path / "zorders3")
+    keyed.drop(*[f"lo{j}" for j in range(3)], *[f"hi{j}" for j in range(3)]) \
+        .write.partitionBy("zbucket").parquet(out)
+
+    idx = {
+        r["zbucket"]: r
+        for r in keyed.groupBy("zbucket").agg(
+            *[f(c).alias(f"{p}_{c}") for c in cols
+              for p, f in (("lo", F.min), ("hi", F.max))]
+        ).collect()
+    }
+    box = {"l_suppkey": (5, 60), "l_partkey": (100, 900),
+           "l_extendedprice": (10_000.0, 40_000.0)}
+    hit = [
+        z for z, r in idx.items()
+        if all(not (r[f"hi_{c}"] < lo or r[f"lo_{c}"] > hi)
+               for c, (lo, hi) in box.items())
+    ]
+    assert 0 < len(hit) < len(idx), (len(hit), len(idx))
+
+    pred = None
+    for c, (lo, hi) in box.items():
+        p = F.col(c).between(lo, hi)
+        pred = p if pred is None else pred & p
+    agg = lambda d: tuple(d.filter(pred).agg(
+        F.count(F.lit(1)),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")),
+    ).collect()[0])
+    pruned = agg(spark.read.parquet(out).filter(F.col("zbucket").isin(hit)))
+    assert pruned == agg(li) and pruned[0] > 0
