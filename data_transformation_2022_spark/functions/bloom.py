@@ -192,8 +192,11 @@ def bloom_pruned_join(
     mismatch would turn the equi-join's implicit cast into silent
     Bloom false NEGATIVES. Cast one side explicitly instead.
     """
-    sound = {"inner", "semi", "left_semi", "leftsemi", "right", "right_outer", "rightouter"}
-    if how not in sound:
+    # normalize the way Spark's own JoinType.apply does (case- and
+    # underscore-insensitive), so every Spark-accepted spelling of a
+    # sound type ('Inner', 'RIGHT', 'rightOuter') is accepted here too
+    sound = {"inner", "semi", "leftsemi", "right", "rightouter"}
+    if how.lower().replace("_", "") not in sound:
         raise ValueError(
             f"bloom_pruned_join(how={how!r}): pruning the fact side drops "
             f"exactly the rows a left/full outer or anti join must keep; "

@@ -258,7 +258,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iters: int = 20,
     algorithm: str = "auto",
-    star_threshold: int = 50_000,
+    star_threshold: int = 1_000_000,
     driver_threshold: int = 100_000,
     pairs_distinct: bool = False,
 ) -> DataFrame:
@@ -286,8 +286,10 @@ def connected_components(
       path.
 
     ``auto`` counts the (distinct, non-self) edges once: ≤
-    ``driver_threshold`` → ``driver``; above that → ``star`` (beyond
-    ``star_threshold``, else ``propagation``). The collect in the
+    ``driver_threshold`` → ``driver``; then ``propagation`` up to
+    ``star_threshold`` edges (shallow-cluster band — the defaults keep
+    it non-empty: 100k < edges ≤ 1M), and ``star`` beyond, where
+    O(log n) contraction beats O(diameter) joins. The collect in the
     driver path is gated by that count — it can never pull an unbounded
     edge set. Either distributed engine raises if the graph has not
     converged after ``max_iters`` instead of returning a silently wrong

@@ -3161,6 +3161,20 @@ def q_io_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _io_run_root(sf_dir: str, name: str) -> str:
+    """Per-(sf_dir, process) scratch root for write-then-read queries.
+    The pid token keeps two concurrent executions of the same query
+    (an abandoned warm thread from another bench process, two bench
+    runs) from racing on one mode('overwrite') directory — a race that
+    fails mid-read or silently reads a half-overwritten copy."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/spark_graft_io/{name}_{tag}_{os.getpid()}"
+
+
 @register(
     "io_dynamic_pruning",
     """SELECT o_orderpriority,
@@ -3184,10 +3198,7 @@ def q_io_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Plan-gated in tests/test_plans.py (the executed plan must
     carry the dynamicpruning expression); the oracle collapses the
     filtered dim to the equivalent IN list."""
-    import hashlib
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = f"/tmp/spark_graft_io/dpp_{tag}"
+    root = _io_run_root(sf_dir, "dpp")
     orders = _t(spark, sf_dir, "orders")
     orders.select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -3224,12 +3235,9 @@ def q_io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite lossless. File-count reduction is pytest-gated
     (tests/test_sources.py); at fleet scale scan cost is
     file-count-bound long before it is byte-bound."""
-    import hashlib
-
     from .sources.writers import compact_files
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = f"/tmp/spark_graft_io/compact_{tag}"
+    root = _io_run_root(sf_dir, "compact")
     docs = _t(spark, sf_dir, "documents")
     docs.repartition(64).write.mode("overwrite").parquet(f"{root}/fragmented")
     compact_files(spark, f"{root}/fragmented", f"{root}/compacted",
@@ -4723,10 +4731,7 @@ def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     no source/n_chars. At fleet scale schema merge is a FOOTER
     operation (per-file metadata union), never a data pass — and
     column pruning/pushdown still apply to the merged scan."""
-    import hashlib
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = f"/tmp/spark_graft_io/docs_evolved_{tag}"
+    root = _io_run_root(sf_dir, "docs_evolved")
     docs = _t(spark, sf_dir, "documents")
     docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.mode(
         "overwrite"

@@ -95,22 +95,39 @@ def compact_files(
     (that is what compaction is); at 100 TB you run it per partition
     directory, not per table, and the per-directory form is this same
     function pointed at one directory.
+
+    Listing goes through the Hadoop FileSystem (sources/fs.py), so
+    hdfs:// and s3a:// paths size correctly — an ``os.walk`` would
+    silently report 0 bytes for any non-local scheme and rewrite the
+    whole directory as one file. An empty source listing raises rather
+    than degrading to n_out=1.
     """
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(src_path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    total = sum(s for _p, s in _list_parquet(spark, src_path))
+    if total == 0:
+        raise ValueError(
+            f"compact_files: no parquet bytes found under {src_path!r} "
+            "(wrong path, or a scheme the filesystem cannot list)"
+        )
     n_out = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(src_path).repartition(n_out).write.mode("overwrite").parquet(
         dst_path
     )
-    return sum(
-        1
-        for _root, _dirs, files in os.walk(dst_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    return sum(1 for _p, _s in _list_parquet(spark, dst_path))
+
+
+def _list_parquet(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, length) of every .parquet file under ``path``, recursive,
+    via the Hadoop FileSystem — scheme-correct for file/hdfs/s3a."""
+    from .fs import _fs_path
+
+    fs, p, _ = _fs_path(spark, path)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)  # recursive remote iterator
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(".parquet"):
+            out.append((name, int(st.getLen())))
+    return out

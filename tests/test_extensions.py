@@ -1404,6 +1404,11 @@ def test_bloom_pruned_join_refuses_unsound_types(spark):
     got = bloom_pruned_join(fact, dim, "fk", "dk", how="right").count()
     exp = fact.join(dim, fact["fk"] == dim["dk"], "right").count()
     assert got == exp
+    # every Spark-accepted SPELLING of a sound type is accepted too
+    for spelling in ("Inner", "RIGHT", "rightOuter", "LEFT_SEMI"):
+        assert bloom_pruned_join(fact, dim, "fk", "dk", how=spelling).count() >= 0
+    with pytest.raises(ValueError, match="outer or anti"):
+        bloom_pruned_join(fact, dim, "fk", "dk", how="FULL_OUTER")
 
 
 def test_hist_quantile_merge_and_accuracy(spark):
