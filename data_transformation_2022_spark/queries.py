@@ -5516,118 +5516,62 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The correctness driver attests the first 50 registry entries per round.
-# Rounds 1-5 together attested every exact-oracle query at least once
-# (union coverage 120/120; after r5 every exact query's last attestation
-# is r3 or newer). The round-6 prefix leads with the SIX NEW round-6
-# queries (bigram fluency, language-quota balancing, token-budget
-# selection, keep-first segment dedup, the curation pipeline composing
-# those four, and PQ codes), then the queries whose code or oracle
-# changed this round ("attested" means attested for the code that
-# ships): the per-key resample grid (operator AND oracle changed), the
-# max_by canonical pick, the banded+capped embedding LSH module and the
-# FIXED IVF coarse quantizer (every exact query in similarity.py rides
-# the edited file), the stacked-rank bigint/decimal fallback and
-# wide-PCA NaN handling, and the profiler's cached-profile entry path.
-# It then backfills the remaining r03-stale exact rows (after r5
-# nothing older exists except the rows-only scoring_scagnostics, which
-# has no oracle to attest). Three late round-6 additions (gopher rules,
-# semantic dedup, DSIR weights) take the top slots; to keep the prefix
-# at the driver's 50, agg_group_count / agg_unpivot / io_csv_roundtrip
-# rotate out to round 7 (they stay green in the local strict run and
-# hold r1-r4 attestations — union coverage is unaffected). The three
-# final round-6 exact additions (vocab/tf-idf/dup-stats) displace
-# events_sessionize / join_full_outer_reconcile / profile_outliers to
-# round 7 on the same reasoning; the incremental-LSH + ORC additions
-# and the two queries riding the _band_rows banding refactor
-# (dedup_minhash_lsh, dedup_components) displace agg_median_mode /
-# distinct_domain / text_fuzzy_name_pairs / topk_by_value. Everything
-# not listed keeps registration order after the prefix.
-# Ten continuation additions (KMV sketch/merge/join-cardinality,
-# weighted priority sampling, skew report, incremental rollup, online
-# stateful LSH, z-order clustering, BPE encode, stream-stream interval
-# join) take the top slots — all first-time exact queries needing
-# their first attestation — displacing the ten prefix-tail entries
-# (tpch_q10/q14/q16_notin/q22_antijoin/q2_corr_min/q3/q4_exists/q5/q6
-# and window_range_frame) to round 7; each holds an r1-r4 attestation,
-# so union coverage is unaffected (scripts/attestation_audit.py
-# checks).
+# Rounds 1-6 together attested every exact-oracle query at least once
+# (union 152/152). The round-7 prefix:
+#   (1) the two NEW round-7 exact queries (quality classifier, 3-key
+#       z-order) — first attestation;
+#   (2) every exact query whose CODE or ORACLE changed this round
+#       ("attested" must mean attested for the code that ships):
+#       pipeline_curate_corpus (classifier gate added to both sides),
+#       basic_hsum/basic_hmul (horizontal fold overflow policy),
+#       io_dynamic_pruning / io_compact_small_files /
+#       io_schema_evolution (per-run scratch roots; compaction sizing
+#       now via Hadoop FS listing), join_bloom_pruned (join-type
+#       normalization), stream_lsh_neardup (auto state cells),
+#       dedup_components (auto-engine thresholds);
+#   (3) all 29 queries whose newest attestation is r03 — the oldest
+#       third the round-6 verdict asked to rotate in (attestation_audit
+#       lists them);
+#   (4) backfill to 50 with the alphabetically-first 10 of the r04
+#       cohort, the next-stalest.
+# Everything displaced holds an r04-r06 attestation, so union coverage
+# is unaffected (scripts/attestation_audit.py checks); after this
+# round no exact query's newest attestation is older than r04.
 
 _PRIORITY: list[str] = [
-    # --- NEW in the round-6 fourth session (first driver attestation);
-    # they displace two r05-attested prefix-tail rows to round 7.
-    "io_schema_evolution",  # mergeSchema across evolved parquet batches
-    "events_variant_agg",  # native VARIANT parse-once path access
-    "io_dynamic_pruning",  # runtime dynamicpruning subquery on the fact scan
-    "io_compact_small_files",  # metadata-sized compaction, lossless rewrite
-    # --- NEW in the round-6 continuation (first driver attestation).
-    # The two latest additions (mergeable histogram quantiles, Bloom-
-    # pruned join) displace set_intersect_except / set_union_all (both
-    # r1-r4-attested) past the driver's 50-entry prefix.
-    "sketch_hist_quantile",  # mergeable histogram → p50/p90/p99
-    "join_bloom_pruned",  # Bloom runtime filter ahead of the fact shuffle
-    "sketch_cms_topk",  # Count-Min frequency synopsis (displaces
-    # join_skew_salted — r1-r4-attested — past the 50-entry prefix)
-    "sketch_kmv_distinct",  # KMV distinct-count sketch per group
-    "sketch_kmv_union",  # KMV merge property end-to-end
-    "sketch_kmv_join_card",  # join-cardinality estimate from sketches
-    "sample_weighted_priority",  # sequential Poisson (weight ∝ quality)
-    "profile_skew_report",  # heavy-hitter key diagnostic
-    "agg_incremental_rollup",  # merged partials == full recompute
-    "stream_lsh_neardup",  # online stateful LSH, batch-exact
-    "corpus_clean_text",  # control-byte sanitation pre-clean
-    "io_zorder_cluster",  # Morton-key clustering extent report
-    "corpus_bpe_encode",  # fixed-artifact BPE encode (exact oracle)
-    "stream_stream_join",  # watermarked interval join, batch-exact
-    # --- NEW in round 6 (first driver attestation) ---
-    "corpus_gopher_rules",  # Gopher rule-based quality gates
-    "sim_semantic_dedup",  # SemDeDup: cluster-bounded exact-cosine dedup
-    "corpus_dsir_weights",  # DSIR hashed-bigram importance weights
-    "corpus_bigram_fluency",  # model-free perplexity-style quality score
-    "corpus_balance_languages",  # data-driven per-language quota sampling
-    "corpus_token_budget",  # budget-bounded best-first data selection
-    "corpus_segment_dedup",  # keep-first exact substring dedup
-    "pipeline_curate_corpus",  # the four new operators composed end-to-end
-    "emb_pq_codes",  # product quantization, literal-codebook assignment
-    # --- code changed in the round-6 fourth session: re-attest the CC
-    # chain's one exact consumer not already in the prefix (the driver
-    # fast path + pairs_distinct edits; displaces join_3way_topk — r03-
-    # attested, still green in the local strict run — past the 50) ---
-    "pipeline_build_corpus",
-    "corpus_vocab_topk",  # vocabulary cf/df accounting
-    "corpus_tfidf_topk",  # rational tf-idf characteristic terms
-    "corpus_dup_stats",  # per-source duplication report
-    "dedup_incremental_lsh",  # cross-corpus crawl-ingestion LSH
-    "io_orc_roundtrip",  # ORC sink + source, decimal-exact aggregate
-    "dedup_minhash_lsh",  # banding refactored into shared _band_rows
-    "dedup_components",  # rides the same refactor
-    # (corpus_bpe_merges is rows-only — pytest-gated vs naive sequential
-    # BPE, so it would waste an attestation slot like scoring_scagnostics)
-    # --- code or oracle changed in round 6 ---
-    "events_resample_ffill",  # per-key grid: operator + oracle changed
-    "dedup_keep_best",  # max_by aggregation replaced the window pick
-    "dedup_keep_list",  # same pipeline; dedup.py edited
-    "dedup_ngram_jaccard",  # stop-shingle path, new skew gates
-    "emb_neardup_pairs",  # similarity.py restructured (banded LSH)
-    "sim_cosine_topk",  # similarity.py edited
-    "sim_ivf_full_probe",  # similarity.py edited
-    "coret_pca",  # wide-path NaN handling added (narrow unchanged)
-    "basic_rank",  # stacked-rank bigint/decimal fallback
-    "basic_nominalize",  # shares the stacked path
-    "profile_column_stats",  # profiler.py edited (cached-profile entry)
-    # --- every remaining r03-stale exact row (33) ---
-    "corpus_topk_docs_per_lang",
-    "delta_upsert_merge",
-    "emb_quantize_int8",
-    "events_funnel_ordered",
+    # --- (1) new in round 7: first attestation ---
+    "corpus_quality_classifier",
+    "io_zorder_cluster3",
+    # --- (2) code or oracle changed in round 7 ---
+    "pipeline_curate_corpus",
+    "basic_hsum",
+    "basic_hmul",
+    "io_dynamic_pruning",
+    "io_compact_small_files",
+    "io_schema_evolution",
+    "join_bloom_pruned",
+    "stream_lsh_neardup",
+    "dedup_components",
+    # --- (3) every r03-stale exact query (29) ---
+    "agg_group_count",
+    "agg_median_mode",
+    "agg_unpivot",
+    "distinct_domain",
     "events_json_extract",
     "events_retention_cohort",
+    "events_sessionize",
+    "io_csv_roundtrip",
     "join_3way_topk",
     "join_broadcast_dims",
+    "join_full_outer_reconcile",
     "join_range_cooccur",
     "join_skew_salted",
+    "profile_outliers",
     "set_intersect_except",
     "set_union_all",
     "stream_static_enrich",
+    "text_fuzzy_name_pairs",
+    "topk_by_value",
     "tpch_q10",
     "tpch_q14",
     "tpch_q16_notin",
@@ -5638,6 +5582,17 @@ _PRIORITY: list[str] = [
     "tpch_q5",
     "tpch_q6",
     "window_range_frame",
+    # --- (4) r04 backfill (next-stalest) to fill the 50 ---
+    "agg_group_sum",
+    "basic_replace_mode",
+    "basic_rid_concat",
+    "corpus_chunk_documents",
+    "corpus_pack_sequences",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "events_hourly_rollup",
+    "io_bucketed_join",
+    "multimodal_audio_meta",
 ]
 
 def _reorder_registry() -> None:
