@@ -110,3 +110,17 @@ def test_compact_small_files_reduces_count_losslessly(spark, tmp_path):
     a = spark.read.parquet(dst).groupBy("g").agg(F.sum("id").alias("s")).collect()
     b = df.groupBy("g").agg(F.sum("id").alias("s")).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_compact_files_raises_on_empty_listing(spark, tmp_path):
+    """A source with no parquet bytes must refuse (wrong path or a
+    scheme the filesystem cannot list) instead of silently rewriting
+    the directory as one file from a total of 0."""
+    import pytest
+
+    from data_transformation_2022_spark.sources.writers import compact_files
+
+    empty = tmp_path / "empty_src"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet bytes"):
+        compact_files(spark, str(empty), str(tmp_path / "dst"))
