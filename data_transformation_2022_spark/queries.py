@@ -3406,9 +3406,7 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_tokens", "cum_tokens")
 
 
-@register(
-    "corpus_bigram_fluency",
-    f"""WITH toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents),
+_FLU_CTES = f"""toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents),
        bi AS (SELECT doc_id, w[CAST(g AS INT)] AS w1, w[CAST(g AS INT) + 1] AS w2
               FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(g)),
        c AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
@@ -3418,7 +3416,12 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
        j AS (SELECT b.doc_id,
                     CAST(c.c + 1 AS DOUBLE) / CAST(rt.rt + v.v AS DOUBLE) AS p
              FROM bi b JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
-             JOIN rt ON b.w1 = rt.w1 CROSS JOIN v)
+             JOIN rt ON b.w1 = rt.w1 CROSS JOIN v)"""
+
+
+@register(
+    "corpus_bigram_fluency",
+    f"""WITH {_FLU_CTES}
        SELECT doc_id, COUNT(*) AS n_bigrams,
               ROUND(CAST(SUM(CAST(p AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*), 6)
                 AS fluency
@@ -3434,6 +3437,47 @@ def q_corpus_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import bigram_fluency
 
     return bigram_fluency(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "corpus_ppl_buckets",
+    f"""WITH {_FLU_CTES},
+       flu AS (SELECT doc_id,
+                      ROUND(CAST(SUM(CAST(p AS DECIMAL(38,30))) AS DOUBLE)
+                            / COUNT(*), 6) AS fluency
+               FROM j GROUP BY doc_id)
+       SELECT f.doc_id, d.lang, f.fluency,
+              NTILE(3) OVER (PARTITION BY d.lang
+                             ORDER BY f.fluency DESC, f.doc_id) AS ppl_bucket
+       FROM flu f JOIN documents d ON d.doc_id = f.doc_id""",
+    tags=("text", "quality", "pipeline"),
+)
+def q_corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, split documents into head/middle/tail terciles of the
+    fluency score (the model-free perplexity stand-in) — bucket 1 is
+    the "head" a CCNet pipeline keeps outright, 3 the tail it drops or
+    down-samples. NTILE over (fluency desc, doc_id) is standard-SQL
+    deterministic, so the oracle replays it exactly. Scale note: the
+    per-language window is an exact-tercile REFERENCE form (one sort
+    per language partition); at fleet scale assignment goes map-only —
+    broadcast per-language thresholds from the mergeable histogram
+    sketch (operators/sketches.py histogram_quantile) and bucket by
+    comparison, trading exact tercile boundaries for zero sorts."""
+    from pyspark.sql import Window
+
+    from .functions.text import bigram_fluency
+
+    docs = _t(spark, sf_dir, "documents")
+    flu = bigram_fluency(docs, "doc_id", "text").select("doc_id", "fluency")
+    w = Window.partitionBy("lang").orderBy(F.col("fluency").desc(), "doc_id")
+    return (
+        flu.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id", "lang", "fluency",
+            F.ntile(3).over(w).alias("ppl_bucket"),
+        )
+    )
 
 
 _DSIR_BUCKETS = 256
@@ -5542,6 +5586,7 @@ _PRIORITY: list[str] = [
     # --- (1) new in round 7: first attestation ---
     "corpus_quality_classifier",
     "io_zorder_cluster3",
+    "corpus_ppl_buckets",
     # --- (2) code or oracle changed in round 7 ---
     "pipeline_curate_corpus",
     "basic_hsum",
@@ -5592,7 +5637,6 @@ _PRIORITY: list[str] = [
     "dedup_simhash",
     "events_hourly_rollup",
     "io_bucketed_join",
-    "multimodal_audio_meta",
 ]
 
 def _reorder_registry() -> None:
