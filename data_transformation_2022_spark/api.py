@@ -40,6 +40,20 @@ ROOT_ID = "root"
 VALUE_DUMP_CAP = 400  # reference dumps every value of its ≤400-row table
 
 
+def _json_default(o):
+    """JSON fallback for engine values: all-integral horizontal folds
+    carry DECIMAL(38,0) (the chosen overflow policy, operators/steps.py)
+    — serialize integral decimals as ints (lossless at any magnitude
+    JSON can hold), non-integral as floats; numpy scalars via .item()."""
+    import decimal
+
+    if isinstance(o, decimal.Decimal):
+        return int(o) if o == o.to_integral_value() else float(o)
+    if hasattr(o, "item"):
+        return o.item()
+    raise TypeError(f"Object of type {type(o).__name__} is not JSON serializable")
+
+
 def path_id(steps: list[dict[str, Any]]) -> str:
     """Canonical node id for a step path (deterministic JSON)."""
     if not steps:
@@ -298,7 +312,7 @@ def create_http_server(session: EngineSession, host: str = "127.0.0.1", port: in
             try:
                 n = int(self.headers.get("Content-Length") or 0)
                 payload = json.loads(self.rfile.read(n).decode("utf-8")) if n else {}
-                body = json.dumps(fn(payload)).encode("utf-8")
+                body = json.dumps(fn(payload), default=_json_default).encode("utf-8")
                 code = 200
             except Exception as e:  # surface errors as JSON, not a stack dump
                 body = json.dumps({"error": str(e)}).encode("utf-8")
@@ -339,21 +353,21 @@ def create_app(session: EngineSession | None = None):
     @app.route("/vis/csv", methods=["POST"])
     def csv_in():
         data = json.loads(request.get_data().decode("utf-8"))
-        return json.dumps(_sess().ingest_records(data["headers"], data["body"]))
+        return json.dumps(_sess().ingest_records(data["headers"], data["body"]), default=_json_default)
 
     @app.route("/vis/search", methods=["POST"])
     def search_begin():
         data = json.loads(request.get_data().decode("utf-8"))
-        return json.dumps(_sess().search(data))
+        return json.dumps(_sess().search(data), default=_json_default)
 
     @app.route("/vis/addT", methods=["POST"])
     def add_t():
         data = json.loads(request.get_data().decode("utf-8"))
-        return json.dumps(_sess().add_t(data.get("pid"), data.get("t"), data.get("para", {})))
+        return json.dumps(_sess().add_t(data.get("pid"), data.get("t"), data.get("para", {})), default=_json_default)
 
     @app.route("/vis/addV", methods=["POST"])
     def add_v():
         data = json.loads(request.get_data().decode("utf-8"))
-        return json.dumps(_sess().add_v(data.get("vtype"), data.get("channels")))
+        return json.dumps(_sess().add_v(data.get("vtype"), data.get("channels")), default=_json_default)
 
     return app

@@ -1732,3 +1732,34 @@ def test_zorder_nd_layout_prunes_3d_box(spark, sf_dir, tmp_path):
     ).collect()[0])
     pruned = agg(spark.read.parquet(out).filter(F.col("zbucket").isin(hit)))
     assert pruned == agg(li) and pruned[0] > 0
+
+
+def test_quality_classifier_scoring_plan_shape(spark, sf_dir):
+    """Plan gates for the classifier's SCORING path (the part that runs
+    over the whole corpus at 100 TB): the weight table joins as a
+    broadcast, no row-at-a-time Python UDF anywhere, and the seed
+    selection compiles to TakeOrderedAndProject (bounded at any corpus
+    size), never a global sort."""
+    from data_transformation_2022_spark.functions.text import (
+        classifier_seed_hash,
+        quality_classifier_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_classifier_scores(
+        docs, "doc_id", "text", F.col("lang") == "en", seed_n=64, epochs=50
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan  # no row-wise Python in scoring
+
+    seed = (
+        docs.select(
+            "doc_id",
+            classifier_seed_hash(F.col("doc_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "doc_id")
+        .limit(64)
+    )
+    seed_plan = seed._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in seed_plan
