@@ -387,3 +387,67 @@ def kmv_join_cardinality_report(
         )
     )
     return joined
+
+
+def hist_thresholds(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    bins: int = 256,
+) -> DataFrame:
+    """Per-group quantile THRESHOLDS from the mergeable equi-width
+    histogram — the synopsis that turns quantile-based policies
+    (CCNet perplexity terciles, tail trimming) into map-only bucket
+    assignment at fleet scale: build once (one min/max pass + one
+    partially-aggregated groupBy on (group, bin)), broadcast the
+    ≤ groups×len(qs) threshold rows, and every downstream row
+    classifies by comparison — zero sorts, zero windows over data.
+
+    Same estimator arithmetic as ``hist_quantile_report`` (integer
+    cumulative counts, one IEEE division per quantile, linear
+    interpolation in the crossing bin, ROUND 6), so an SQL oracle
+    replays the thresholds bit-for-bit. Output: one row per group with
+    ``thr_0 .. thr_{len(qs)-1}`` columns (ascending q order expected)."""
+    v = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("val"))
+        .filter(F.col("val").isNotNull())
+    )
+    b = v.agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    c = v.crossJoin(F.broadcast(b)).select(
+        "grp",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1).cast("bigint"),
+                F.floor(
+                    ((F.col("val") - F.col("lo")) * F.lit(float(bins)))
+                    / (F.col("hi") - F.col("lo"))
+                ),
+            )
+        )
+        .alias("bin"),
+    )
+    h = c.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.withColumn("cum", F.sum("cnt").over(w))
+    totals = h.groupBy("grp").agg(F.sum("cnt").alias("n_rows"))
+    j = cum.join(totals, "grp").crossJoin(F.broadcast(b))
+    out = None
+    for i, q in enumerate(qs):
+        tgt = F.ceil(F.col("n_rows").cast("double") * F.lit(q)).cast("bigint")
+        crossing = j.filter(
+            (F.col("cum") >= tgt) & ((F.col("cum") - F.col("cnt")) < tgt)
+        )
+        est = F.col("lo") + (
+            F.col("bin").cast("double")
+            + (tgt - (F.col("cum") - F.col("cnt"))).cast("double")
+            / F.col("cnt").cast("double")
+        ) * ((F.col("hi") - F.col("lo")) / F.lit(float(bins)))
+        o = crossing.select("grp", F.round(est, 6).alias(f"thr_{i}"))
+        out = o if out is None else out.join(o, "grp")
+    return out

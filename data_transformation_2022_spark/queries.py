@@ -3480,6 +3480,93 @@ def q_corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPL_Q1 = 1.0 / 3.0
+_PPL_Q2 = 2.0 / 3.0
+_PPL_BINS = 256
+
+
+def _ppl_sketch_oracle() -> str:
+    est = lambda q: (
+        f"lo + (CAST(bin AS DOUBLE)"
+        f" + CAST(CAST(CEIL(CAST(n_rows AS DOUBLE) * {_flit(q)}) AS BIGINT)"
+        f"        - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))"
+        f" * ((hi - lo) / {float(_PPL_BINS)})"
+    )
+    crossing = lambda q: (
+        f"cum >= CAST(CEIL(CAST(n_rows AS DOUBLE) * {_flit(q)}) AS BIGINT)"
+        f" AND (cum - cnt) < CAST(CEIL(CAST(n_rows AS DOUBLE) * {_flit(q)}) AS BIGINT)"
+    )
+    return f"""WITH {_FLU_CTES},
+flu AS (SELECT doc_id,
+               ROUND(CAST(SUM(CAST(p AS DECIMAL(38,30))) AS DOUBLE)
+                     / COUNT(*), 6) AS fluency
+        FROM j GROUP BY doc_id),
+d AS (SELECT f.doc_id, dd.lang, f.fluency
+      FROM flu f JOIN documents dd ON dd.doc_id = f.doc_id),
+b AS (SELECT MIN(fluency) AS lo, MAX(fluency) AS hi FROM d),
+cb AS (SELECT lang AS grp,
+              CASE WHEN hi = lo THEN 0
+                   ELSE LEAST({_PPL_BINS - 1},
+                        CAST(FLOOR((fluency - lo) * {float(_PPL_BINS)}
+                             / (hi - lo)) AS BIGINT)) END AS bin
+      FROM d CROSS JOIN b),
+h AS (SELECT grp, bin, COUNT(*) AS cnt FROM cb GROUP BY 1, 2),
+cumh AS (SELECT grp, bin, cnt,
+                SUM(cnt) OVER (PARTITION BY grp ORDER BY bin
+                               ROWS UNBOUNDED PRECEDING) AS cum
+         FROM h),
+tot AS (SELECT grp, SUM(cnt) AS n_rows FROM h GROUP BY grp),
+jx AS (SELECT c.*, t.n_rows, b.lo, b.hi
+       FROM cumh c JOIN tot t USING (grp) CROSS JOIN b),
+t1 AS (SELECT grp, ROUND({est(_PPL_Q1)}, 6) AS thr_0 FROM jx WHERE {crossing(_PPL_Q1)}),
+t2 AS (SELECT grp, ROUND({est(_PPL_Q2)}, 6) AS thr_1 FROM jx WHERE {crossing(_PPL_Q2)}),
+thr AS (SELECT t1.grp, t1.thr_0, t2.thr_1 FROM t1 JOIN t2 USING (grp))
+SELECT d.doc_id, d.lang, d.fluency,
+       CASE WHEN d.fluency > thr.thr_1 THEN 1
+            WHEN d.fluency > thr.thr_0 THEN 2
+            ELSE 3 END AS ppl_bucket
+FROM d JOIN thr ON thr.grp = d.lang"""
+
+
+@register(
+    "corpus_ppl_buckets_sketch",
+    _ppl_sketch_oracle(),
+    tags=("text", "quality", "pipeline", "sketch"),
+)
+def q_corpus_ppl_buckets_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLEET form of CCNet perplexity bucketing: per-language
+    tercile THRESHOLDS come from the mergeable equi-width histogram
+    (hist_thresholds — one min/max pass + one partially-aggregated
+    (lang, bin) groupBy, synopsis-sized everything after), broadcast,
+    and every document classifies by comparison — map-only assignment,
+    zero sorts, zero windows over data. The exact-NTILE twin
+    (corpus_ppl_buckets) is the reference semantics; this is the form
+    that holds at 1000 executors, and its thresholds/buckets are
+    SQL-replayed bit-for-bit by the oracle (same estimator arithmetic
+    as sketch_hist_quantile)."""
+    from .functions.text import bigram_fluency
+    from .operators.sketches import hist_thresholds
+
+    docs = _t(spark, sf_dir, "documents")
+    d = (
+        bigram_fluency(docs, "doc_id", "text")
+        .select("doc_id", "fluency")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    thr = hist_thresholds(d, "lang", "fluency", [_PPL_Q1, _PPL_Q2], bins=_PPL_BINS)
+    return d.join(
+        F.broadcast(thr.withColumnRenamed("grp", "lang")), "lang"
+    ).select(
+        "doc_id",
+        "lang",
+        "fluency",
+        F.when(F.col("fluency") > F.col("thr_1"), F.lit(1))
+        .when(F.col("fluency") > F.col("thr_0"), F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("ppl_bucket"),
+    )
+
+
 _DSIR_BUCKETS = 256
 
 _DSIR_BI = f"""toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents),
@@ -5587,6 +5674,7 @@ _PRIORITY: list[str] = [
     "corpus_quality_classifier",
     "io_zorder_cluster3",
     "corpus_ppl_buckets",
+    "corpus_ppl_buckets_sketch",
     # --- (2) code or oracle changed in round 7 ---
     "pipeline_curate_corpus",
     "basic_hsum",
@@ -5636,7 +5724,6 @@ _PRIORITY: list[str] = [
     "dedup_minhash_signatures",
     "dedup_simhash",
     "events_hourly_rollup",
-    "io_bucketed_join",
 ]
 
 def _reorder_registry() -> None:

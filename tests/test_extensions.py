@@ -1763,3 +1763,27 @@ def test_quality_classifier_scoring_plan_shape(spark, sf_dir):
     )
     seed_plan = seed._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in seed_plan
+
+
+def test_ppl_bucket_sketch_agrees_with_exact_terciles(spark, sf_dir):
+    """The sketch-threshold bucket assignment (fleet form, map-only)
+    agrees with the exact NTILE terciles on the vast majority of
+    documents — disagreement is confined to bucket boundaries where
+    the 256-bin interpolation lands a hair off the exact split — and
+    its assignment stage plans with broadcast thresholds and NO sort
+    in the scoring branch."""
+    from data_transformation_2022_spark.queries import REGISTRY
+
+    exact = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in REGISTRY["corpus_ppl_buckets"].spark(spark, sf_dir).collect()
+    }
+    sk_df = REGISTRY["corpus_ppl_buckets_sketch"].spark(spark, sf_dir)
+    sk = {r["doc_id"]: r["ppl_bucket"] for r in sk_df.collect()}
+    assert set(sk) == set(exact)
+    agree = sum(1 for k in sk if sk[k] == exact[k]) / len(sk)
+    assert agree >= 0.9, agree
+    # disagreements are never more than one bucket apart
+    assert all(abs(sk[k] - exact[k]) <= 1 for k in sk)
+    plan = sk_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
