@@ -21,13 +21,9 @@ from pyspark.sql import functions as F
 def zvalue(cx: Column, cy: Column, bits: int) -> Column:
     """Interleave two ``bits``-wide non-negative integers into a
     ``2·bits``-wide Morton key: x occupies the even bit positions, y the
-    odd. A flat sum of shift/mask terms — constant-folds into one
-    codegen expression, no join, no shuffle."""
-    terms = []
-    for i in range(bits):
-        terms.append(F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)), 2 * i))
-        terms.append(F.shiftleft(F.shiftright(cy, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-    return reduce(lambda a, b: a + b, terms)
+    odd — exactly ``zvalue_nd([cx, cy], bits)`` (one implementation;
+    the N=2 round-robin layout is the classic 2-D Morton key)."""
+    return zvalue_nd([cx, cy], bits)
 
 
 def zorder_extent_report(
@@ -59,47 +55,15 @@ def zorder_extent_report(
     ``sortWithinPartitions(z)`` before the parquet write; this report
     stage is how you VERIFY the layout paid off (``extent_frac`` ≪ 1
     per bucket)."""
-    cells = 1 << bits
-    bounds = df.agg(
-        F.min(x_col).alias("__xlo"),
-        F.max(x_col).alias("__xhi"),
-        F.min(y_col).alias("__ylo"),
-        F.max(y_col).alias("__yhi"),
-    )
-    b = df.crossJoin(F.broadcast(bounds))
-    # cell width w = ceil(span / cells) ≥ 1; cx = (x - lo) div w — exact
-    # for the full bigint domain (overflow-free: no scaling multiply)
-    cx = F.expr(
-        f"CAST(({x_col} - __xlo)"
-        f" div ((__xhi - __xlo + {cells}) div {cells}) AS BIGINT)"
-    )
-    # y == hi lands exactly on cells (clamp into the top cell); a
-    # constant column (yhi == ylo) maps every row to cell 0
-    cy = F.when(F.col("__yhi") == F.col("__ylo"), F.lit(0).cast("bigint")).otherwise(
-        F.least(
-            F.lit(cells - 1).cast("bigint"),
-            F.floor(
-                (F.col(y_col) - F.col("__ylo"))
-                * F.lit(float(cells))
-                / (F.col("__yhi") - F.col("__ylo"))
-            ).cast("bigint"),
-        )
-    )
-    keyed = b.select(cx.alias("cx"), cy.alias("cy")).withColumn(
+    rep = zorder_extent_report_nd(df, [x_col, y_col], bits=bits, bucket_bits=bucket_bits)
+    return rep.select(
         "zbucket",
-        F.shiftright(zvalue(F.col("cx"), F.col("cy"), bits), 2 * bits - bucket_bits),
-    )
-    frac = (
-        (F.max("cx") - F.min("cx") + F.lit(1))
-        * (F.max("cy") - F.min("cy") + F.lit(1))
-    ).cast("double") / F.lit(float(cells) * float(cells))
-    return keyed.groupBy("zbucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("cx").alias("min_cx"),
-        F.max("cx").alias("max_cx"),
-        F.min("cy").alias("min_cy"),
-        F.max("cy").alias("max_cy"),
-        F.round(frac, 6).alias("extent_frac"),
+        "n",
+        F.col("min_c0").alias("min_cx"),
+        F.col("max_c0").alias("max_cx"),
+        F.col("min_c1").alias("min_cy"),
+        F.col("max_c1").alias("max_cy"),
+        "extent_frac",
     )
 
 

@@ -421,6 +421,15 @@ def connected_components(
             converged = True
             break
     if not converged:
+        if algorithm == "auto":
+            # auto must never fail where another engine would succeed: a
+            # component with diameter > max_iters (one long transitive
+            # chain) exhausts min-label propagation's round budget, but
+            # star contraction finishes it in O(log n) rounds. Escalate
+            # instead of raising — the raise is reserved for an EXPLICIT
+            # algorithm='propagation' request, where silently switching
+            # engines would hide the caller's mis-sizing.
+            return _with_isolated(_cc_star(edges0, max_iters))
         raise RuntimeError(
             f"connected_components(propagation) did not converge within "
             f"{max_iters} rounds — component diameter exceeds the budget; "

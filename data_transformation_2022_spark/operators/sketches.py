@@ -207,6 +207,26 @@ def hist_quantile_report(
     interpolation inside the crossing bin — is replayed bit-for-bit
     by the SQL oracle.
     """
+    j = _hist_cum_frame(df, group_col, value_col, bins, include_merged=True)
+    out = None
+    for name, q in (("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)):
+        o = _hist_quantile_at(j, q, bins, name).select("grp", "n_rows", name)
+        out = o if out is None else out.join(o, ["grp", "n_rows"])
+    return out
+
+
+def _hist_cum_frame(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int,
+    include_merged: bool,
+) -> DataFrame:
+    """Shared histogram core for the quantile report and the threshold
+    extractor: global min/max broadcast, equi-width binning, per-group
+    counts (+ optional __merged__ union), cumulative counts, totals.
+    ONE implementation so the SQL oracles that replay the estimator
+    can never silently diverge between the two consumers."""
     v = (
         df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("val"))
         .filter(F.col("val").isNotNull())
@@ -227,12 +247,14 @@ def hist_quantile_report(
         .alias("bin"),
     )
     h0 = c.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("cnt"))
-    merged = (
-        h0.groupBy("bin")
-        .agg(F.sum("cnt").alias("cnt"))
-        .select(F.lit("__merged__").alias("grp"), "bin", "cnt")
-    )
-    h = h0.select("grp", "bin", "cnt").unionByName(merged)
+    h = h0.select("grp", "bin", "cnt")
+    if include_merged:
+        merged = (
+            h0.groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select(F.lit("__merged__").alias("grp"), "bin", "cnt")
+        )
+        h = h.unionByName(merged)
     w = (
         Window.partitionBy("grp")
         .orderBy("bin")
@@ -240,21 +262,23 @@ def hist_quantile_report(
     )
     cum = h.withColumn("cum", F.sum("cnt").over(w))  # ≤ bins rows/group
     totals = h.groupBy("grp").agg(F.sum("cnt").alias("n_rows"))
-    j = cum.join(totals, "grp").crossJoin(F.broadcast(b))
-    out = None
-    for name, q in (("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)):
-        tgt = F.ceil(F.col("n_rows").cast("double") * F.lit(q)).cast("bigint")
-        crossing = j.filter(
-            (F.col("cum") >= tgt) & ((F.col("cum") - F.col("cnt")) < tgt)
-        )
-        est = F.col("lo") + (
-            F.col("bin").cast("double")
-            + (tgt - (F.col("cum") - F.col("cnt"))).cast("double")
-            / F.col("cnt").cast("double")
-        ) * ((F.col("hi") - F.col("lo")) / F.lit(float(bins)))
-        o = crossing.select("grp", "n_rows", F.round(est, 6).alias(name))
-        out = o if out is None else out.join(o, ["grp", "n_rows"])
-    return out
+    return cum.join(totals, "grp").crossJoin(F.broadcast(b))
+
+
+def _hist_quantile_at(j, q: float, bins: int, name: str) -> DataFrame:
+    """Value estimate at quantile ``q`` from the cumulative histogram
+    frame: integer target rank, crossing-bin filter, linear
+    interpolation, ROUND 6 — the arithmetic every SQL oracle replays."""
+    tgt = F.ceil(F.col("n_rows").cast("double") * F.lit(q)).cast("bigint")
+    crossing = j.filter(
+        (F.col("cum") >= tgt) & ((F.col("cum") - F.col("cnt")) < tgt)
+    )
+    est = F.col("lo") + (
+        F.col("bin").cast("double")
+        + (tgt - (F.col("cum") - F.col("cnt"))).cast("double")
+        / F.col("cnt").cast("double")
+    ) * ((F.col("hi") - F.col("lo")) / F.lit(float(bins)))
+    return crossing.select("grp", "n_rows", F.round(est, 6).alias(name))
 
 
 def cms_topk_report(
@@ -409,45 +433,9 @@ def hist_thresholds(
     interpolation in the crossing bin, ROUND 6), so an SQL oracle
     replays the thresholds bit-for-bit. Output: one row per group with
     ``thr_0 .. thr_{len(qs)-1}`` columns (ascending q order expected)."""
-    v = (
-        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("val"))
-        .filter(F.col("val").isNotNull())
-    )
-    b = v.agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
-    c = v.crossJoin(F.broadcast(b)).select(
-        "grp",
-        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
-        .otherwise(
-            F.least(
-                F.lit(bins - 1).cast("bigint"),
-                F.floor(
-                    ((F.col("val") - F.col("lo")) * F.lit(float(bins)))
-                    / (F.col("hi") - F.col("lo"))
-                ),
-            )
-        )
-        .alias("bin"),
-    )
-    h = c.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("cnt"))
-    w = (
-        Window.partitionBy("grp")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = h.withColumn("cum", F.sum("cnt").over(w))
-    totals = h.groupBy("grp").agg(F.sum("cnt").alias("n_rows"))
-    j = cum.join(totals, "grp").crossJoin(F.broadcast(b))
+    j = _hist_cum_frame(df, group_col, value_col, bins, include_merged=False)
     out = None
     for i, q in enumerate(qs):
-        tgt = F.ceil(F.col("n_rows").cast("double") * F.lit(q)).cast("bigint")
-        crossing = j.filter(
-            (F.col("cum") >= tgt) & ((F.col("cum") - F.col("cnt")) < tgt)
-        )
-        est = F.col("lo") + (
-            F.col("bin").cast("double")
-            + (tgt - (F.col("cum") - F.col("cnt"))).cast("double")
-            / F.col("cnt").cast("double")
-        ) * ((F.col("hi") - F.col("lo")) / F.lit(float(bins)))
-        o = crossing.select("grp", F.round(est, 6).alias(f"thr_{i}"))
+        o = _hist_quantile_at(j, q, bins, f"thr_{i}").select("grp", f"thr_{i}")
         out = o if out is None else out.join(o, "grp")
     return out

@@ -1787,3 +1787,25 @@ def test_ppl_bucket_sketch_agrees_with_exact_terciles(spark, sf_dir):
     assert all(abs(sk[k] - exact[k]) <= 1 for k in sk)
     plan = sk_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cc_auto_escalates_long_chain_to_star(spark):
+    """auto must never fail where another engine would succeed: a
+    transitive chain longer than max_iters exhausts propagation's
+    round budget; auto escalates to star contraction and still returns
+    the exact labeling, while an explicit propagation request raises."""
+    import pytest
+
+    from data_transformation_2022_spark.operators.dedup import connected_components
+
+    n = 40  # chain 0-1-2-...-39: diameter 39 > max_iters=8
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = connected_components(
+        pairs, max_iters=8, algorithm="auto",
+        driver_threshold=10, star_threshold=1000,
+    ).collect()
+    assert len(out) == n and all(r["component"] == 0 for r in out)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=8, algorithm="propagation")
