@@ -3441,6 +3441,41 @@ _FLU_CTES = f"""toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM do
 
 
 @register(
+    "corpus_shuffle_deterministic",
+    f"""WITH keyed AS (
+         SELECT doc_id,
+                {_dd_md5_long("CAST(doc_id AS VARCHAR) || '|shuffle1'", 15)} AS h
+         FROM documents)
+       SELECT doc_id, h,
+              ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos
+       FROM keyed""",
+    tags=("sampling", "pipeline", "order"),
+)
+def q_corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed corpus shuffle — the reproducible
+    training-order permutation every pretraining run needs (same seed →
+    same order, on any cluster, after any retry): shuffle key = salted
+    md5 of the doc id (change the salt to get a fresh epoch
+    permutation), position = global rank of that key via the bucketed
+    rank machinery (functions/order.py global_row_number — range
+    boundaries from a sample, per-bucket local ranks + broadcast
+    offsets), so there is NO single-reducer global sort anywhere. The
+    oracle is the equivalent ROW_NUMBER."""
+    from .functions.order import global_row_number
+    from .functions.text import md5_prefix_long
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        md5_prefix_long(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|shuffle1")), 15
+        ).alias("h"),
+    )
+    return global_row_number(
+        d, ["h", "doc_id"], "shuffle_pos", zero_based=True
+    ).select("doc_id", "h", "shuffle_pos")
+
+
+@register(
     "corpus_bigram_fluency",
     f"""WITH {_FLU_CTES}
        SELECT doc_id, COUNT(*) AS n_bigrams,
@@ -5705,6 +5740,7 @@ _PRIORITY: list[str] = [
     "io_zorder_cluster3",
     "corpus_ppl_buckets",
     "corpus_ppl_buckets_sketch",
+    "corpus_shuffle_deterministic",
     # --- (2) code or oracle changed in round 7 ---
     "pipeline_curate_corpus",
     "basic_hsum",
@@ -5753,7 +5789,6 @@ _PRIORITY: list[str] = [
     "corpus_pack_sequences",
     "dedup_minhash_signatures",
     "dedup_simhash",
-    "events_hourly_rollup",
 ]
 
 def _reorder_registry() -> None:

@@ -1809,3 +1809,33 @@ def test_cc_auto_escalates_long_chain_to_star(spark):
     assert len(out) == n and all(r["component"] == 0 for r in out)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iters=8, algorithm="propagation")
+
+
+def test_deterministic_shuffle_is_permutation_and_partition_invariant(spark, sf_dir):
+    """The shuffle positions are an exact permutation of [0, n), stable
+    across repartitionings (retry/cluster-layout independence), and the
+    plan has no single-partition global sort."""
+    from data_transformation_2022_spark.queries import REGISTRY
+
+    q = REGISTRY["corpus_shuffle_deterministic"].spark
+    out = q(spark, sf_dir)
+    rows = out.collect()
+    n = len(rows)
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(n))
+    base = {r["doc_id"]: r["shuffle_pos"] for r in rows}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(13)
+    from data_transformation_2022_spark.functions.order import global_row_number
+    from data_transformation_2022_spark.functions.text import md5_prefix_long
+
+    d = docs.select(
+        "doc_id",
+        md5_prefix_long(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|shuffle1")), 15
+        ).alias("h"),
+    )
+    re_rows = global_row_number(d, ["h", "doc_id"], "shuffle_pos", zero_based=True).collect()
+    assert {r["doc_id"]: r["shuffle_pos"] for r in re_rows} == base
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
