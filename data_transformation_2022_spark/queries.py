@@ -3440,6 +3440,94 @@ _FLU_CTES = f"""toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM do
              JOIN rt ON b.w1 = rt.w1 CROSS JOIN v)"""
 
 
+def _source_quality_oracle() -> str:
+    """Per-source curation report oracle: replays the classifier margin
+    fold (shared trainer weights), the content fingerprint, and the
+    integer-ratio keep rule."""
+    bias, w = _clf_fit()
+    empty = _flit(round(bias, 6))
+    vals = ", ".join(f"({b}, {_flit(w[b])})" for b in range(_CLF_BUCKETS))
+    toks = _DD_TOKS.format(t="text")
+    fp = _dd_md5_long(f"array_to_string({toks}, ' ')", 15)
+    return f"""WITH qtoks AS (SELECT doc_id, {toks} AS w FROM documents),
+qbk AS (SELECT doc_id, {_dd_md5_long('t.tok', 15)} % {_CLF_BUCKETS} AS bucket
+        FROM qtoks, UNNEST(w) AS t(tok)),
+qpd AS (SELECT doc_id, bucket, COUNT(*) AS c FROM qbk GROUP BY 1, 2),
+qwt AS (SELECT * FROM (VALUES {vals}) v(bucket, w)),
+qsc AS (SELECT doc_id,
+               ROUND({_flit(bias)}
+                     + CAST(SUM(CAST(w AS DECIMAL(28,18))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS margin
+        FROM qpd JOIN qwt USING (bucket) GROUP BY doc_id),
+pred AS (SELECT d.doc_id, d.source, {fp} AS fp,
+                CAST(COALESCE(qsc.margin, {empty}) >= 0 AS INT) AS pred
+         FROM documents d LEFT JOIN qsc USING (doc_id)),
+g AS (SELECT source, fp, COUNT(*) AS c FROM pred GROUP BY 1, 2),
+dup AS (SELECT source,
+               CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(c) AS BIGINT) AS n_docs
+        FROM g GROUP BY source),
+pr AS (SELECT source, CAST(SUM(pred) AS BIGINT) AS n_pass FROM pred GROUP BY source)
+SELECT dup.source, dup.n_docs, pr.n_pass, dup.n_dup_docs,
+       CAST(2 * pr.n_pass >= dup.n_docs
+            AND 5 * dup.n_dup_docs <= dup.n_docs AS INT) AS keep_source
+FROM dup JOIN pr ON pr.source = dup.source"""
+
+
+@register(
+    "corpus_source_quality",
+    _source_quality_oracle,
+    tags=("text", "pipeline", "classifier", "dedup", "dynamic-literal"),
+)
+def q_corpus_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level curation decision — the RefinedWeb/CCNet "filter by
+    domain" step: per source, document count, classifier pass count,
+    exact-duplicate document count (content-fingerprint groups of >=2
+    within the source), and an integer-ratio keep rule (>=50% classifier
+    pass AND <=20% duplicated docs — cross-multiplications, zero float
+    divides). Composes the quality classifier (broadcast weights,
+    decimal-exact margins) with the md5 content fingerprint; everything
+    aggregates source-shaped (two-level groupBys, map-side combined), so
+    the report is metadata-sized at any corpus scale."""
+    from .functions.text import (
+        GOPHER_STOPWORDS,
+        fingerprint64,
+        quality_classifier_scores,
+        tokens_ws,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    label = F.arrays_overlap(tokens_ws(F.lower(F.col("text"))), stop_arr)
+    clf = quality_classifier_scores(
+        docs, "doc_id", "text", label,
+        n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N,
+    ).select("doc_id", "pred")
+    pred = docs.select(
+        "doc_id", "source", fingerprint64(F.col("text")).alias("fp")
+    ).join(clf, "doc_id")
+    g = pred.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("c"))
+    dup = g.groupBy("source").agg(
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.sum("c").cast("bigint").alias("n_docs"),
+    )
+    pr = pred.groupBy("source").agg(F.sum("pred").cast("bigint").alias("n_pass"))
+    return dup.join(pr, "source").select(
+        "source",
+        "n_docs",
+        "n_pass",
+        "n_dup_docs",
+        (
+            (F.lit(2) * F.col("n_pass") >= F.col("n_docs"))
+            & (F.lit(5) * F.col("n_dup_docs") <= F.col("n_docs"))
+        )
+        .cast("int")
+        .alias("keep_source"),
+    )
+
+
 @register(
     "corpus_shuffle_deterministic",
     f"""WITH keyed AS (
@@ -5741,6 +5829,7 @@ _PRIORITY: list[str] = [
     "corpus_ppl_buckets",
     "corpus_ppl_buckets_sketch",
     "corpus_shuffle_deterministic",
+    "corpus_source_quality",
     # --- (2) code or oracle changed in round 7 ---
     "pipeline_curate_corpus",
     "basic_hsum",
@@ -5788,7 +5877,6 @@ _PRIORITY: list[str] = [
     "corpus_chunk_documents",
     "corpus_pack_sequences",
     "dedup_minhash_signatures",
-    "dedup_simhash",
 ]
 
 def _reorder_registry() -> None:
