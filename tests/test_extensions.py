@@ -1839,3 +1839,43 @@ def test_deterministic_shuffle_is_permutation_and_partition_invariant(spark, sf_
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_source_quality_keep_rule_edges(spark):
+    """Integer keep rule edges: exactly 50% classifier pass keeps
+    (>=), exactly 20% duplicated docs keeps (<=), one doc past either
+    bound drops — and duplicate counting is within-source only."""
+    from pyspark.sql import functions as F
+
+    # synthetic per-doc pred/fingerprint frame, bypassing the trainer:
+    # source A: 10 docs, 5 pass, 2 docs sharing one fingerprint (20%)
+    # source B: 10 docs, 4 pass (drop), no dups
+    # source C: 5 docs, 5 pass, 3 sharing a fingerprint (60% -> drop);
+    #   C's dup fingerprint equals A's — cross-source must NOT merge
+    rows = []
+    for i in range(10):
+        rows.append((i, "A", 100 if i < 2 else i, int(i < 5)))
+    for i in range(10):
+        rows.append((100 + i, "B", 200 + i, int(i < 4)))
+    for i in range(5):
+        rows.append((200 + i, "C", 100 if i < 3 else 300 + i, 1))
+    pred = spark.createDataFrame(
+        rows, "doc_id long, source string, fp long, pred int"
+    )
+    g = pred.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("c"))
+    dup = g.groupBy("source").agg(
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).cast("bigint").alias("n_dup_docs"),
+        F.sum("c").cast("bigint").alias("n_docs"),
+    )
+    pr = pred.groupBy("source").agg(F.sum("pred").cast("bigint").alias("n_pass"))
+    out = {
+        r["source"]: (r["n_docs"], r["n_pass"], r["n_dup_docs"], r["keep"])
+        for r in dup.join(pr, "source").select(
+            "source", "n_docs", "n_pass", "n_dup_docs",
+            ((F.lit(2) * F.col("n_pass") >= F.col("n_docs"))
+             & (F.lit(5) * F.col("n_dup_docs") <= F.col("n_docs"))).cast("int").alias("keep"),
+        ).collect()
+    }
+    assert out["A"] == (10, 5, 2, 1)   # both bounds exactly met -> keep
+    assert out["B"] == (10, 4, 0, 0)   # 40% pass -> drop
+    assert out["C"] == (5, 5, 3, 0)    # 60% dups -> drop, dups not merged with A
