@@ -759,3 +759,66 @@ def dup_stats_by(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
             (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 6
         ).alias("dup_ratio"),
     )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_SHINGLE,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    threshold_pct: int = 50,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination — the near-duplicate complement
+    of the exact n-gram scrub (contamination_flags): flag every corpus
+    document whose shingle-set Jaccard with ANY benchmark document
+    reaches ``threshold_pct``/100, with candidates from the cross-only
+    banded MinHash LSH (the GPT-3/Llama-style fuzzy dedup-vs-eval
+    step — paraphrased or lightly edited benchmark leaks that exact
+    13-gram matching misses).
+
+    Scale shape: candidate generation is ``lsh_incremental_pairs`` with
+    the benchmark as the (small) new side — bench×corpus bands only,
+    never corpus×corpus, per-side hot-bucket caps; verification is
+    EXACT Jaccard computed only over candidate pairs (cand → bench
+    shingles → (corpus_id, shingle-hash) equi-join — work is linear in
+    Σ_pairs |bench shingles|, never all-pairs). The threshold test is
+    one integer cross-multiplication (100·|A∩B| ≥ pct·|A∪B|) — no
+    float divide, engine-exact. Returns (id, n_bench_matches) for
+    flagged corpus docs."""
+    corpus_sigs = minhash_signatures(corpus, id_col, text_col, k=k)
+    bench_sigs = minhash_signatures(bench, id_col, text_col, k=k)
+    cand = lsh_incremental_pairs(
+        corpus_sigs, bench_sigs, id_col, k=k, bands=bands, max_bucket=max_bucket
+    )  # (new_id = bench doc, corpus_id)
+    shc = _shingle_rows(corpus, id_col, text_col, n).select(
+        F.col(id_col).alias("corpus_id"), md5_prefix_long(F.col("sh"), 15).alias("shh")
+    )
+    shb = _shingle_rows(bench, id_col, text_col, n).select(
+        F.col(id_col).alias("new_id"), md5_prefix_long(F.col("sh"), 15).alias("shh")
+    )
+    szc = shc.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sz_c"))
+    szb = shb.groupBy("new_id").agg(F.count(F.lit(1)).alias("sz_b"))
+    inter = (
+        cand.join(shb, "new_id")
+        .join(shc, ["corpus_id", "shh"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    flagged = (
+        inter.join(szb, "new_id")
+        .join(szc, "corpus_id")
+        .filter(
+            F.lit(100) * F.col("inter")
+            >= F.lit(threshold_pct)
+            * (F.col("sz_b") + F.col("sz_c") - F.col("inter"))
+        )
+    )
+    return (
+        flagged.groupBy("corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_bench_matches"))
+        .select(F.col("corpus_id").alias(id_col), "n_bench_matches")
+    )

@@ -5060,6 +5060,82 @@ SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
 FROM nb n JOIN cb c ON n.band = c.band AND n.bh = c.bh"""
 
 
+_BENCH_KEY_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|bench'), 1, 15))::BIGINT"
+    " % 1000000"
+)
+
+_FUZZY_DECON_SQL = f"""WITH toks AS (
+  SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, UNNEST({_DD_SHINGLES.format(w='w')}) AS sh FROM toks
+), hashed AS (
+  SELECT doc_id, {_dd_md5_long('sh', 8)} AS h FROM sh
+), sigs AS (
+  SELECT doc_id,
+{_mh_sig_cols()}
+  FROM hashed GROUP BY doc_id
+), banded0 AS (
+  {' UNION ALL '.join(_mh_band_selects())}
+), sided AS (
+  SELECT doc_id, band, bh, {_BENCH_KEY_SQL} < 100000 AS is_bench FROM banded0
+), nb AS (
+  SELECT doc_id, band, bh FROM sided WHERE is_bench
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {_MAX_BAND_BUCKET}
+), cb AS (
+  SELECT doc_id, band, bh FROM sided WHERE NOT is_bench
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {_MAX_BAND_BUCKET}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM nb n JOIN cb c ON n.band = c.band AND n.bh = c.bh
+), shh AS (
+  SELECT doc_id, {_dd_md5_long('sh', 15)} AS shh FROM sh
+), sz AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT cand.new_id, cand.corpus_id, COUNT(*) AS inter
+  FROM cand
+  JOIN shh b ON b.doc_id = cand.new_id
+  JOIN shh c ON c.doc_id = cand.corpus_id AND c.shh = b.shh
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT i.corpus_id
+  FROM inter i
+  JOIN sz sb ON sb.doc_id = i.new_id
+  JOIN sz sc ON sc.doc_id = i.corpus_id
+  WHERE 100 * i.inter >= 50 * (sb.sz + sc.sz - i.inter)
+)
+SELECT corpus_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches
+FROM flagged GROUP BY 1"""
+
+
+@register(
+    "corpus_decontaminate_fuzzy",
+    _FUZZY_DECON_SQL,
+    tags=("dedup", "text", "pipeline"),
+)
+def q_corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (operators/dedup.py
+    fuzzy_decontaminate): a deterministic 10% hash slice plays the
+    EVAL BENCHMARK, the complement is the training corpus; cross-only
+    banded MinHash LSH generates candidates (never corpus×corpus),
+    exact shingle-set Jaccard >= 0.5 verified only on candidates with
+    an integer cross-multiplication — the near-duplicate complement of
+    the exact n-gram scrub (paraphrased benchmark leaks that exact
+    13-gram matching misses)."""
+    from .operators.dedup import fuzzy_decontaminate
+    from .operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id").cast("string"), "bench")
+    return fuzzy_decontaminate(
+        docs.filter(bkt >= 100_000),
+        docs.filter(bkt < 100_000),
+        "doc_id",
+        "text",
+        threshold_pct=50,
+    ).withColumn("n_bench_matches", F.col("n_bench_matches").cast("bigint"))
+
+
 @register("dedup_incremental_lsh", _INCR_LSH_SQL, tags=("dedup", "pipeline"))
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl-ingestion dedup: a deterministic 10% hash slice
@@ -5830,6 +5906,7 @@ _PRIORITY: list[str] = [
     "corpus_ppl_buckets_sketch",
     "corpus_shuffle_deterministic",
     "corpus_source_quality",
+    "corpus_decontaminate_fuzzy",
     # --- (2) code or oracle changed in round 7 ---
     "pipeline_curate_corpus",
     "basic_hsum",
@@ -5876,7 +5953,6 @@ _PRIORITY: list[str] = [
     "basic_rid_concat",
     "corpus_chunk_documents",
     "corpus_pack_sequences",
-    "dedup_minhash_signatures",
 ]
 
 def _reorder_registry() -> None:

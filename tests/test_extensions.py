@@ -1879,3 +1879,29 @@ def test_source_quality_keep_rule_edges(spark):
     assert out["A"] == (10, 5, 2, 1)   # both bounds exactly met -> keep
     assert out["B"] == (10, 4, 0, 0)   # 40% pass -> drop
     assert out["C"] == (5, 5, 3, 0)    # 60% dups -> drop, dups not merged with A
+
+
+def test_fuzzy_decontaminate_flags_near_dup_not_unrelated(spark):
+    """A corpus doc that is an exact copy of a benchmark doc and one
+    that is a light edit (high shingle Jaccard) are both flagged; an
+    unrelated doc is not. Flag counts reflect distinct benchmark
+    matches."""
+    from data_transformation_2022_spark.operators.dedup import fuzzy_decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    edited = bench_text.replace("today", "tonight")  # 1-word edit
+    unrelated = "completely different subject matter about spark shuffles and parquet footers entirely"
+    bench = spark.createDataFrame([(1000, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, edited), (3, unrelated)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_bench_matches"]
+        for r in fuzzy_decontaminate(
+            corpus, bench, "doc_id", "text", threshold_pct=50
+        ).collect()
+    }
+    assert got.get(1) == 1   # exact copy flagged
+    assert got.get(2) == 1   # near-dup (Jaccard > 0.5) flagged
+    assert 3 not in got      # unrelated doc untouched
