@@ -789,8 +789,8 @@ def fuzzy_decontaminate(
     one integer cross-multiplication (100·|A∩B| ≥ pct·|A∪B|) — no
     float divide, engine-exact. Returns (id, n_bench_matches) for
     flagged corpus docs."""
-    corpus_sigs = minhash_signatures(corpus, id_col, text_col, k=k)
-    bench_sigs = minhash_signatures(bench, id_col, text_col, k=k)
+    corpus_sigs = minhash_signatures(corpus, id_col, text_col, k=k, shingle=n)
+    bench_sigs = minhash_signatures(bench, id_col, text_col, k=k, shingle=n)
     cand = lsh_incremental_pairs(
         corpus_sigs, bench_sigs, id_col, k=k, bands=bands, max_bucket=max_bucket
     )  # (new_id = bench doc, corpus_id)

@@ -168,8 +168,13 @@ def _op_exprs(df: DataFrame, step: Step, cols: list[str]) -> tuple[list[Any], li
         # numpy int64 silently WRAPS on wide-integer folds; Spark under
         # ANSI THROWS mid-plan. Neither is right, so all-integral folds
         # widen to DECIMAL(38,0) — sums of int64 columns cannot
-        # overflow 38 digits, and a product that does exceed them fails
-        # visibly instead of wrapping. Float inputs keep IEEE
+        # overflow 38 digits; a product that does exceed them fails
+        # visibly in EVERY session config — under ANSI (Spark 4's
+        # default, this repo's sessions) the decimal mul itself throws,
+        # and for non-ANSI sessions (where decimal overflow silently
+        # yields NULL) the fold is wrapped in an explicit
+        # null-after-fold check (all inputs non-null but result null ⇔
+        # overflow) that raises. Float inputs keep IEEE
         # left-to-right arithmetic (bit-reproducible, oracle-exact).
         ints = {"tinyint", "smallint", "int", "bigint"}
         all_integral = all(
@@ -180,7 +185,21 @@ def _op_exprs(df: DataFrame, step: Step, cols: list[str]) -> tuple[list[Any], li
             for c in cols
         ]
         op = (lambda a, b: a + b) if t == "sum" else (lambda a, b: a * b)
-        return [reduce(op, terms)], [f"{t}({', '.join(cols)})"]
+        folded = reduce(op, terms)
+        if all_integral and t == "mul" and len(cols) > 1:
+            inputs_nonnull = reduce(
+                lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
+            )
+            folded = F.when(
+                folded.isNull() & inputs_nonnull,
+                F.raise_error(
+                    F.lit(
+                        f"mul({', '.join(cols)}): DECIMAL(38,0) overflow "
+                        "(product exceeds 38 digits)"
+                    )
+                ).cast("decimal(38,0)"),
+            ).otherwise(folded)
+        return [folded], [f"{t}({', '.join(cols)})"]
     if t == "sub":
         if len(cols) != 2:
             raise ValueError("sub requires exactly 2 input columns")

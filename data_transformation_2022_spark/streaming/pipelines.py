@@ -57,8 +57,7 @@ STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
 # OUTERMOST exit restores, and it restores the value captured before
 # any scope was entered.
 _STATE_PARTS_LOCK = threading.RLock()
-_STATE_PARTS_DEPTH = 0
-_STATE_PARTS_SAVED: str | None = None
+_STATE_PARTS_STACK: list[str] = []
 
 
 @contextmanager
@@ -67,21 +66,20 @@ def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
     query START (safe: every query here begins from a fresh temp
     checkpoint, so no existing state layout can mismatch; batch queries
     planned after the restore are untouched). Re-entrant and
-    thread-safe: nested/concurrent scopes restore the pre-scope value
-    exactly once, at depth 0."""
-    global _STATE_PARTS_DEPTH, _STATE_PARTS_SAVED
+    thread-safe: each scope pushes the value it observed at entry and
+    restores THAT value at exit (a per-depth stack, not a single saved
+    value), so nested scopes with different ``n`` leave the outer scope
+    running at the outer ``n`` — and the outermost exit restores the
+    pre-scope session value."""
     with _STATE_PARTS_LOCK:
-        if _STATE_PARTS_DEPTH == 0:
-            _STATE_PARTS_SAVED = spark.conf.get("spark.sql.shuffle.partitions")
-        _STATE_PARTS_DEPTH += 1
+        _STATE_PARTS_STACK.append(spark.conf.get("spark.sql.shuffle.partitions"))
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
         with _STATE_PARTS_LOCK:
-            _STATE_PARTS_DEPTH -= 1
-            if _STATE_PARTS_DEPTH == 0 and _STATE_PARTS_SAVED is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTS_SAVED)
+            prior = _STATE_PARTS_STACK.pop()
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
 
 EVENTS_SCHEMA = T.StructType(
     [

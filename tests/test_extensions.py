@@ -1905,3 +1905,27 @@ def test_fuzzy_decontaminate_flags_near_dup_not_unrelated(spark):
     assert got.get(1) == 1   # exact copy flagged
     assert got.get(2) == 1   # near-dup (Jaccard > 0.5) flagged
     assert 3 not in got      # unrelated doc untouched
+
+
+def test_fuzzy_decontaminate_nondefault_shingle_consistent(spark):
+    """Regression (r7 advice): a non-default shingle size ``n`` must
+    reach BOTH the LSH candidate stage (minhash signatures) and the
+    exact Jaccard verification — with n=2 the candidate shingles and
+    the verification shingles are the same 2-gram space, so an exact
+    copy and a 1-word edit are still flagged."""
+    from data_transformation_2022_spark.operators.dedup import fuzzy_decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    edited = bench_text.replace("today", "tonight")
+    bench = spark.createDataFrame([(1000, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, edited)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_bench_matches"]
+        for r in fuzzy_decontaminate(
+            corpus, bench, "doc_id", "text", n=2, threshold_pct=50
+        ).collect()
+    }
+    assert got.get(1) == 1
+    assert got.get(2) == 1

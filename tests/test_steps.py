@@ -144,6 +144,38 @@ def test_horizontal_fold_wide_ints_no_overflow(spark):
     assert m == Decimal(big) ** 3  # 6.4e28 — far past int64, exact in decimal
 
 
+def test_horizontal_mul_decimal_overflow_raises(spark):
+    """A product that exceeds DECIMAL(38,0)'s 38 digits must FAIL
+    VISIBLY, not silently yield NULL (Spark's default non-ANSI decimal
+    overflow behavior): the fold wraps in an explicit null-after-fold
+    check that raises. NULL inputs still propagate as NULL (no raise)."""
+    import pytest
+
+    from data_transformation_2022_spark.operators.steps import Step, apply_tpath
+
+    big = 10**13  # (1e13)^3 = 1e39 > 38 digits
+    df = spark.createDataFrame([(big, big, big)], "a bigint, b bigint, c bigint")
+    # Under ANSI (this session's default) the decimal mul itself throws
+    # NUMERIC_VALUE_OUT_OF_RANGE; the explicit guard exists for non-ANSI
+    # sessions where the mul would silently yield NULL instead.
+    with pytest.raises(Exception, match="overflow|NUMERIC_VALUE_OUT_OF_RANGE"):
+        apply_tpath(df, [Step(t="mul", i_type="all", i=None)]).collect()
+    ansi_key = "spark.sql.ansi.enabled"
+    ansi_before = spark.conf.get(ansi_key)
+    try:
+        spark.conf.set(ansi_key, "false")
+        with pytest.raises(Exception, match="overflow"):
+            apply_tpath(df, [Step(t="mul", i_type="all", i=None)]).collect()
+        # NULL input → NULL output, no raise (null propagation, not overflow)
+        dfn = spark.createDataFrame(
+            [(big, None, big)], "a bigint, b bigint, c bigint"
+        )
+        out = apply_tpath(dfn, [Step(t="mul", i_type="all", i=None)]).collect()
+        assert out[0][0] is None
+    finally:
+        spark.conf.set(ansi_key, ansi_before)
+
+
 def test_horizontal_sum_floats_keeps_double(spark):
     """Float inputs keep IEEE double arithmetic (oracle-exact path)."""
     from data_transformation_2022_spark.operators.steps import Step, apply_tpath

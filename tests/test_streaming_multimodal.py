@@ -176,3 +176,24 @@ def test_auto_state_cells_derivation(spark):
     assert c1 == 2 ** 14  # 4*50k/16 = 12.5k -> 16384
     assert c2 == 2 ** 17  # 4*500k/16 = 125k -> 131072
     assert auto_state_cells(spark, 4, 10**12) == 1 << 20  # hard cap
+
+
+def test_state_partitions_nested_scopes_restore_each_level(spark):
+    """Regression (r7 advice): nested _state_partitions scopes with
+    DIFFERENT n must restore the value observed at each scope's entry —
+    after an inner scope exits, the outer scope's n is back in force,
+    and the outermost exit restores the pre-scope session value."""
+    from data_transformation_2022_spark.streaming.pipelines import _state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    try:
+        with _state_partitions(spark, 8):
+            assert spark.conf.get(key) == "8"
+            with _state_partitions(spark, 4):
+                assert spark.conf.get(key) == "4"
+            # inner exit restores the OUTER scope's n, not `before`
+            assert spark.conf.get(key) == "8"
+        assert spark.conf.get(key) == before
+    finally:
+        spark.conf.set(key, before)
