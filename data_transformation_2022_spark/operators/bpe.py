@@ -16,9 +16,11 @@ Scale shape, per merge round:
   is applied corpus-wide as a pure JVM ``aggregate()`` lookbehind fold
   (left-to-right non-overlapping, exactly the sequential BPE semantics)
   — zero Python in the rewrite path;
-- the rewritten corpus is ``localCheckpoint``ed so lineage (and Catalyst
-  analysis cost) stays flat across rounds instead of nesting one lambda
-  per merge.
+- the rewritten corpus is lineage-truncated each round (executor-local
+  ``localCheckpoint`` by default; reliable ``checkpoint()`` when a
+  checkpoint_dir is configured — see session.iter_checkpoint) so lineage
+  (and Catalyst analysis cost) stays flat across rounds instead of
+  nesting one lambda per merge.
 
 The returned merge table is metadata-sized (``n_merges`` rows) by
 construction. Exactness is gated by a pytest that replays the naive
@@ -80,6 +82,7 @@ def bpe_train_merges(
     text_col: str,
     n_merges: int = 8,
     min_count: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over ``text_col``; stop early when
     the best remaining pair occurs fewer than ``min_count`` times.
@@ -88,14 +91,20 @@ def bpe_train_merges(
     standard implementation shape: "a a a" counts (a,a) twice) while the
     rewrite merges non-overlapping left-to-right.
 
+    ``checkpoint_dir`` (or $SPARK_GRAFT_CHECKPOINT_DIR) switches the
+    per-round lineage truncation from executor-local ``localCheckpoint``
+    to reliable ``checkpoint()`` — see session.iter_checkpoint: a
+    multi-hour merge loop at fleet scale must survive executor loss.
+    Identical merge tables either way (pytest-pinned).
+
     Returns (step, w1, w2, pair_count, merged) — ``n_merges`` rows."""
+    from ..session import iter_checkpoint
     from ..sources.readers import fan_out
 
     spark = df.sparkSession
-    cur = (
-        fan_out(df)
-        .select(tokens_ws_lower(F.col(text_col)).alias("__syms"))
-        .localCheckpoint(eager=True)
+    cur = iter_checkpoint(
+        fan_out(df).select(tokens_ws_lower(F.col(text_col)).alias("__syms")),
+        checkpoint_dir,
     )
     merges: list[tuple[int, str, str, int, str]] = []
     try:
@@ -112,9 +121,10 @@ def bpe_train_merges(
                 break
             w1, w2, c = top[0]["w1"], top[0]["w2"], int(top[0]["c"])
             merges.append((step, w1, w2, c, w1 + MERGE_SEP + w2))
-            nxt = cur.select(
-                _apply_merge(F.col("__syms"), w1, w2).alias("__syms")
-            ).localCheckpoint(eager=True)
+            nxt = iter_checkpoint(
+                cur.select(_apply_merge(F.col("__syms"), w1, w2).alias("__syms")),
+                checkpoint_dir,
+            )
             cur.unpersist()
             cur = nxt
     finally:

@@ -261,6 +261,7 @@ def connected_components(
     star_threshold: int = 1_000_000,
     driver_threshold: int = 100_000,
     pairs_distinct: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over candidate-pair edges — the dedup
     completion step: near-dup pairs → duplicate CLUSTERS, each labeled
@@ -309,22 +310,29 @@ def connected_components(
     performance-only: every engine tolerates duplicate edges (min
     aggregations and union-find are idempotent), so a wrong attestation
     cannot change the labeling, only the engine-choice count."""
-    # localCheckpoint (not persist): iterative algorithms that only cache
-    # keep the FULL logical plan under every round — each round's plan
-    # embeds the previous round's, so Catalyst analysis grows
+    from ..session import iter_checkpoint
+
+    # lineage truncation (not persist): iterative algorithms that only
+    # cache keep the FULL logical plan under every round — each round's
+    # plan embeds the previous round's, so Catalyst analysis grows
     # exponentially and round wall-time is dominated by re-planning the
     # upstream LSH pipeline, not by the (tiny) data. Checkpointing
     # truncates the lineage so every round plans against a leaf.
+    # ``checkpoint_dir`` (or $SPARK_GRAFT_CHECKPOINT_DIR) switches from
+    # executor-local localCheckpoint (fast; unrecoverable on executor
+    # loss) to reliable checkpoint() — the fault-tolerance a multi-hour
+    # 100 TB fixpoint needs. Identical labels either way (pytest-pinned).
     # materialize the raw candidate pairs ONCE — both the edge set and
     # the node universe derive from it, and `pairs` is typically the
     # whole upstream LSH pipeline (re-planning it per consumer would
     # triple the dominant cost)
-    raw = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
+    def _ck(d: DataFrame) -> DataFrame:
+        return iter_checkpoint(d, checkpoint_dir)
+
+    raw = _ck(pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
     edges0 = raw.filter(F.col("src") != F.col("dst"))
     if not pairs_distinct:
-        edges0 = edges0.distinct().localCheckpoint(eager=True)
+        edges0 = _ck(edges0.distinct())
     n_edges = edges0.count()
     algo = algorithm
     if algo == "auto":
@@ -387,15 +395,16 @@ def connected_components(
         )
         return _with_isolated(labeled)
     if algo == "star":
-        return _with_isolated(_cc_star(edges0, max_iters))
-    edges = edges0.union(
-        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = (
+        return _with_isolated(_cc_star(edges0, max_iters, _ck))
+    edges = _ck(
+        edges0.union(
+            edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = _ck(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iters):
@@ -403,12 +412,11 @@ def connected_components(
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("comp"))
         )
-        new_labels = (
+        new_labels = _ck(
             labels.select("id", "comp")
             .union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -429,7 +437,7 @@ def connected_components(
             # instead of raising — the raise is reserved for an EXPLICIT
             # algorithm='propagation' request, where silently switching
             # engines would hide the caller's mis-sizing.
-            return _with_isolated(_cc_star(edges0, max_iters))
+            return _with_isolated(_cc_star(edges0, max_iters, _ck))
         raise RuntimeError(
             f"connected_components(propagation) did not converge within "
             f"{max_iters} rounds — component diameter exceeds the budget; "
@@ -470,11 +478,14 @@ def _cc_small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
-def _cc_star(edges0: DataFrame, max_iters: int) -> DataFrame:
+def _cc_star(edges0: DataFrame, max_iters: int, _ck=None) -> DataFrame:
     """Alternating large-star/small-star contraction to a fixpoint of
     disjoint min-rooted stars; O(log n) rounds on any graph. Each round
-    is localCheckpoint'ed: iterative self-referencing lineage otherwise
-    grows exponentially and re-plans every round."""
+    is lineage-truncated via ``_ck`` (session.iter_checkpoint — local or
+    reliable per the checkpoint_dir knob): iterative self-referencing
+    lineage otherwise grows exponentially and re-plans every round."""
+    if _ck is None:
+        from ..session import iter_checkpoint as _ck
     nodes = (
         edges0.select(F.col("src").alias("id"))
         .union(edges0.select(F.col("dst").alias("id")))
@@ -482,11 +493,11 @@ def _cc_star(edges0: DataFrame, max_iters: int) -> DataFrame:
         .persist()
     )
     edges = edges0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    edges = edges.localCheckpoint(eager=True)
+    edges = _ck(edges)
     prev_count = edges.count()
     converged = False
     for _ in range(max_iters):
-        new_edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = _ck(_cc_small_star(_cc_large_star(edges)))
         n = new_edges.count()
         # star fixpoint test: same edge set (sets are distinct by
         # construction, so equal count + empty difference ⇔ equality)

@@ -57,3 +57,48 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Fleet-wide default for iter_checkpoint: set once per deployment and
+# every iterative operator (connected components, BPE trainer) switches
+# from executor-local lineage truncation to reliable checkpointing.
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
+def iter_checkpoint(df, checkpoint_dir: str | None = None):
+    """Truncate lineage for one round of an iterative fixpoint.
+
+    Iterative operators (connected-components star/propagation rounds,
+    BPE merge rounds) MUST sever lineage each round — with ``persist()``
+    alone every round's logical plan embeds the previous round's and
+    Catalyst re-analysis grows exponentially (measured: dedup_components
+    46.8 s → ~3 s in round 3). Two ways to sever it:
+
+    * ``localCheckpoint`` (the default): blocks live on executor-local
+      storage. Fast (no DFS write) and correct on ``local[*]``, but NOT
+      fault-tolerant — after truncation there is no lineage to recompute
+      from, so losing an executor mid-job kills the job unrecoverably.
+      Fine locally; a real risk for a multi-hour 100 TB fixpoint on a
+      1000-executor fleet where node loss is routine.
+    * reliable ``checkpoint()`` (when ``checkpoint_dir`` is given, or
+      ``$SPARK_GRAFT_CHECKPOINT_DIR`` is set): blocks are written to the
+      given fault-tolerant directory (HDFS/S3 on a cluster); executor
+      loss recovers by re-reading the checkpoint. Costs one DFS
+      write+read per round — the price of restartability.
+
+    Both modes produce identical results (pytest-pinned on connected
+    components and the BPE trainer); the knob trades round latency for
+    fault tolerance. Checkpoint files accumulate for the session unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``.
+    """
+    d = checkpoint_dir or os.environ.get(CHECKPOINT_DIR_ENV)
+    if not d:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir appends a per-call UUID subdir, so compare against
+    # what WE last set, not getCheckpointDir() (avoids one fresh subdir
+    # per round).
+    if getattr(sc, "_graft_ckpt_dir", None) != d:
+        sc.setCheckpointDir(d)
+        sc._graft_ckpt_dir = d
+    return df.checkpoint(eager=True)

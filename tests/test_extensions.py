@@ -234,6 +234,62 @@ def test_connected_components_self_pair_singletons(spark):
         assert comp == want, algo
 
 
+def test_reliable_checkpoint_mode_identical_results(spark, tmp_path):
+    """The checkpoint_dir knob (r7 verdict item 2) switches iterative
+    operators from executor-local localCheckpoint to reliable
+    checkpoint() for cluster fault tolerance — both modes must produce
+    IDENTICAL labels/merges, and the reliable mode must actually write
+    checkpoint blocks to the given directory."""
+    import os
+
+    from data_transformation_2022_spark.operators.bpe import bpe_train_merges
+    from data_transformation_2022_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (7, 7)], "id_a long, id_b long"
+    )
+    ck = str(tmp_path / "ck_cc")
+    for algo in ("propagation", "star"):
+        local = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        reliable = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                pairs, algorithm=algo, checkpoint_dir=ck
+            ).collect()
+        }
+        assert local == reliable, algo
+    # reliable mode really checkpointed: block files landed under ck
+    assert any(files for _, _, files in os.walk(ck))
+
+    docs = spark.createDataFrame(
+        [("new york city new york city",), ("new york is a big city",)],
+        "text string",
+    )
+    m_local = bpe_train_merges(docs, "text", n_merges=3).collect()
+    m_rel = bpe_train_merges(
+        docs, "text", n_merges=3, checkpoint_dir=str(tmp_path / "ck_bpe")
+    ).collect()
+    assert m_local == m_rel
+
+
+def test_iter_checkpoint_env_var_engages_reliable_mode(spark, tmp_path, monkeypatch):
+    """$SPARK_GRAFT_CHECKPOINT_DIR is the fleet-wide default: with it
+    set and no explicit arg, iter_checkpoint writes reliable checkpoint
+    blocks."""
+    import os
+
+    from data_transformation_2022_spark.session import CHECKPOINT_DIR_ENV, iter_checkpoint
+
+    d = str(tmp_path / "ck_env")
+    monkeypatch.setenv(CHECKPOINT_DIR_ENV, d)
+    df = iter_checkpoint(spark.range(100).withColumnRenamed("id", "x"))
+    assert df.count() == 100
+    assert any(files for _, _, files in os.walk(d))
+
+
 def test_connected_components_driver_path_is_count_gated(spark):
     """The driver union-find engine collects ONLY after a count job
     proves the edge set is under the bound; an explicit request above
