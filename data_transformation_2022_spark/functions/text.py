@@ -820,3 +820,116 @@ def quality_classifier_scores(
         )
     )
     return out.withColumn("pred", (F.col("margin") >= 0).cast("int"))
+
+
+def classifier_eval(
+    df,
+    id_col: str,
+    text_col: str,
+    label_col,
+    n_buckets: int = 256,
+    seed_n: int = 512,
+    epochs: int = 4000,
+    lr: float = 10.0,
+    l2: float = 1e-5,
+    binarize: bool = True,
+    round_digits: int = 6,
+):
+    """Held-out evaluation of the quality classifier — the measurement
+    step every classifier-filtered pipeline needs before trusting the
+    gate (CCNet/LLaMA report exactly these: precision/recall of the
+    learned filter against the labeling rule, plus ranking quality).
+
+    Protocol: fit exactly as ``quality_classifier_scores`` (same seed
+    band — the ``seed_n`` smallest salted id-hashes), then evaluate on
+    the DISJOINT complement (everything outside the seed band, excluded
+    by anti-join on the same salted hash selection), comparing the
+    thresholded prediction (margin >= 0) against the rule label.
+
+    Returns ONE row of engine-exact metrics:
+
+    * ``n_holdout, tp, fp, fn, tn, n_pos, n_neg`` — exact BIGINT
+      confusion-matrix counts (hash-stable across engines);
+    * ``precision, recall, f1`` — each ONE double division of those
+      integers (+ ROUND) — IEEE-identical on any engine;
+    * ``auc`` — tie-corrected rank AUC (Mann-Whitney U) computed in
+      INTEGER arithmetic: group by distinct margin, prefix-sum the
+      negative counts in margin order, then
+      ``2U = Σ_g pos_g · (2·neg_below_g + neg_g)`` and
+      ``auc = 2U / (2·n_pos·n_neg)`` — one final double division.
+      Degenerate holdouts (no positives or no negatives) yield NULL.
+
+    Scale shape: scoring is the map-only broadcast-weights pass; the
+    confusion counts are one map-side-combined aggregate; the AUC
+    prefix sum runs over the DISTINCT-margin group table through
+    ``global_running_sum`` (bucketed, no SinglePartition window) — the
+    margin domain is bounded by ROUND(margin, 6) so the group table is
+    far smaller than the corpus, and nothing document-shaped reaches
+    the driver."""
+    from .order import global_running_sum
+
+    scored = quality_classifier_scores(
+        df, id_col, text_col, label_col, n_buckets, seed_n, epochs, lr, l2,
+        binarize, round_digits,
+    )
+    labels = df.select(F.col(id_col), label_col.cast("int").alias("__y"))
+    seed_ids = (
+        df.select(
+            F.col(id_col),
+            classifier_seed_hash(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(seed_n)
+        .select(id_col)
+    )
+    hold = (
+        scored.join(labels, id_col)
+        .join(F.broadcast(seed_ids), id_col, "left_anti")
+        .select("margin", "pred", "__y")
+    )
+    groups = hold.groupBy("margin").agg(
+        F.sum("__y").cast("bigint").alias("__pos"),
+        F.sum(1 - F.col("__y")).cast("bigint").alias("__neg"),
+    )
+    cum = global_running_sum(groups, ["margin"], "__neg", "__cneg_le")
+    u2 = cum.agg(
+        F.sum(
+            F.col("__pos")
+            * (2 * (F.col("__cneg_le") - F.col("__neg")) + F.col("__neg"))
+        )
+        .cast("bigint")
+        .alias("__u2")
+    )
+    conf = hold.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_holdout"),
+        F.sum(((F.col("pred") == 1) & (F.col("__y") == 1)).cast("bigint"))
+        .cast("bigint").alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("__y") == 0)).cast("bigint"))
+        .cast("bigint").alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("__y") == 1)).cast("bigint"))
+        .cast("bigint").alias("fn"),
+        F.sum(((F.col("pred") == 0) & (F.col("__y") == 0)).cast("bigint"))
+        .cast("bigint").alias("tn"),
+        F.sum("__y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("__y")).cast("bigint").alias("n_neg"),
+    )
+
+    def _ratio(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), round_digits)
+        )
+
+    return conf.crossJoin(u2).select(
+        "n_holdout", "tp", "fp", "fn", "tn", "n_pos", "n_neg",
+        _ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        _ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        _ratio(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("__u2").cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                round_digits,
+            ),
+        ).alias("auc"),
+    )

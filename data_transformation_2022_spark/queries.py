@@ -4006,6 +4006,91 @@ def q_corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_eval_oracle() -> str:
+    """Held-out classifier metrics the oracle way: replay the scored
+    margins (same broadcast weights from the shared Python trainer as
+    _quality_clf_oracle), exclude the seed band, then exact-integer
+    confusion counts and the tie-corrected rank AUC via a window
+    prefix sum — 2U = Σ_g pos_g·(2·neg_below_g + neg_g) in BIGINT,
+    one double division at the end (hash-identical to the Spark
+    bucketed-prefix-sum form)."""
+    bias, w = _clf_fit()
+    empty = _flit(round(bias, 6))
+    vals = ", ".join(f"({b}, {_flit(w[b])})" for b in range(_CLF_BUCKETS))
+    toks = _DD_TOKS.format(t="text")
+    return f"""WITH toks AS (SELECT doc_id, {toks} AS w FROM documents),
+bk AS (SELECT doc_id, {_dd_md5_long('t.tok', 15)} % {_CLF_BUCKETS} AS bucket
+       FROM toks, UNNEST(w) AS t(tok)),
+pd AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+wt AS (SELECT * FROM (VALUES {vals}) v(bucket, w)),
+sc AS (SELECT doc_id,
+              ROUND({_flit(bias)}
+                    + CAST(SUM(CAST(w AS DECIMAL(28,18))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS margin
+       FROM pd JOIN wt USING (bucket) GROUP BY doc_id),
+scored AS (SELECT d.doc_id, COALESCE(sc.margin, {empty}) AS margin
+           FROM documents d LEFT JOIN sc USING (doc_id)),
+lab AS (SELECT doc_id, CAST({_clf_seed_label_sql('w')} AS INT) AS y FROM toks),
+seed AS (SELECT doc_id FROM documents
+         ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|clfseed'),
+                   1, 15))::BIGINT, doc_id
+         LIMIT {_CLF_SEED_N}),
+hold AS (SELECT s.margin, CAST(s.margin >= 0 AS INT) AS pred, l.y
+         FROM scored s JOIN lab l USING (doc_id)
+         WHERE s.doc_id NOT IN (SELECT doc_id FROM seed)),
+g AS (SELECT margin, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM hold GROUP BY margin),
+cum AS (SELECT pos, neg,
+               SUM(neg) OVER (ORDER BY margin
+                              ROWS UNBOUNDED PRECEDING) AS cneg_le
+        FROM g),
+u AS (SELECT CAST(SUM(pos * (2 * (cneg_le - neg) + neg)) AS BIGINT) AS u2
+      FROM cum),
+conf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout,
+  CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+  CAST(SUM(y) AS BIGINT) AS n_pos,
+  CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM hold)
+SELECT n_holdout, tp, fp, fn, tn, n_pos, n_neg,
+  CASE WHEN tp + fp > 0
+       THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+  CASE WHEN tp + fn > 0
+       THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+  CASE WHEN 2 * tp + fp + fn > 0
+       THEN ROUND(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1,
+  CASE WHEN n_pos > 0 AND n_neg > 0
+       THEN ROUND(CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6) END AS auc
+FROM conf, u"""
+
+
+@register(
+    "corpus_classifier_eval",
+    _classifier_eval_oracle,
+    tags=("text", "pipeline", "ml", "classifier", "eval", "dynamic-literal"),
+)
+def q_corpus_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the quality classifier (r7 verdict item
+    6): same fit as corpus_quality_classifier, evaluated on the
+    DISJOINT complement of the seed hash band. One row of engine-exact
+    metrics: BIGINT confusion counts, precision/recall/f1 as single
+    double divisions of those integers, and tie-corrected rank AUC
+    computed in integer arithmetic (2U via a bucketed prefix sum over
+    the distinct-margin group table — no SinglePartition window) with
+    one final double division. See functions.text.classifier_eval."""
+    from .functions.text import GOPHER_STOPWORDS, classifier_eval, tokens_ws
+
+    d = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    label = F.arrays_overlap(tokens_ws(F.lower(F.col("text"))), stop_arr)
+    return classifier_eval(
+        d, "doc_id", "text", label, n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N
+    )
+
+
 @register(
     "corpus_language_stats",
     f"""WITH feats AS (

@@ -1655,6 +1655,54 @@ def test_quality_classifier_separates_good_from_bad(spark):
     assert all(r["pred"] == r["label"] for r in got)
 
 
+def test_classifier_eval_holdout_metrics(spark):
+    """classifier_eval (r7 verdict item 6): on the good/bad fixture the
+    held-out metrics must be near-perfect — AUC >= 0.95 (documented
+    floor), precision/recall >= 0.9 — and the confusion counts must be
+    internally consistent (tp+fp+fn+tn == n_holdout == corpus - seed;
+    n_pos == tp+fn; n_neg == fp+tn)."""
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.functions.text import classifier_eval
+
+    good_words = "the cat sat on the mat and that dog ran with great joy to be free"
+    bad_words = "zxq vrk jjw qqp zzt xkcd wvut plorg znarf blixt qwop vrmt"
+    rows = []
+    for i in range(60):
+        gw = good_words.split()
+        bw = bad_words.split()
+        rows.append((i, " ".join(gw[i % 5 :] + gw[: i % 5]), 1))
+        rows.append((100 + i, " ".join(bw[i % 4 :] + bw[: i % 4]), 0))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+
+    r = classifier_eval(
+        df, "doc_id", "text", F.col("label") == 1, seed_n=40, epochs=400, lr=5.0
+    ).collect()[0]
+    assert r["n_holdout"] == 120 - 40
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_holdout"]
+    assert r["n_pos"] == r["tp"] + r["fn"]
+    assert r["n_neg"] == r["fp"] + r["tn"]
+    assert r["auc"] is not None and r["auc"] >= 0.95, r["auc"]
+    assert r["precision"] >= 0.9 and r["recall"] >= 0.9, (r["precision"], r["recall"])
+
+
+def test_classifier_eval_degenerate_single_class(spark):
+    """A holdout with one class present yields NULL AUC (and NULL for
+    any ratio with a zero denominator) instead of a divide-by-zero."""
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.functions.text import classifier_eval
+
+    rows = [(i, "the cat sat on the mat with joy", 1) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+    r = classifier_eval(
+        df, "doc_id", "text", F.col("label") == 1, seed_n=10, epochs=50, lr=5.0
+    ).collect()[0]
+    assert r["n_neg"] == 0
+    assert r["auc"] is None
+    assert r["recall"] is not None  # tp+fn = n_pos > 0
+
+
 def test_quality_classifier_deterministic_and_bounded_seed(spark):
     """Same data, two runs → identical margins (deterministic trainer,
     salted-hash seed selection). seed_n smaller than the corpus trains
