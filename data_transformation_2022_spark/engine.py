@@ -242,50 +242,27 @@ class Executor:
         combined frame is sliced back into the per-candidate memo
         entries. 40 one-agg jobs become ~#bases × #x jobs with identical
         memo contents."""
+        import os
+        import time as _time
         from concurrent.futures import ThreadPoolExecutor
+
+        _trace = bool(os.environ.get("SPARK_GRAFT_ENGINE_TRACE"))
+        _t0 = _time.time()
+
+        def _tr(msg: str) -> None:
+            if _trace:
+                import sys as _sys
+
+                print(f"ENGINE_TRACE {msg}: {_time.time() - _t0:.2f}s",
+                      file=_sys.stderr)
 
         uniq_frames: dict[tuple, tuple[Candidate, str | None]] = {}
         for cand, coret in frame_jobs:
             uniq_frames[(cand.signature(), coret)] = (cand, coret)
-        # step-only frames (no core-T) are all row-aligned projections of
-        # the same cached sample: collect them in ONE outer-join job
-        # instead of one toPandas job each; anything the batch can't
-        # serve falls through to the per-frame pool path below
-        null_frames = {
-            k: v for k, v in uniq_frames.items() if v[1] is None and k not in self._frames
-        }
-        if len(null_frames) > 1:
-            self._batch_step_frames(null_frames)
         uniq_bars: dict[tuple, tuple[str, Candidate | None, str]] = {}
         for x_col, y_cand, agg in bar_jobs:
             key = (x_col, y_cand.signature() if y_cand is not None else None, agg)
             uniq_bars[key] = (x_col, y_cand, agg)
-        # derived bases first, MATERIALIZED bottom-up (the recursive
-        # prefix memo means ('rank','sub') reuses the cached ('rank',)
-        # table — previously each arithmetic variant re-ran the whole
-        # rank window); serial so racing threads never duplicate work
-        for _, y_cand, agg in uniq_bars.values():
-            if agg == "sum" and y_cand is not None:
-                self._derived_base(
-                    [s for s in y_cand.steps if s.o_type == "append"]
-                )
-        # materialize the persisted bases CONCURRENTLY, one level of the
-        # prefix tree at a time: each count is a full-table job (rank/
-        # arithmetic chains over millions of rows), and running them
-        # serially was the single largest block of recommend at sf1
-        # (~18 s of back-to-back scans). Within a level the bases share
-        # no lineage, so parallel counts just pack the executors; across
-        # levels the order guarantees a child reads its parent's persisted
-        # blocks instead of recomputing the parent's chain.
-        by_level: dict[int, list[DataFrame]] = {}
-        for key, base in self._derived_bases.items():
-            if key not in self._persisted_base_keys:
-                continue  # lazy projection: nothing to materialize
-            by_level.setdefault(len(key), []).append(base)
-        for level in sorted(by_level):
-            group = by_level[level]
-            with ThreadPoolExecutor(min(8, len(group))) as mpool:
-                list(mpool.map(lambda b: b.count(), group))
 
         # group bar jobs by (base, x) and build one combined agg per group
         grouped: dict[tuple, list[tuple[tuple, str, Candidate | None, str]]] = {}
@@ -331,11 +308,84 @@ class Executor:
                     self._bar_frames.pop(key, None)
                     self.bar_aggregate(_x, y_cand, agg)
 
-        with ThreadPoolExecutor(workers) as pool:
-            fs = [pool.submit(self.channel_frame, c, t) for c, t in uniq_frames.values()]
-            fs += [pool.submit(_batched_bars, entries) for entries in grouped.values()]
-            for f in fs:
+        # Two independent sides run CONCURRENTLY (r8: the table side's
+        # first base materialization — a full-table rank chain, the
+        # single most expensive block of recommend — previously
+        # serialized BEHIND the sample-side batch join it shares nothing
+        # with):
+        #
+        # * sample side: the step-only frames batch join (one outer-join
+        #   job over the ≤sample_cap cached sample), then the per-frame
+        #   pool (memo hits for everything the batch served, per-frame
+        #   jobs for core-T frames);
+        # * table side: serial derived-base registration (plan-only,
+        #   bottom-up through the recursive prefix memo so ('rank','sub')
+        #   reuses the cached ('rank',) table and racing threads never
+        #   duplicate work), per-level concurrent materialization (within
+        #   a level the bases share no lineage; across levels a child
+        #   reads its parent's persisted blocks), then the batched bar
+        #   pool against the materialized bases.
+        #
+        # Both sides fill disjoint memo tables (_frames vs _bar_frames /
+        # _derived_bases), so the only shared state is the sample-prefix
+        # memo, which _sample_derived already guards with a lock.
+        def _sample_side() -> None:
+            # step-only frames (no core-T) are all row-aligned
+            # projections of the same cached sample: collect them in ONE
+            # outer-join job instead of one toPandas job each; anything
+            # the batch can't serve falls through to the per-frame pool
+            null_frames = {
+                k: v
+                for k, v in uniq_frames.items()
+                if v[1] is None and k not in self._frames
+            }
+            if len(null_frames) > 1:
+                self._batch_step_frames(null_frames)
+            _tr("batch_step_frames done")
+            with ThreadPoolExecutor(workers) as fpool:
+                list(
+                    fpool.map(
+                        lambda cv: self.channel_frame(*cv), uniq_frames.values()
+                    )
+                )
+            _tr(f"frame pool done ({len(uniq_frames)} frames)")
+
+        def _table_side() -> None:
+            for _, y_cand, agg in uniq_bars.values():
+                if agg == "sum" and y_cand is not None:
+                    self._derived_base(
+                        [s for s in y_cand.steps if s.o_type == "append"]
+                    )
+            by_level: dict[int, list[DataFrame]] = {}
+            for key, base in self._derived_bases.items():
+                if key not in self._persisted_base_keys:
+                    continue  # lazy projection: nothing to materialize
+                by_level.setdefault(len(key), []).append(base)
+            # groups with no derivation aggregate self.df directly (the
+            # count bars and underived sums) — they don't wait for base
+            # materialization; derived-base groups queue once their base
+            # is materialized. The pool is wider than the frame pool:
+            # each bar group is one small groupBy job whose cost is
+            # mostly scheduler latency, so concurrency, not executor
+            # pressure, bounds the wall time.
+            early = [e for (dk, _x), e in grouped.items() if not dk]
+            late = [e for (dk, _x), e in grouped.items() if dk]
+            with ThreadPoolExecutor(max(workers, 16)) as bpool:
+                futs = [bpool.submit(_batched_bars, e) for e in early]
+                for level in sorted(by_level):
+                    group = by_level[level]
+                    with ThreadPoolExecutor(min(8, len(group))) as mpool:
+                        list(mpool.map(lambda b: b.count(), group))
+                    _tr(f"level {level}: {len(group)} bases materialized")
+                futs += [bpool.submit(_batched_bars, e) for e in late]
+                for f in futs:
+                    f.result()
+            _tr(f"bar pool done ({len(grouped)} bar groups, {len(early)} early)")
+
+        with ThreadPoolExecutor(2) as sides:
+            for f in [sides.submit(_sample_side), sides.submit(_table_side)]:
                 f.result()
+        _tr("prefetch done")
 
     def release(self) -> None:
         """Unpersist everything this executor cached (sample + derived
