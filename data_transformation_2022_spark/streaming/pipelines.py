@@ -53,9 +53,9 @@ STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
 # _state_partitions scopes (parallel warm threads, a bench warm thread
 # overlapping a timed run) could each capture the streaming value as
 # "old" and leave the session pinned at the streaming count after both
-# exit. The lock + depth counter make the scope re-entrant: only the
-# OUTERMOST exit restores, and it restores the value captured before
-# any scope was entered.
+# exit. The lock + per-scope stack make the scope re-entrant: each exit
+# restores the value observed at its own entry, so nesting unwinds
+# level by level and the outermost exit lands on the pre-scope value.
 _STATE_PARTS_LOCK = threading.RLock()
 _STATE_PARTS_STACK: list[str] = []
 
@@ -562,7 +562,7 @@ def auto_state_cells(
     spark: SparkSession,
     bands: int,
     expected_docs: int | None,
-    buckets_per_cell: int = 16,
+    buckets_per_cell: int = 128,
     max_cells: int = 1 << 20,
 ) -> int:
     """Derive the state-cell count the same way the batch embedding LSH
@@ -577,7 +577,11 @@ def auto_state_cells(
       is rewritten per update, so holding buckets-per-cell constant
       holds the rewrite size, and with it per-batch latency, flat as
       the corpus scales (dispatch count per batch is bounded by the
-      batch's own arriving rows either way);
+      batch's own arriving rows either way). The constant is 128 (r8;
+      was 16): a cell's state row at 128 buckets is still only a few
+      hundred ids (~KBs), while the per-cell python dispatch + state
+      Arrow round-trip is the measured dominant cost — sf0.1 grid:
+      2048 cells 14.5 s vs 256 cells ~11-12 s, identical pair sets;
     * power-of-two, capped at ``max_cells``."""
     import math
 
@@ -768,17 +772,22 @@ def stream_lsh_neardup(
         max_bucket=max_bucket, state_cells=state_cells,
         expected_docs=expected_docs,
     )
-    # NOT scoped to STATE_PARTITIONS: this query's per-batch cost is
-    # real python work across the 4096 state cells (signature pairing),
-    # not state-commit overhead — capping partitions at 8 serializes
-    # that CPU (measured 13 s -> 19 s); it keeps the session's full
-    # shuffle parallelism instead.
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    # Scoped to a streaming-sized partition count (r8 re-measurement;
+    # the pre-coarsening note here claimed 8 partitions serialized the
+    # python CPU, but with cells coarsened to ~128 buckets/cell the
+    # dominant cost is the HDFS state-store COMMIT, whose per-partition
+    # fixed cost at 32 partitions summed to ~22 s vs ~1.3 s at 8 —
+    # sf0.1 grid: parts=32 13.2-15.9 s, parts=8/16 ~11-12 s, identical
+    # pair sets). min(16, parallelism) keeps a fleet's state spread
+    # while dropping the empty-partition commit tax locally.
+    n_parts = min(16, max(1, spark.sparkContext.defaultParallelism))
+    with _state_partitions(spark, n_parts):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
     try:
         # NoTimeout state → processAllAvailable() returns once the
         # source backlog is consumed (unlike ProcessingTimeTimeout,

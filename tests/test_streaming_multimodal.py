@@ -160,8 +160,12 @@ def test_stream_sink_parquet_exactly_once(spark, sf_dir, tmp_path):
 
 
 def test_auto_state_cells_derivation(spark):
-    """auto_state_cells: >=4 tasks per core, ~16 buckets per cell as
-    the corpus grows (power-of-two), capped."""
+    """auto_state_cells: >=4 tasks per core, ~128 buckets per cell as
+    the corpus grows (power-of-two), capped. (buckets_per_cell raised
+    16 -> 128 in r8: the per-cell python dispatch + state Arrow
+    round-trip dominates the rewrite cost of a few-hundred-id state
+    row — sf0.1 measured 2048 cells ~14.5s vs 256 cells ~11-12s,
+    identical pair sets.)"""
     from data_transformation_2022_spark.streaming.pipelines import auto_state_cells
 
     par = spark.sparkContext.defaultParallelism
@@ -173,8 +177,8 @@ def test_auto_state_cells_derivation(spark):
     # linearly (up to pow2 rounding) with docs
     c1 = auto_state_cells(spark, 4, 50_000)
     c2 = auto_state_cells(spark, 4, 500_000)
-    assert c1 == 2 ** 14  # 4*50k/16 = 12.5k -> 16384
-    assert c2 == 2 ** 17  # 4*500k/16 = 125k -> 131072
+    assert c1 == 2 ** 11  # 4*50k/128 ~= 1.56k -> 2048
+    assert c2 == 2 ** 14  # 4*500k/128 ~= 15.6k -> 16384
     assert auto_state_cells(spark, 4, 10**12) == 1 << 20  # hard cap
 
 
