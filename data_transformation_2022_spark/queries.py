@@ -2061,6 +2061,16 @@ def _oracle_sf() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _dd_table_glob(sf_dir: str, table: str) -> str:
+    """DuckDB-readable path for a table: the bare file for the driver's
+    single-file parquet, a file glob for directory-shaped tables
+    (make_sf1 output, engine-written copies)."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 def _coret_fit(kind: str) -> dict:
     """Re-run the deterministic fit stage on the oracle sf_dir — the
     same code path the registered Spark query uses, so the literal
@@ -3741,7 +3751,7 @@ def _dsir_oracle() -> str:
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{_oracle_sf()}/documents.parquet')"
+        f"read_parquet('{_dd_table_glob(_oracle_sf(), 'documents')}')"
     )
     rows = con.execute(
         f"""WITH {_DSIR_BI}
@@ -3933,7 +3943,7 @@ def _clf_fit_cached(sf_dir: str) -> tuple[float, list[float]]:
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/documents.parquet')"
+        f"read_parquet('{_dd_table_glob(sf_dir, 'documents')}')"
     )
     seed_cte = f"""seed AS (
   SELECT doc_id, {_clf_seed_label_sql(toks)} AS label, {toks} AS w
@@ -5958,86 +5968,82 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The correctness driver attests the first 50 registry entries per round.
-# Rounds 1-6 together attested every exact-oracle query at least once
-# (union 152/152). The round-7 prefix:
-#   (1) the two NEW round-7 exact queries (quality classifier, 3-key
-#       z-order) — first attestation;
+# Rounds 1-7 together attested every exact-oracle query at least once
+# (union 159/159, none staler than r04). The round-8 prefix
+# (1 + 5 + 31 + 13 = 50):
+#   (1) the NEW round-8 exact query (corpus_classifier_eval) — first
+#       attestation;
 #   (2) every exact query whose CODE or ORACLE changed this round
 #       ("attested" must mean attested for the code that ships):
-#       pipeline_curate_corpus (classifier gate added to both sides),
-#       basic_hsum/basic_hmul (horizontal fold overflow policy),
-#       io_dynamic_pruning / io_compact_small_files /
-#       io_schema_evolution (per-run scratch roots; compaction sizing
-#       now via Hadoop FS listing), join_bloom_pruned (join-type
-#       normalization), stream_lsh_neardup (auto state cells),
-#       dedup_components (auto-engine thresholds);
-#   (3) all 29 queries whose newest attestation is r03 — the oldest
-#       third the round-6 verdict asked to rotate in (attestation_audit
-#       lists them);
-#   (4) backfill to 50 with the alphabetically-first r04-cohort
-#       entries, the next-stalest (8 after the two late round-7
-#       additions — corpus_ppl_buckets and its sketch twin — took
-#       first-attestation slots and displaced io_bucketed_join /
-#       multimodal_audio_meta, both r04-attested).
-# Everything displaced holds an r04-r06 attestation, so union coverage
+#       basic_hsum/basic_hmul (explicit overflow raise on the decimal
+#       fold), corpus_decontaminate_fuzzy (shingle size now reaches the
+#       signature stage), dedup_components (reliable-checkpoint knob
+#       threaded through every engine), stream_lsh_neardup (state-cell
+#       coarsening + streaming-sized partition scope);
+#   (3) all 31 queries whose newest attestation is r04 — the stalest
+#       band, the rotation target the round-7 verdict named
+#       (attestation_audit lists them);
+#   (4) backfill to 50 with the 13 alphabetically-first r05-cohort
+#       entries, the next-stalest band.
+# Everything displaced holds an r05-r07 attestation, so union coverage
 # is unaffected (scripts/attestation_audit.py checks); after this
-# round no exact query's newest attestation is older than r04.
+# round no exact query's newest attestation is older than r05.
 
 _PRIORITY: list[str] = [
-    # --- (1) new in round 7: first attestation ---
-    "corpus_quality_classifier",
-    "io_zorder_cluster3",
-    "corpus_ppl_buckets",
-    "corpus_ppl_buckets_sketch",
-    "corpus_shuffle_deterministic",
-    "corpus_source_quality",
-    "corpus_decontaminate_fuzzy",
-    # --- (2) code or oracle changed in round 7 ---
-    "pipeline_curate_corpus",
+    # --- (1) new in round 8: first attestation ---
+    "corpus_classifier_eval",
+    # --- (2) code or oracle changed in round 8 ---
     "basic_hsum",
     "basic_hmul",
-    "io_dynamic_pruning",
-    "io_compact_small_files",
-    "io_schema_evolution",
-    "join_bloom_pruned",
-    "stream_lsh_neardup",
+    "corpus_decontaminate_fuzzy",
     "dedup_components",
-    # --- (3) every r03-stale exact query (29) ---
-    "agg_group_count",
-    "agg_median_mode",
-    "agg_unpivot",
-    "distinct_domain",
-    "events_json_extract",
-    "events_retention_cohort",
-    "events_sessionize",
-    "io_csv_roundtrip",
-    "join_3way_topk",
-    "join_broadcast_dims",
-    "join_full_outer_reconcile",
-    "join_range_cooccur",
-    "join_skew_salted",
-    "profile_outliers",
-    "set_intersect_except",
-    "set_union_all",
-    "stream_static_enrich",
-    "text_fuzzy_name_pairs",
-    "topk_by_value",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q16_notin",
-    "tpch_q22_antijoin",
-    "tpch_q2_corr_min",
-    "tpch_q3",
-    "tpch_q4_exists",
-    "tpch_q5",
-    "tpch_q6",
-    "window_range_frame",
-    # --- (4) r04 backfill (next-stalest) to fill the 50 ---
-    "agg_group_sum",
-    "basic_replace_mode",
-    "basic_rid_concat",
-    "corpus_chunk_documents",
-    "corpus_pack_sequences",
+    "stream_lsh_neardup",
+    # --- (3) every r04-stale exact query (31) ---
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "events_hourly_rollup",
+    "io_bucketed_join",
+    "multimodal_audio_meta",
+    "sample_hash_bernoulli",
+    "sample_stratified",
+    "scoring_cdm",
+    "scoring_correlation",
+    "scoring_hist2d",
+    "scoring_moments",
+    "sig_linearness_fstat",
+    "sig_outstanding1_fstat",
+    "stream_dedup_keys",
+    "stream_hourly_rollup",
+    "stream_sessionize",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_token_counts",
+    "tpch_q1",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lines",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q7",
+    "tpch_q8_mktshare",
+    "tpch_q9_profit",
+    "window_moving_avg",
+    # --- (4) r05 backfill (next-stalest, alphabetical) to fill the 50 ---
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "basic_astype",
+    "basic_div",
+    "basic_filter",
+    "basic_select_like",
+    "basic_sub",
+    "coret_kmeans",
+    "coret_lida",
+    "corpus_boilerplate_scrub",
 ]
 
 def _reorder_registry() -> None:

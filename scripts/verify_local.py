@@ -20,6 +20,7 @@ Usage: python scripts/verify_local.py [sf_dir] [--loose] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -145,12 +146,18 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TPCH_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # directory-shaped table (make_sf1 output, engine-written
+            # copies): DuckDB needs the file glob, Spark takes the dir
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     spark = get_spark(app_name="verify_local")
     # dynamic oracles (coret_*) fit their literal constants against this dir
-    import os
-
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, oracles = queries(), oracle_sql()
     names = [n for n in qs if not only or n in only]
