@@ -69,6 +69,21 @@ def _dec(c: str) -> F.Column:
     return F.col(c).cast("decimal(18,6)")
 
 
+# Exact decimal(scale 6) → double, engine-identically: scale to an
+# integral value, cast to BIGINT (exact), int64→double (correctly
+# rounded on every engine — hardware conversion), ONE IEEE division by
+# the exactly-representable 1e6. A direct decimal→double CAST is
+# correctly rounded in Spark (BigDecimal.doubleValue) but DuckDB's can
+# land 1 ulp off once the magnitude grows (observed at sf1 on tpch_q1
+# sum_charge, ~2.8e10 with 6 decimals). Exact while |sum·1e6| < 2^63,
+# i.e. |sum| < 9.2e12 — five decimal orders above the sf1 sums.
+def _dec6_dbl(sum_col: F.Column) -> F.Column:
+    return (sum_col * F.lit(1000000)).cast("bigint").cast("double") / F.lit(1.0e6)
+
+
+_DD_DEC6_DBL = "CAST(CAST({s} * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0"
+
+
 def _sql_both(name: str, sql: str, tables: tuple[str, ...], tags: tuple[str, ...] = ()):
     """Register a query whose Spark implementation runs the exact same SQL
     text as the DuckDB oracle (common dialect subset)."""
@@ -560,12 +575,12 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q1",
-    """SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    f"""SELECT l_returnflag, l_linestatus,
+              {_DD_DEC6_DBL.format(s="SUM(CAST(l_quantity AS DECIMAL(18,6)))")} AS sum_qty,
+              {_DD_DEC6_DBL.format(s="SUM(CAST(l_extendedprice AS DECIMAL(18,6)))")} AS sum_base_price,
+              {_DD_DEC6_DBL.format(s="SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))")} AS sum_disc_price,
+              {_DD_DEC6_DBL.format(s="SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))")} AS sum_charge,
+              {_DD_DEC6_DBL.format(s="SUM(CAST(l_quantity AS DECIMAL(18,6)))")} / COUNT(*) AS avg_qty,
               COUNT(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -574,17 +589,23 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the flagship scan+agg pattern: one
-    shuffle, map-side partial aggregation, decimal-exact sums."""
+    shuffle, map-side partial aggregation, decimal-exact sums. The
+    decimal sums reach DOUBLE via the scaled-BIGINT route (_dec6_dbl):
+    a direct decimal→double CAST is correctly rounded in Spark
+    (BigDecimal.doubleValue) but can land 1 ulp off in DuckDB at sf1
+    magnitudes (~2.8e10 with 6 decimals — observed on sum_charge),
+    while int64→double + one IEEE division by 1e6 is bit-identical on
+    any engine."""
     li = _t(spark, sf_dir, "lineitem")
     f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast("decimal(18,6)")
     return f.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(disc).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        _dec6_dbl(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        _dec6_dbl(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+        _dec6_dbl(F.sum(disc)).alias("sum_disc_price"),
+        _dec6_dbl(F.sum(charge)).alias("sum_charge"),
+        (_dec6_dbl(F.sum(_dec("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
