@@ -351,10 +351,27 @@ class Executor:
             _tr(f"frame pool done ({len(uniq_frames)} frames)")
 
         def _table_side() -> None:
+            # Column hint for the persisted bases: the bar aggregates
+            # are the ONLY consumers of these tables (channel frames run
+            # on the sample side), and they touch just the groupBy x
+            # columns, the derived outputs, and the arithmetic inputs —
+            # persisting all ~17 lineitem columns made the base
+            # materialization mostly serialization cost (measured: the
+            # 2-column rank itself runs 1.3 s warm at sf0.1 while the
+            # full-width persist+count took 4.6 s).
+            keep: set[str] = set()
+            for x_col, y_cand, agg in uniq_bars.values():
+                keep.add(x_col)
+                if y_cand is not None:
+                    keep.update(_prefer_derived(y_cand))
+                    for s in y_cand.steps:
+                        keep.update(s.i or [])
+                        keep.update(s.index or [])
             for _, y_cand, agg in uniq_bars.values():
                 if agg == "sum" and y_cand is not None:
                     self._derived_base(
-                        [s for s in y_cand.steps if s.o_type == "append"]
+                        [s for s in y_cand.steps if s.o_type == "append"],
+                        keep_cols=keep,
                     )
             by_level: dict[int, list[DataFrame]] = {}
             for key, base in self._derived_bases.items():
@@ -505,7 +522,9 @@ class Executor:
         with ThreadPoolExecutor(4) as pool:
             list(pool.map(_one_group, range(0, len(pieces), CHUNK)))
 
-    def _derived_base(self, derive: list[Step]) -> DataFrame:
+    def _derived_base(
+        self, derive: list[Step], keep_cols: set[str] | None = None
+    ) -> DataFrame:
         """Derived table for an append-step chain, memoized on the FULL
         chain key but built from the longest shared prefix — sibling
         paths like (rank, sub) / (rank, div) / (rank, mul) share one
@@ -518,16 +537,35 @@ class Executor:
         persisting those too re-materialized the whole table once per
         arithmetic variant (~3 extra full 6M-row writes per recommend
         at sf1) to cache what codegen computes for free in the
-        consuming aggregate's scan."""
+        consuming aggregate's scan.
+
+        ``keep_cols`` (prefetch's registration pass): prune the
+        PERSISTED projection to the columns any bar consumer can touch
+        — the bases serve only the bar aggregates, and persisting the
+        full table width made materialization mostly serialization
+        cost. Only applied when the chain is first registered; memo
+        hits ignore the hint (the registration pass supplies the union
+        over every bar job, so later callers see every column they
+        need)."""
         if not derive:
             return self.df
         key = tuple(
             (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index)) for s in derive
         )
         if key not in self._derived_bases:
-            parent = self._derived_base(derive[:-1])
+            parent = self._derived_base(derive[:-1], keep_cols=keep_cols)
             child = apply_tpath(parent, derive[-1:])
             if derive[-1].t in ("rank", "nominalize"):
+                if keep_cols is not None:
+                    # RID always survives: a downstream rank step uses it
+                    # as the pandas-faithful tie-break, and apply_step
+                    # silently drops the tie-break when RID is absent —
+                    # a value change, not an error
+                    pruned = [
+                        c for c in child.columns if c in keep_cols or c == RID
+                    ]
+                    if pruned:
+                        child = child.select(*pruned)
                 child = child.persist()
                 self._persisted_base_keys.add(key)
             self._derived_bases[key] = child

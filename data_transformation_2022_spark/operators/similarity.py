@@ -705,8 +705,13 @@ def semantic_dedup(
     # a join over two copies of those trees). At corpus scale the
     # cluster assignment is a real pipeline stage you'd persist anyway
     # — same policy as the connected-components rounds in
-    # operators/dedup.py.
-    assigned = assigned.localCheckpoint()
+    # operators/dedup.py. Routed through iter_checkpoint so the
+    # $SPARK_GRAFT_CHECKPOINT_DIR knob upgrades it to a reliable
+    # checkpoint on a fleet (executor loss after localCheckpoint
+    # truncation is unrecoverable — see session.iter_checkpoint).
+    from ..session import iter_checkpoint
+
+    assigned = iter_checkpoint(assigned)
     pool = assigned
     if max_cluster is not None:
         w = Window.partitionBy("cluster").orderBy(id_col)
