@@ -193,3 +193,102 @@ def weighted_priority_sample(
         .withColumn("priority", pri)
     )
     return ranked.orderBy(F.col("priority"), F.col("__h")).limit(k).drop("__h")
+
+
+def alpha_quotas(
+    counts: dict[str, int], total: int, alpha: float
+) -> dict[str, int]:
+    """Temperature-based (α) source quotas — the multilingual mixing
+    step of mC4/T5/XLM-R-style pipelines: stratum s gets a share of
+    ``total`` proportional to n_s**α (α=1 → proportional to corpus,
+    α=0 → uniform across strata, α≈0.3-0.7 → upsample the tail).
+
+    Deterministic shared-Python contract (the same single-implementation
+    rule the classifier/DSIR fits use): BOTH the Spark operator and the
+    DuckDB oracle derive their own per-stratum counts, then run them
+    through THIS function, so the integer quotas embedded in each plan
+    are identical by construction. Internally: strata processed in
+    sorted order (the float accumulation order is pinned), ideal shares
+    floor'd, the remainder distributed by largest fractional part (ties
+    → lexicographically smaller stratum), then each quota capped at its
+    stratum population (freed units are NOT redistributed — a stratum
+    smaller than its share is simply kept whole, the standard behavior
+    when a rare language undershoots its temperature share)."""
+    import math
+
+    if total < 0 or not counts:
+        return {s: 0 for s in counts}
+    strata = sorted(counts)
+    w = {s: float(counts[s]) ** alpha if counts[s] > 0 else 0.0 for s in strata}
+    acc = 0.0
+    for s in strata:
+        acc += w[s]
+    if acc <= 0.0:
+        return {s: 0 for s in strata}
+    ideal = {s: total * w[s] / acc for s in strata}
+    base = {s: int(math.floor(ideal[s])) for s in strata}
+    rem = total - sum(base.values())
+    for s in sorted(strata, key=lambda s: (-(ideal[s] - base[s]), s))[:rem]:
+        base[s] += 1
+    return {s: min(int(counts[s]), base[s]) for s in strata}
+
+
+def alpha_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    strata_col: str,
+    total: int,
+    alpha: float,
+    salt: str = "alpha",
+    headroom: int = 4,
+) -> DataFrame:
+    """EXACT-quota temperature sampling: draw alpha_quotas(...) rows
+    per stratum, deterministically — the rows with the smallest salted
+    key-hashes win, so the selection is stable under retries,
+    repartitioning, and engine replay.
+
+    Scale shape: the stratum counts are one map-side-combined groupBy
+    (domain-sized, collected as metadata); quotas and integer prefilter
+    thresholds broadcast back. The PREFILTER keeps ~headroom×quota rows
+    per stratum via the same integer-threshold arithmetic as
+    balance_by_quota (thr = min(BUCKETS, (headroom·q·BUCKETS + n div 2)
+    div n)), so the per-stratum exact rank window runs over a
+    quota-sized survivor set instead of the full stratum — a hot
+    stratum at fleet scale ranks thousands of rows, not billions. The
+    prefilter is PART OF THE SPEC (the oracle replays it), so the
+    result is engine-exact regardless of the headroom margin; with
+    4× headroom the chance the rank-selected set differs from the
+    unfiltered ideal is negligible, and any such difference is still
+    deterministic and identical on both engines.
+
+    Returns the input columns + ``rk`` (1-based hash rank within the
+    stratum, ≤ quota)."""
+    spark = df.sparkSession
+    counts = {
+        r[strata_col]: int(r["__n"])
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    quotas = alpha_quotas(counts, total, alpha)
+    rows = []
+    for s in sorted(counts):
+        n, q = counts[s], quotas[s]
+        thr = min(_BUCKETS, (headroom * q * _BUCKETS + n // 2) // n) if n else 0
+        rows.append((s, q, thr))
+    qdf = F.broadcast(
+        spark.createDataFrame(rows, f"{strata_col} string, __q bigint, __thr bigint")
+    )
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = md5_prefix_long(F.concat_ws("|", key, F.lit(salt)), _HASH_HEX_DIGITS)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__h"), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.join(qdf, strata_col)
+        .filter(h % _BUCKETS < F.col("__thr"))
+        .withColumn("__h", h)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= F.col("__q"))
+        .select(*df.columns, "rk")
+    )

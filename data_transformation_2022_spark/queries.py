@@ -3399,6 +3399,80 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+_ALPHA_TOTAL, _ALPHA, _ALPHA_HEADROOM = 300, 0.5, 4
+
+
+def _alpha_sample_oracle() -> str:
+    """Replay of alpha_sample the oracle way: per-language counts from
+    DuckDB, quotas + integer prefilter thresholds through the SAME
+    Python alpha_quotas (single-implementation n**α and largest
+    remainder — the classifier/DSIR contract), inlined as VALUES; then
+    the identical salted-hash prefilter + per-stratum ROW_NUMBER."""
+    import duckdb
+
+    from .operators.sampling import alpha_quotas
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_dd_table_glob(_oracle_sf(), 'documents')}')"
+    )
+    counts = dict(
+        con.execute("SELECT lang, COUNT(*) FROM documents GROUP BY lang").fetchall()
+    )
+    con.close()
+    counts = {s: int(n) for s, n in counts.items()}
+    quotas = alpha_quotas(counts, _ALPHA_TOTAL, _ALPHA)
+    vals = ", ".join(
+        "('{s}', {q}, {thr})".format(
+            s=s,
+            q=quotas[s],
+            thr=min(
+                1_000_000,
+                (_ALPHA_HEADROOM * quotas[s] * 1_000_000 + counts[s] // 2)
+                // counts[s],
+            )
+            if counts[s]
+            else 0,
+        )
+        for s in sorted(counts)
+    )
+    fh = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|alpha'), 1, 15))::BIGINT"
+    return f"""WITH q(lang, q, thr) AS (VALUES {vals}),
+h AS (SELECT doc_id, lang, {fh} AS fh FROM documents),
+f AS (SELECT h.doc_id, h.lang, h.fh, q.q FROM h JOIN q USING (lang)
+      WHERE h.fh % 1000000 < q.thr),
+r AS (SELECT doc_id, lang, q,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fh, doc_id) AS rk
+      FROM f)
+SELECT doc_id, lang, rk FROM r WHERE rk <= q"""
+
+
+@register(
+    "sample_alpha_temperature",
+    _alpha_sample_oracle,
+    tags=("sampling", "pipeline", "dynamic-literal"),
+)
+def q_sample_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (α=0.5) source mixing — the mC4/T5/XLM-R
+    multilingual resampling step: each language gets an EXACT quota
+    ∝ n_lang**α of a fixed total (largest-remainder apportionment,
+    capped at the language population), filled deterministically with
+    the smallest salted doc-id hashes. Stratum counts are one
+    domain-sized groupBy collected as metadata; quotas + integer
+    prefilter thresholds broadcast back; the exact rank window runs
+    over a ~4×quota survivor set per language, never the full stratum
+    (see operators.sampling.alpha_sample)."""
+    from .operators.sampling import alpha_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = alpha_sample(
+        d, ["doc_id"], "lang", total=_ALPHA_TOTAL, alpha=_ALPHA,
+        headroom=_ALPHA_HEADROOM,
+    )
+    return out.select("doc_id", "lang", "rk")
+
+
 @register(
     "corpus_balance_languages",
     """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
@@ -5991,9 +6065,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver attests the first 50 registry entries per round.
 # Rounds 1-7 together attested every exact-oracle query at least once
 # (union 159/159, none staler than r04). The round-8 prefix
-# (1 + 5 + 31 + 13 = 50):
-#   (1) the NEW round-8 exact query (corpus_classifier_eval) — first
-#       attestation;
+# (2 + 5 + 31 + 12 = 50):
+#   (1) the TWO new round-8 exact queries (corpus_classifier_eval,
+#       sample_alpha_temperature) — first attestation;
 #   (2) every exact query whose CODE or ORACLE changed this round
 #       ("attested" must mean attested for the code that ships):
 #       basic_hsum/basic_hmul (explicit overflow raise on the decimal
@@ -6004,7 +6078,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (3) all 31 queries whose newest attestation is r04 — the stalest
 #       band, the rotation target the round-7 verdict named
 #       (attestation_audit lists them);
-#   (4) backfill to 50 with the 13 alphabetically-first r05-cohort
+#   (4) backfill to 50 with the 12 alphabetically-first r05-cohort
 #       entries, the next-stalest band.
 # Everything displaced holds an r05-r07 attestation, so union coverage
 # is unaffected (scripts/attestation_audit.py checks); after this
@@ -6013,6 +6087,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY: list[str] = [
     # --- (1) new in round 8: first attestation ---
     "corpus_classifier_eval",
+    "sample_alpha_temperature",
     # --- (2) code or oracle changed in round 8 ---
     "basic_hsum",
     "basic_hmul",
@@ -6051,7 +6126,7 @@ _PRIORITY: list[str] = [
     "tpch_q8_mktshare",
     "tpch_q9_profit",
     "window_moving_avg",
-    # --- (4) r05 backfill (next-stalest, alphabetical) to fill the 50 ---
+    # --- (4) r05 backfill (next-stalest, alphabetical, 12) to fill the 50 ---
     "agg_cube",
     "agg_grouping_sets",
     "agg_percentiles",
@@ -6064,7 +6139,6 @@ _PRIORITY: list[str] = [
     "basic_sub",
     "coret_kmeans",
     "coret_lida",
-    "corpus_boilerplate_scrub",
 ]
 
 def _reorder_registry() -> None:

@@ -2033,3 +2033,57 @@ def test_fuzzy_decontaminate_nondefault_shingle_consistent(spark):
     }
     assert got.get(1) == 1
     assert got.get(2) == 1
+
+
+def test_alpha_quotas_properties():
+    """Temperature apportionment: quotas sum to the total when no cap
+    binds; alpha=1 is proportional; alpha=0 is uniform; caps bind at
+    stratum population; largest-remainder ties break lexicographically;
+    deterministic across calls."""
+    from data_transformation_2022_spark.operators.sampling import alpha_quotas
+
+    counts = {"en": 8000, "de": 1000, "fr": 1000}
+    q1 = alpha_quotas(counts, 100, 1.0)
+    assert q1 == {"en": 80, "de": 10, "fr": 10}
+    q0 = alpha_quotas(counts, 99, 0.0)
+    assert sum(q0.values()) == 99 and max(q0.values()) - min(q0.values()) <= 1
+    qh = alpha_quotas(counts, 100, 0.5)
+    assert sum(qh.values()) == 100
+    # temperature flattens: english share drops below proportional,
+    # tail languages rise
+    assert qh["en"] < 80 and qh["de"] > 10 and qh["fr"] > 10
+    # symmetric strata get equal-or-adjacent quotas with deterministic
+    # tie order (lexicographically smaller stratum gets the extra unit)
+    assert abs(qh["de"] - qh["fr"]) <= 1
+    if qh["de"] != qh["fr"]:
+        assert qh["de"] > qh["fr"]
+    # cap binds: a tiny stratum is kept whole, units not redistributed
+    qc = alpha_quotas({"en": 10000, "rare": 3}, 1000, 0.5)
+    assert qc["rare"] == 3
+    assert qc == alpha_quotas({"en": 10000, "rare": 3}, 1000, 0.5)
+
+
+def test_alpha_sample_exact_quota_and_determinism(spark):
+    """alpha_sample fills each stratum's exact quota with the smallest
+    salted hashes: re-running and repartitioning select the identical
+    row set, and per-stratum kept counts equal alpha_quotas."""
+    from data_transformation_2022_spark.operators.sampling import (
+        alpha_quotas,
+        alpha_sample,
+    )
+
+    rows = [(i, "en" if i % 10 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    counts = {"en": 900, "de": 100}
+    want = alpha_quotas(counts, 120, 0.5)
+    out = alpha_sample(df, ["doc_id"], "lang", total=120, alpha=0.5)
+    got = out.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == want
+    a = {(r["doc_id"], r["rk"]) for r in out.collect()}
+    b = {
+        (r["doc_id"], r["rk"])
+        for r in alpha_sample(
+            df.repartition(7), ["doc_id"], "lang", total=120, alpha=0.5
+        ).collect()
+    }
+    assert a == b
