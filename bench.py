@@ -172,7 +172,11 @@ def main() -> None:
         print(f"BENCH_OK {name}: {timings[name]}s (runs {runs[name]})",
               file=sys.stderr)
 
-    start = time.time()
+    # Setup (IVF build + rid ingest) runs on its own clock: the suite
+    # budgets cover the TIMED QUERY LOOP only, as in rounds 3-7 — a
+    # slow setup phase must not push tail queries into skip/single-run
+    # fallbacks and skew the round-over-round comparison.
+    setup_start = time.time()
 
     # Build the persisted IVF index up front (min-of-2, force_rebuild on
     # both runs so neither amortizes the build), so the
@@ -180,7 +184,7 @@ def main() -> None:
     _min_of_2(
         "ivf_index_build",
         lambda: build_persisted_ivf(spark, sf_dir, force_rebuild=True),
-        start,
+        setup_start,
     )
 
     # tables ingest in parallel, as a warehouse load would: each rid
@@ -201,6 +205,7 @@ def main() -> None:
     print(f"BENCH_OK ingest_rid_tables: {timings['ingest_rid_tables']}s",
           file=sys.stderr)
 
+    start = time.time()  # query-loop budget clock starts AFTER setup
     for name in qs:
         if time.time() - start > SOFT_BUDGET_S:
             timings[name] = -2.0

@@ -734,10 +734,18 @@ def quality_classifier_scores(
     l2: float = 1e-5,
     binarize: bool = True,
     round_digits: int = 6,
+    _seed_ids_out: list | None = None,
 ):
     """Classifier-based quality scoring (fastText-style linear model
     over hashed token features): train on a bounded labeled seed,
     score the whole corpus map-only through a broadcast weight table.
+
+    ``_seed_ids_out``: internal hook (classifier_eval) — when a list is
+    passed, the ids of the training seed actually used are appended to
+    it, so the held-out evaluation excludes EXACTLY the trained-on rows
+    instead of re-deriving the selection (one less full-corpus job, and
+    no silent train/eval-overlap hazard if the two derivations ever
+    drifted).
 
     ``label_col``: boolean Column marking "good" seed documents — the
     Gopher rule gate on a real corpus, a target-domain flag (the
@@ -774,6 +782,8 @@ def quality_classifier_scores(
         .select(id_col, "__label")
     )
     seed_rows = seed_ids.collect()
+    if _seed_ids_out is not None:
+        _seed_ids_out.extend(r[id_col] for r in seed_rows)
     seed_counts = (
         per_doc.join(F.broadcast(seed_ids.select(id_col)), id_col).collect()
     )
@@ -868,19 +878,20 @@ def classifier_eval(
     the driver."""
     from .order import global_running_sum
 
+    seed_used: list = []
     scored = quality_classifier_scores(
         df, id_col, text_col, label_col, n_buckets, seed_n, epochs, lr, l2,
-        binarize, round_digits,
+        binarize, round_digits, _seed_ids_out=seed_used,
     )
     labels = df.select(F.col(id_col), label_col.cast("int").alias("__y"))
-    seed_ids = (
-        df.select(
-            F.col(id_col),
-            classifier_seed_hash(F.col(id_col).cast("string")).alias("__h"),
-        )
-        .orderBy("__h", id_col)
-        .limit(seed_n)
-        .select(id_col)
+    # exclude EXACTLY the ids the trainer used (collected during the
+    # fit) — no second full-corpus hash+sort job, and train/eval
+    # disjointness holds by construction rather than by two derivations
+    # staying in sync
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    seed_ids = spark.createDataFrame(
+        [(v,) for v in seed_used], f"{id_col} {id_type}"
     )
     hold = (
         scored.join(labels, id_col)

@@ -272,7 +272,17 @@ def alpha_sample(
     rows = []
     for s in sorted(counts):
         n, q = counts[s], quotas[s]
-        thr = min(_BUCKETS, (headroom * q * _BUCKETS + n // 2) // n) if n else 0
+        # max(1, ...): a huge stratum with a small positive quota (n >
+        # 2·headroom·q·BUCKETS — real at fleet scale) rounds the
+        # threshold to 0 and would silently return ZERO rows for a
+        # stratum alpha_quotas assigned a share. At thr=1 the expected
+        # survivor count is n/BUCKETS ≥ 2·headroom·q in exactly that
+        # regime, so the rank window still fills the quota.
+        thr = (
+            max(1, min(_BUCKETS, (headroom * q * _BUCKETS + n // 2) // n))
+            if n and q
+            else 0
+        )
         rows.append((s, q, thr))
     qdf = F.broadcast(
         spark.createDataFrame(rows, f"{strata_col} string, __q bigint, __thr bigint")

@@ -3427,12 +3427,17 @@ def _alpha_sample_oracle() -> str:
         "('{s}', {q}, {thr})".format(
             s=s,
             q=quotas[s],
-            thr=min(
-                1_000_000,
-                (_ALPHA_HEADROOM * quotas[s] * 1_000_000 + counts[s] // 2)
-                // counts[s],
+            # mirror of alpha_sample's threshold including the max(1,.)
+            # floor for huge-stratum/small-quota (see that docstring)
+            thr=max(
+                1,
+                min(
+                    1_000_000,
+                    (_ALPHA_HEADROOM * quotas[s] * 1_000_000 + counts[s] // 2)
+                    // counts[s],
+                ),
             )
-            if counts[s]
+            if counts[s] and quotas[s]
             else 0,
         )
         for s in sorted(counts)
@@ -6065,7 +6070,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver attests the first 50 registry entries per round.
 # Rounds 1-7 together attested every exact-oracle query at least once
 # (union 159/159, none staler than r04). The round-8 prefix
-# (2 + 5 + 31 + 12 = 50):
+# (2 + 9 + 31 + 8 = 50):
 #   (1) the TWO new round-8 exact queries (corpus_classifier_eval,
 #       sample_alpha_temperature) — first attestation;
 #   (2) every exact query whose CODE or ORACLE changed this round
@@ -6074,7 +6079,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       fold), corpus_decontaminate_fuzzy (shingle size now reaches the
 #       signature stage), dedup_components (reliable-checkpoint knob
 #       threaded through every engine), stream_lsh_neardup (state-cell
-#       coarsening + streaming-sized partition scope);
+#       coarsening + streaming-sized partition scope), plus the four
+#       exact queries riding the iter_checkpoint routing of connected
+#       components / semantic dedup (sim_semantic_dedup,
+#       dedup_keep_list, dedup_keep_best, pipeline_build_corpus) —
+#       identical behavior by default and pytest-pinned, re-attested
+#       anyway; tpch_q1 also changed (scaled-BIGINT decimal→double)
+#       and is covered by its slot in band (3);
 #   (3) all 31 queries whose newest attestation is r04 — the stalest
 #       band, the rotation target the round-7 verdict named
 #       (attestation_audit lists them);
@@ -6094,6 +6105,10 @@ _PRIORITY: list[str] = [
     "corpus_decontaminate_fuzzy",
     "dedup_components",
     "stream_lsh_neardup",
+    "sim_semantic_dedup",
+    "dedup_keep_list",
+    "dedup_keep_best",
+    "pipeline_build_corpus",
     # --- (3) every r04-stale exact query (31) ---
     "dedup_minhash_signatures",
     "dedup_simhash",
@@ -6126,7 +6141,7 @@ _PRIORITY: list[str] = [
     "tpch_q8_mktshare",
     "tpch_q9_profit",
     "window_moving_avg",
-    # --- (4) r05 backfill (next-stalest, alphabetical, 12) to fill the 50 ---
+    # --- (4) r05 backfill (next-stalest, alphabetical, 8) to fill the 50 ---
     "agg_cube",
     "agg_grouping_sets",
     "agg_percentiles",
@@ -6135,10 +6150,6 @@ _PRIORITY: list[str] = [
     "basic_astype",
     "basic_div",
     "basic_filter",
-    "basic_select_like",
-    "basic_sub",
-    "coret_kmeans",
-    "coret_lida",
 ]
 
 def _reorder_registry() -> None:

@@ -57,7 +57,7 @@ STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
 # restores the value observed at its own entry, so nesting unwinds
 # level by level and the outermost exit lands on the pre-scope value.
 _STATE_PARTS_LOCK = threading.RLock()
-_STATE_PARTS_STACK: list[str] = []
+_STATE_PARTS_STACK: list[dict] = []  # [{"saved": str}], one per live scope
 
 
 @contextmanager
@@ -65,21 +65,37 @@ def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
     """Scope spark.sql.shuffle.partitions to ``n`` around a streaming
     query START (safe: every query here begins from a fresh temp
     checkpoint, so no existing state layout can mismatch; batch queries
-    planned after the restore are untouched). Re-entrant and
-    thread-safe: each scope pushes the value it observed at entry and
-    restores THAT value at exit (a per-depth stack, not a single saved
-    value), so nested scopes with different ``n`` leave the outer scope
-    running at the outer ``n`` — and the outermost exit restores the
-    pre-scope session value."""
+    planned after the restore are untouched). Re-entrant, thread-safe,
+    and tolerant of OUT-OF-ORDER exits (a bench timeout abandons a
+    daemon thread inside a scope; its ``finally`` fires after a newer
+    scope has started): each scope keeps its own stack entry with the
+    value it observed at entry. Exiting the TOP entry restores its
+    saved value; exiting a non-top entry (an out-of-order zombie) must
+    NOT touch the live conf — instead it retargets the saved value of
+    the scope entered just after it (which observed the zombie's ``n``
+    as its "prior") to the zombie's own saved value, so the eventual
+    unwind still lands on the true pre-scope session value."""
+    entry = {"saved": None}
     with _STATE_PARTS_LOCK:
-        _STATE_PARTS_STACK.append(spark.conf.get("spark.sql.shuffle.partitions"))
+        entry["saved"] = spark.conf.get("spark.sql.shuffle.partitions")
+        _STATE_PARTS_STACK.append(entry)
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
         with _STATE_PARTS_LOCK:
-            prior = _STATE_PARTS_STACK.pop()
-            spark.conf.set("spark.sql.shuffle.partitions", prior)
+            idx = next(
+                i for i, e in enumerate(_STATE_PARTS_STACK) if e is entry
+            )
+            _STATE_PARTS_STACK.pop(idx)
+            if idx == len(_STATE_PARTS_STACK):
+                # top-of-stack exit: restore what this scope observed
+                spark.conf.set("spark.sql.shuffle.partitions", entry["saved"])
+            else:
+                # out-of-order exit: a newer scope is still active and
+                # owns the conf; hand it our saved value so ITS exit
+                # (or the next in line) restores past us correctly
+                _STATE_PARTS_STACK[idx]["saved"] = entry["saved"]
 
 EVENTS_SCHEMA = T.StructType(
     [

@@ -2087,3 +2087,17 @@ def test_alpha_sample_exact_quota_and_determinism(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_alpha_sample_threshold_floor_huge_stratum(spark, monkeypatch):
+    """Regression (r8 self-review): a stratum so large that the
+    headroom threshold rounds to 0 must still fill its positive quota —
+    the threshold floors at 1 bucket. Simulated by shrinking the bucket
+    domain so n > 2*headroom*q*BUCKETS holds on test-sized data."""
+    from data_transformation_2022_spark.operators import sampling
+
+    monkeypatch.setattr(sampling, "_BUCKETS", 10)
+    rows = [(i, "en") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sampling.alpha_sample(df, ["doc_id"], "lang", total=2, alpha=0.5)
+    assert out.count() == 2

@@ -201,3 +201,29 @@ def test_state_partitions_nested_scopes_restore_each_level(spark):
         assert spark.conf.get(key) == before
     finally:
         spark.conf.set(key, before)
+
+
+def test_state_partitions_out_of_order_exit(spark):
+    """Regression (r8 self-review): a zombie scope exiting AFTER a newer
+    scope started (bench-timeout-abandoned thread) must not clobber the
+    newer scope's live value, and the final unwind must land on the
+    pre-scope session value."""
+    from data_transformation_2022_spark.streaming.pipelines import _state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    try:
+        outer = _state_partitions(spark, 6)
+        outer.__enter__()          # zombie scope: n=6
+        assert spark.conf.get(key) == "6"
+        inner = _state_partitions(spark, 4)
+        inner.__enter__()          # newer scope: n=4
+        assert spark.conf.get(key) == "4"
+        # zombie exits FIRST (out of order): live conf must stay at 4
+        outer.__exit__(None, None, None)
+        assert spark.conf.get(key) == "4"
+        # newer scope's exit restores past the zombie to the true prior
+        inner.__exit__(None, None, None)
+        assert spark.conf.get(key) == before
+    finally:
+        spark.conf.set(key, before)
