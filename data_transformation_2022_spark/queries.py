@@ -1969,6 +1969,143 @@ SELECT query_id, cand_id, cosine, rank FROM (
 ) WHERE rank <= 5"""
 
 
+_HYBRID_RRF_SQL = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+), {_COS_ELEMS},
+sims AS (
+  SELECT cand_id, ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) AS cosine FROM sums
+),
+vtop AS (
+  SELECT cand_id, vec_rank FROM (
+    SELECT cand_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, cand_id) AS vec_rank
+    FROM sims
+  ) WHERE vec_rank <= 100
+),
+lt AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, UNNEST({_DD_TOKS.format(t="text")}) AS t(tok)
+),
+qt AS (SELECT tok FROM lt WHERE doc_id = 0),
+ov AS (
+  SELECT l.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM lt l JOIN qt USING (tok) WHERE l.doc_id <> 0 GROUP BY l.doc_id
+),
+ltop AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id) AS lex_rank
+    FROM ov
+  ) WHERE lex_rank <= 100
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.cand_id) AS doc_id,
+         CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0) AS rrf
+  FROM ltop l FULL OUTER JOIN vtop v ON l.doc_id = v.cand_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf, fused_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 20"""
+
+
+@register(
+    "sim_hybrid_rrf",
+    _HYBRID_RRF_SQL,
+    tags=("similarity", "retrieval", "pipeline"),
+)
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (the OpenSearch /
+    Elastic / Vespa hybrid-search default, Cormack et al. 2009): a
+    LEXICAL leg (distinct-token overlap with the query document —
+    token equi-join against the broadcast query term set, one
+    map-side-combined count per doc) and a VECTOR leg (decimal-exact
+    cosine against the query embedding, the sim_cosine_topk contract)
+    each produce a deterministic top-100, then
+    rrf = Σ_legs 1/(60 + rank) fuses them (each term is ONE int→double
+    division — engine-identical; absent legs contribute 0 and report
+    rank 0).
+
+    Scale shape: both legs end in orderBy().limit(100) —
+    TakeOrderedAndProject, never a corpus-wide SinglePartition window —
+    and the rank/fusion windows run over ≤100-row bounded inputs. At
+    fleet scale the vector leg swaps to the IVF probe (sim_ivf_topk)
+    without touching the fusion; brute-force here keeps the oracle
+    exact. doc_id 0 is the query for both legs (vec_id ↔ doc_id share
+    the id domain)."""
+    from pyspark.sql.window import Window
+
+    from .functions.text import tokens_ws
+    from .operators.similarity import dot_exact, norm_exact
+    from .sources.readers import fan_out
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"),
+            norm_exact(F.col("embedding")).alias("qn"),
+        )
+    )
+    sims = (
+        fan_out(e.filter(F.col("vec_id") != 0))
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                dot_exact(F.col("embedding"), F.col("qv"))
+                / (norm_exact(F.col("embedding")) * F.col("qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_v = Window.orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    vtop = (
+        sims.orderBy(F.col("cosine").desc(), "cand_id")
+        .limit(100)
+        .withColumn("vec_rank", F.row_number().over(w_v).cast("bigint"))
+        .select(F.col("cand_id").alias("doc_id"), "vec_rank")
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_ws(F.lower(F.col("text"))))).alias("tok"),
+    )
+    qt = F.broadcast(dt.filter(F.col("doc_id") == 0).select("tok"))
+    ov = (
+        dt.filter(F.col("doc_id") != 0)
+        .join(qt, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_l = Window.orderBy(F.col("overlap").desc(), F.col("doc_id"))
+    ltop = (
+        ov.orderBy(F.col("overlap").desc(), "doc_id")
+        .limit(100)
+        .withColumn("lex_rank", F.row_number().over(w_l).cast("bigint"))
+        .select("doc_id", "lex_rank")
+    )
+
+    fused = ltop.join(vtop, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0).cast("bigint")).alias("lex_rank"),
+        F.coalesce(F.col("vec_rank"), F.lit(0).cast("bigint")).alias("vec_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w_f = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+        .withColumn("fused_rank", F.row_number().over(w_f).cast("bigint"))
+    )
+
+
 @register("sim_cosine_topk", _SIM_TOPK_SQL, tags=("similarity",))
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors. Decimal-exact
@@ -6070,9 +6207,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver attests the first 50 registry entries per round.
 # Rounds 1-7 together attested every exact-oracle query at least once
 # (union 159/159, none staler than r04). The round-8 prefix
-# (2 + 9 + 31 + 8 = 50):
-#   (1) the TWO new round-8 exact queries (corpus_classifier_eval,
-#       sample_alpha_temperature) — first attestation;
+# (3 + 9 + 31 + 7 = 50):
+#   (1) the THREE new round-8 exact queries (corpus_classifier_eval,
+#       sample_alpha_temperature, sim_hybrid_rrf) — first attestation;
 #   (2) every exact query whose CODE or ORACLE changed this round
 #       ("attested" must mean attested for the code that ships):
 #       basic_hsum/basic_hmul (explicit overflow raise on the decimal
@@ -6099,6 +6236,7 @@ _PRIORITY: list[str] = [
     # --- (1) new in round 8: first attestation ---
     "corpus_classifier_eval",
     "sample_alpha_temperature",
+    "sim_hybrid_rrf",
     # --- (2) code or oracle changed in round 8 ---
     "basic_hsum",
     "basic_hmul",
@@ -6141,7 +6279,7 @@ _PRIORITY: list[str] = [
     "tpch_q8_mktshare",
     "tpch_q9_profit",
     "window_moving_avg",
-    # --- (4) r05 backfill (next-stalest, alphabetical, 8) to fill the 50 ---
+    # --- (4) r05 backfill (next-stalest, alphabetical, 7) to fill the 50 ---
     "agg_cube",
     "agg_grouping_sets",
     "agg_percentiles",
@@ -6149,7 +6287,6 @@ _PRIORITY: list[str] = [
     "agg_rollup",
     "basic_astype",
     "basic_div",
-    "basic_filter",
 ]
 
 def _reorder_registry() -> None:

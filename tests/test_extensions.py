@@ -2101,3 +2101,26 @@ def test_alpha_sample_threshold_floor_huge_stratum(spark, monkeypatch):
     df = spark.createDataFrame(rows, "doc_id bigint, lang string")
     out = sampling.alpha_sample(df, ["doc_id"], "lang", total=2, alpha=0.5)
     assert out.count() == 2
+
+
+def test_hybrid_rrf_structure_and_arithmetic(spark, sf_dir):
+    """sim_hybrid_rrf invariants: 20 fused rows ranked 1..20 without
+    gaps in (rrf desc, doc_id) order; every row came from at least one
+    leg; and the reported rrf equals the reciprocal-rank arithmetic
+    recomputed from the reported leg ranks (absent leg -> 0)."""
+    from data_transformation_2022_spark.queries import REGISTRY
+
+    rows = REGISTRY["sim_hybrid_rrf"].spark(spark, sf_dir).collect()
+    assert [r["fused_rank"] for r in rows] != []
+    srt = sorted(rows, key=lambda r: r["fused_rank"])
+    assert [r["fused_rank"] for r in srt] == list(range(1, len(srt) + 1))
+    prev = None
+    for r in srt:
+        assert r["lex_rank"] > 0 or r["vec_rank"] > 0
+        expect = (1.0 / (60 + r["vec_rank"]) if r["vec_rank"] else 0.0) + (
+            1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0
+        )
+        assert r["rrf"] == expect, (r["doc_id"], r["rrf"], expect)
+        if prev is not None:  # fused order is (rrf desc, doc_id asc)
+            assert (prev["rrf"], -prev["doc_id"]) >= (r["rrf"], -r["doc_id"])
+        prev = r
