@@ -218,6 +218,13 @@ class Executor:
                 derive = [s for s in (y_cand.steps if y_cand else []) if s.o_type == "append"]
                 base = self._derived_base(derive)
                 ys = _prefer_derived(y_cand)[:MAX_SERIES] if y_cand else []
+                if not ({x_col, *ys} <= set(base.columns)):
+                    # memo hit on a base pruned by prefetch's keep_cols
+                    # registration for a DIFFERENT bar-job set (possible
+                    # only via the public API, not recommend()): rebuild
+                    # the chain unpruned instead of letting the blanket
+                    # except below silently hand back None
+                    base = self._rebuild_base_unpruned(derive)
                 aggs = [F.sum(F.col(c)).alias(f"SUM({c})") for c in ys]
                 out = base.groupBy(x_col).agg(*aggs).toPandas()
         except Exception:
@@ -385,16 +392,42 @@ class Executor:
             # each bar group is one small groupBy job whose cost is
             # mostly scheduler latency, so concurrency, not executor
             # pressure, bounds the wall time.
+            def _ready_level(dk: tuple) -> int:
+                # level after which this group's longest PERSISTED chain
+                # prefix is materialized; arithmetic tails past it are
+                # lazy projections the group's own job computes
+                lvl = 0
+                for L in range(1, len(dk) + 1):
+                    if dk[:L] in self._persisted_base_keys:
+                        lvl = L
+                return lvl
+
             early = [e for (dk, _x), e in grouped.items() if not dk]
-            late = [e for (dk, _x), e in grouped.items() if dk]
+            late_by_level: dict[int, list] = {}
+            for (dk, _x), e in grouped.items():
+                if dk:
+                    late_by_level.setdefault(_ready_level(dk), []).append(e)
             with ThreadPoolExecutor(max(workers, 16)) as bpool:
-                futs = [bpool.submit(_batched_bars, e) for e in early]
+                # level-0 derived groups have no persisted base to wait
+                # for; each later group queues as soon as ITS base's
+                # level finishes materializing, not after all levels
+                futs = [
+                    bpool.submit(_batched_bars, e)
+                    for e in early + late_by_level.pop(0, [])
+                ]
                 for level in sorted(by_level):
                     group = by_level[level]
                     with ThreadPoolExecutor(min(8, len(group))) as mpool:
                         list(mpool.map(lambda b: b.count(), group))
                     _tr(f"level {level}: {len(group)} bases materialized")
-                futs += [bpool.submit(_batched_bars, e) for e in late]
+                    futs += [
+                        bpool.submit(_batched_bars, e)
+                        for e in late_by_level.pop(level, [])
+                    ]
+                for lvl in sorted(late_by_level):  # defensive flush
+                    futs += [
+                        bpool.submit(_batched_bars, e) for e in late_by_level[lvl]
+                    ]
                 for f in futs:
                     f.result()
             _tr(f"bar pool done ({len(grouped)} bar groups, {len(early)} early)")
@@ -570,6 +603,26 @@ class Executor:
                 self._persisted_base_keys.add(key)
             self._derived_bases[key] = child
         return self._derived_bases[key]
+
+    def _rebuild_base_unpruned(self, derive: list[Step]) -> DataFrame:
+        """Evict every memoized prefix of ``derive``'s chain and re-derive
+        it with no column pruning. Recovery path for a public-API
+        ``bar_aggregate`` whose columns were pruned away by a prior
+        prefetch registration (ADVICE r8); never taken by recommend(),
+        whose registration pass supplies the union of all consumers."""
+        for k_len in range(1, len(derive) + 1):
+            key = tuple(
+                (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index))
+                for s in derive[:k_len]
+            )
+            cached = self._derived_bases.pop(key, None)
+            if cached is not None and key in self._persisted_base_keys:
+                self._persisted_base_keys.discard(key)
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass
+        return self._derived_base(derive)
 
 
 def _prefer_derived(cand: Candidate) -> list[str]:

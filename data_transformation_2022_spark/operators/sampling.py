@@ -284,8 +284,22 @@ def alpha_sample(
             else 0
         )
         rows.append((s, q, thr))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # quota-frame stratum field inherits the input column's real type —
+    # a hardcoded string here would join a non-string stratum through an
+    # implicit cast (or fail outright)
     qdf = F.broadcast(
-        spark.createDataFrame(rows, f"{strata_col} string, __q bigint, __thr bigint")
+        spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField(strata_col, df.schema[strata_col].dataType),
+                    StructField("__q", LongType()),
+                    StructField("__thr", LongType()),
+                ]
+            ),
+        )
     )
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     h = md5_prefix_long(F.concat_ws("|", key, F.lit(salt)), _HASH_HEX_DIGITS)

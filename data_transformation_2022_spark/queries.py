@@ -23,6 +23,7 @@ that make the Spark result hash-match the DuckDB oracle exactly:
 from __future__ import annotations
 
 import functools
+import os as _os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -3562,7 +3563,9 @@ def _alpha_sample_oracle() -> str:
     quotas = alpha_quotas(counts, _ALPHA_TOTAL, _ALPHA)
     vals = ", ".join(
         "('{s}', {q}, {thr})".format(
-            s=s,
+            # SQL-escape the stratum literal: a lang value containing a
+            # quote must not break (or inject into) the oracle text
+            s=str(s).replace("'", "''"),
             q=quotas[s],
             # mirror of alpha_sample's threshold including the max(1,.)
             # floor for huge-stratum/small-quota (see that docstring)
@@ -3749,6 +3752,7 @@ def q_corpus_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     clf = quality_classifier_scores(
         docs, "doc_id", "text", label,
         n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N,
+        fit_key=(_os.path.normpath(sf_dir), "gopher_stop"),
     ).select("doc_id", "pred")
     pred = docs.select(
         "doc_id", "source", fingerprint64(F.col("text")).alias("fp")
@@ -4249,7 +4253,8 @@ def q_corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     label = F.arrays_overlap(tokens_ws(F.lower(F.col("text"))), stop_arr)
     return quality_classifier_scores(
-        d, "doc_id", "text", label, n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N
+        d, "doc_id", "text", label, n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N,
+        fit_key=(_os.path.normpath(sf_dir), "gopher_stop"),
     )
 
 
@@ -4334,7 +4339,8 @@ def q_corpus_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     label = F.arrays_overlap(tokens_ws(F.lower(F.col("text"))), stop_arr)
     return classifier_eval(
-        d, "doc_id", "text", label, n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N
+        d, "doc_id", "text", label, n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N,
+        fit_key=(_os.path.normpath(sf_dir), "gopher_stop"),
     )
 
 

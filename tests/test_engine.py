@@ -89,3 +89,35 @@ def test_decorate_presentation_reorder():
     out2 = decorate({"vis_list": big})
     assert [v["id"] for v in out2["vis_list"]][:5] == ["V0", "V2", "V3", "V6", "V12"]
     assert len(out2["vis_list"]) == 14  # permutation, nothing dropped
+
+
+def test_bar_aggregate_rebuilds_pruned_base(spark):
+    """A public-API bar_aggregate on a chain whose persisted base was
+    column-pruned by an earlier prefetch registration (for a DIFFERENT
+    consumer set) must rebuild the base unpruned and return real sums —
+    not fall through the except-to-None path (r8 advice)."""
+    from data_transformation_2022_spark.engine import Executor
+    from data_transformation_2022_spark.operators.steps import Step
+    from data_transformation_2022_spark.plans.search import Candidate
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), f"g{i % 2}") for i in range(40)],
+        "a double, b double, g string",
+    )
+    ex = Executor(df, sample_cap=10)
+    rank = Step(t="rank", i_type="==", i=["a"], o_type="append", index=["rank a"])
+    cand_a = Candidate(
+        family="sum_bar", steps=[rank], out_cols=["rank a"], derived=["rank a"]
+    )
+    ex.prefetch(frame_jobs=[], bar_jobs=[("g", cand_a, "sum")])
+    key = (("rank", "==", ("a",), "append", ("rank a",)),)
+    assert key in ex._persisted_base_keys
+    assert "b" not in ex._derived_bases[key].columns  # pruned away
+    # same derivation chain, but this consumer sums the pruned column b
+    cand_b = Candidate(family="sum_bar", steps=[rank], out_cols=["b"])
+    out = ex.bar_aggregate("g", cand_b, "sum")
+    assert out is not None, "pruning miss must rebuild, not return None"
+    got = dict(zip(out["g"], out["SUM(b)"]))
+    assert got == {"g0": 760.0, "g1": 800.0}
+    assert "b" in ex._derived_bases[key].columns  # memo now unpruned
+    ex.release()

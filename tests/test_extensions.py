@@ -2111,7 +2111,9 @@ def test_hybrid_rrf_structure_and_arithmetic(spark, sf_dir):
     from data_transformation_2022_spark.queries import REGISTRY
 
     rows = REGISTRY["sim_hybrid_rrf"].spark(spark, sf_dir).collect()
-    assert [r["fused_rank"] for r in rows] != []
+    # pin the top-k size: a regression in either leg's TakeOrdered or in
+    # the fused LIMIT that returned fewer rows must fail, not pass
+    assert len(rows) == 20
     srt = sorted(rows, key=lambda r: r["fused_rank"])
     assert [r["fused_rank"] for r in srt] == list(range(1, len(srt) + 1))
     prev = None
@@ -2124,3 +2126,77 @@ def test_hybrid_rrf_structure_and_arithmetic(spark, sf_dir):
         if prev is not None:  # fused order is (rrf desc, doc_id asc)
             assert (prev["rrf"], -prev["doc_id"]) >= (r["rrf"], -r["doc_id"])
         prev = r
+
+
+def test_alpha_sample_nonstring_strata(spark):
+    """The broadcast quota frame inherits the strata column's real type
+    (r8 advice: it was hardcoded string), so an integer stratum joins
+    without an implicit cast; selection stays deterministic under
+    repartitioning and quotas are exactly filled."""
+    from data_transformation_2022_spark.operators.sampling import (
+        alpha_quotas,
+        alpha_sample,
+    )
+
+    df = spark.range(200).selectExpr("id", "CAST(id % 3 AS INT) AS grp")
+    out = alpha_sample(df, ["id"], "grp", total=30, alpha=0.5)
+    assert dict(out.dtypes)["grp"] == "int"
+    rows = out.collect()
+    per: dict[int, int] = {}
+    for r in rows:
+        per[r["grp"]] = per.get(r["grp"], 0) + 1
+    counts = {0: 67, 1: 67, 2: 66}
+    assert per == alpha_quotas(counts, 30, 0.5)
+    again = alpha_sample(df.repartition(7, "id"), ["id"], "grp", total=30, alpha=0.5)
+    assert sorted(r["id"] for r in rows) == sorted(r["id"] for r in again.collect())
+
+
+def test_classifier_fit_cache_hygiene(spark, sf_dir, monkeypatch):
+    """fit_key memoization (r8 verdict item 3): a repeat call with the
+    same key reuses the trained weights (trainer runs ONCE) and returns
+    identical margins; a different key or changed fit params refits.
+    classifier_eval sees the same cached seed ids, so its holdout stays
+    disjoint from training."""
+    import data_transformation_2022_spark.functions.text as T
+
+    T._FIT_CACHE.clear()
+    calls = {"n": 0}
+    real = T.train_quality_classifier
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(T, "train_quality_classifier", counting)
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in T.GOPHER_STOPWORDS])
+    label = F.arrays_overlap(T.tokens_ws(F.lower(F.col("text"))), stop)
+
+    def run(**kw):
+        return {
+            r["doc_id"]: r["margin"]
+            for r in T.quality_classifier_scores(
+                d, "doc_id", "text", label, n_buckets=64, seed_n=50, **kw
+            ).collect()
+        }
+
+    a = run(fit_key=(sf_dir, "rule"))
+    assert calls["n"] == 1
+    b = run(fit_key=(sf_dir, "rule"))
+    assert calls["n"] == 1, "same key must not refit"
+    assert a == b
+    run(fit_key=(sf_dir + "/other", "rule"))
+    assert calls["n"] == 2, "different data key must refit"
+    run(fit_key=(sf_dir, "rule"), epochs=100)
+    assert calls["n"] == 3, "changed fit params must refit"
+    # eval path: cached seed ids keep the holdout disjoint -> n_holdout
+    # equals corpus minus seed regardless of cache state
+    ev = T.classifier_eval(
+        d, "doc_id", "text", label, n_buckets=64, seed_n=50,
+        fit_key=(sf_dir, "rule"),
+    ).collect()[0]
+    assert calls["n"] == 3, "eval with warm key must not refit"
+    assert ev["n_holdout"] == d.count() - 50
+    T._FIT_CACHE.clear()
