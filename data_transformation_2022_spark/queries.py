@@ -2728,9 +2728,33 @@ def _semdedup_k(n: int) -> int:
 def _semantic_dedup_oracle() -> str:
     """Re-fit the coarse centroids with the exact code path the Spark
     query uses (deterministic rid-ordered sample), then replay in
-    DuckDB: literal-centroid argmin assignment, QUALIFY row_number cap,
-    within-cluster decimal-exact cosine, NOT-IN anti-join."""
-    from .operators.similarity import pq_dist_sql, pq_fit
+    DuckDB with the SAME arithmetic, restructured for oracle-side speed
+    (r8 verdict item 1 — this oracle was the one sf1 strict-run
+    exclusion):
+
+    * assignment: centroids enter as a k-row VALUES table of DOUBLE[]
+      literals and the squared distance is ONE ``list_reduce`` left
+      fold per (vector, centroid) — bit-identical to pq_assign's
+      ``((0.0+t1)+t2)+…`` codegen fold, but constant expression-tree
+      size. The previous unrolled k×d expression string hit a
+      superlinear DuckDB optimizer path (measured 5.9 s at k=16 →
+      118 s at k=96 on 20k rows; >35 min at sf1's k=156). Argmin ties
+      break to the lowest centroid index (ORDER BY dist, cluster =
+      first-position array_min).
+    * asg/pool are MATERIALIZED so the assignment runs once, not per
+      reference.
+    * per-vector norms are computed once in the pool (decimal-exact,
+      same per-element arithmetic as the old per-pair qq/cc — SQRT of
+      identical exact sums gives identical doubles).
+    * pair pruning mirrors the Spark side's two-stage cosine: a plain
+      double left-fold dot prunes pairs below threshold−1e-6; the
+      DECIMAL(28,18) exact fold reruns only near the boundary. The
+      double fold's error over 64 unit-ish terms is ~1e-14, so every
+      pair whose ROUND(exact, 6) can reach the threshold survives the
+      prefilter — the dropped set is bit-identical to the single-stage
+      form (same argument as operators/similarity.py semantic_dedup).
+    """
+    from .operators.similarity import pq_fit
     from .session import get_spark
 
     spark = get_spark()
@@ -2739,27 +2763,51 @@ def _semantic_dedup_oracle() -> str:
     books = pq_fit(
         emb, "vec_id", "embedding", m=1, k=k, fit_cap=max(2000, 16 * k)
     )
-    dists = pq_dist_sql(books, "embedding[{i}]", _flit)[0]
-    dist_cols = ", ".join(f"{e} AS d_{c}" for c, e in enumerate(dists))
-    names = ", ".join(f"d_{c}" for c in range(len(dists)))
-    return f"""WITH d AS (SELECT vec_id, embedding, {dist_cols} FROM embeddings),
-asg AS (SELECT vec_id, embedding,
-        CAST(list_position(list_value({names}),
-             list_min(list_value({names}))) - 1 AS INT) AS cluster FROM d),
-pool AS (SELECT * FROM asg QUALIFY ROW_NUMBER()
-         OVER (PARTITION BY cluster ORDER BY vec_id) <= {_SEMDEDUP_CAP}),
-pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 a.embedding AS qv, b.embedding AS cv
-          FROM pool a JOIN pool b
-            ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-elem AS (SELECT id_a, id_b, UNNEST(qv) AS qe, UNNEST(cv) AS ce FROM pairs),
-sums AS (SELECT id_a, id_b,
-    CAST(SUM(CAST(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot,
-    CAST(SUM(CAST(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS qq,
-    CAST(SUM(CAST(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS cc
-  FROM elem GROUP BY 1, 2),
-dropped AS (SELECT DISTINCT id_b FROM sums
-            WHERE ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) >= {_SEMDEDUP_TAU})
+    d = len(books[0][0])
+    cent_rows = ", ".join(
+        f"({c}, [{', '.join(_flit(float(v)) for v in cent)}]::DOUBLE[])"
+        for c, cent in enumerate(books[0])
+    )
+    sq_terms = (
+        f"list_transform(range(1, {d + 1}), i -> "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.cv[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))"
+    )
+    dot_dbl = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {d + 1}), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), "
+        "(acc, t) -> acc + t)"
+    )
+    dot_dec = (
+        f"CAST(list_sum(list_transform(range(1, {d + 1}), "
+        "i -> CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)"
+        " AS DECIMAL(28,18)))) AS DOUBLE)"
+    )
+    nrm = (
+        "SQRT(CAST(list_sum(list_transform(embedding, "
+        "x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        " AS DECIMAL(28,18)))) AS DOUBLE))"
+    )
+    return f"""WITH cent(cluster, cv) AS (VALUES {cent_rows}),
+dists AS (SELECT e.vec_id, e.embedding, c.cluster,
+          list_reduce(list_prepend(0.0, {sq_terms}), (acc, t) -> acc + t) AS dist
+          FROM embeddings e CROSS JOIN cent c),
+asg AS MATERIALIZED (
+    SELECT vec_id, embedding, CAST(cluster AS INT) AS cluster FROM dists
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1),
+pool AS MATERIALIZED (
+    SELECT vec_id, embedding, cluster, {nrm} AS nrm FROM asg
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id)
+            <= {_SEMDEDUP_CAP}),
+cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                a.embedding AS qv, b.embedding AS cv,
+                a.nrm AS na, b.nrm AS nb
+         FROM pool a JOIN pool b
+           ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+near AS (SELECT * FROM cand
+         WHERE {dot_dbl} / (na * nb) >= {_SEMDEDUP_TAU} - 1e-6),
+dropped AS (SELECT DISTINCT id_b FROM near
+            WHERE ROUND({dot_dec} / (na * nb), 6) >= {_SEMDEDUP_TAU})
 SELECT vec_id, cluster FROM asg
 WHERE vec_id NOT IN (SELECT id_b FROM dropped)"""
 
