@@ -833,3 +833,101 @@ def fuzzy_decontaminate(
         .agg(F.count(F.lit(1)).alias("n_bench_matches"))
         .select(F.col("corpus_id").alias(id_col), "n_bench_matches")
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    max_anchor_occ: int = 64,
+) -> DataFrame:
+    """Cross-document exact-substring duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    suffix-array shape, re-expressed as a bounded distributed plan):
+    every MAXIMAL run of >= ``k`` tokens shared verbatim between two
+    distinct documents, reported as
+    ``(id_a, id_b, a_start, b_start, n_tokens)`` with 1-based token
+    positions and ``id_a < id_b``.
+
+    Plan (all built-in expressions, one anchor shuffle + one join):
+
+    1. **anchors** — at every token position ``p`` of a document, the
+       md5-prefix hash of the ``k``-token window starting at ``p``
+       (content hash instead of a Rabin-Karp rolling hash: O(len·k)
+       map-side work instead of O(len), but engine-portable arithmetic
+       an SQL oracle replays exactly — and the SAME hash function on
+       both engines makes the result hash-exact by construction, the
+       dedup_exact_text convention).
+    2. **hot-anchor cap** — only the first ``max_anchor_occ``
+       occurrences of an anchor (by ``(id, pos)``) take part in
+       pairing, bounding a degenerate corpus ("ha ha ha ..." x 1M
+       docs) to cap² pairs per anchor instead of occurrences² — the
+       banded-LSH hot-bucket policy applied to substring anchors. A
+       capped-out anchor inside a long duplication can split one
+       maximal span into two; the cap is part of the spec and the
+       oracle replays it.
+    3. **diagonal merge** — matching anchor occurrences ``(pa, pb)``
+       of a document pair lie on the diagonal ``pa − pb``; consecutive
+       ``pa`` runs on one diagonal (islands via ``pa − row_number``)
+       merge into a maximal span of ``k + run_len − 1`` tokens.
+
+    Scale shape: anchors shuffle once on the 60-bit hash (payload is
+    ``(id, pos)``, never text); the self-join output is bounded by the
+    cap; the island window partitions by ``(id_a, id_b, diag)`` —
+    pair-local, no global ordering anywhere. Unlike the fixed-8-word
+    SEGMENT dedup in functions/text.py (the CCNet/RefinedWeb shape,
+    which misses duplications straddling segment boundaries), anchors
+    start at EVERY token offset, so any shared run of >= k tokens is
+    found regardless of alignment."""
+    from pyspark.sql import Window
+
+    toks = fan_out(df).select(
+        F.col(id_col), tokens_ws(F.lower(F.col(text_col))).alias("__w")
+    )
+    n = F.size("__w")
+    # sequence(a, b) counts DOWN when b < a — guard short docs to an
+    # empty position list instead
+    positions = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k) + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    anchors = (
+        toks.select(F.col(id_col), F.explode(positions).alias("pos"), F.col("__w"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            md5_prefix_long(
+                F.concat_ws(" ", F.slice("__w", F.col("pos").cast("int"), k))
+            ).alias("__h"),
+        )
+    )
+    wcap = Window.partitionBy("__h").orderBy(F.col(id_col), "pos")
+    capped = (
+        anchors.withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= max_anchor_occ)
+        .drop("__rn")
+    )
+    left = capped.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "__h"
+    )
+    right = capped.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "__h"
+    )
+    matches = (
+        left.join(right, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("__diag"))
+    )
+    wisl = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pa")
+    islands = matches.withColumn(
+        "__isl", F.col("pa") - F.row_number().over(wisl)
+    )
+    return (
+        islands.groupBy("id_a", "id_b", "__diag", "__isl")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(k) - 1).cast("bigint").alias("n_tokens"),
+        )
+        .select("id_a", "id_b", "a_start", "b_start", "n_tokens")
+    )

@@ -4882,6 +4882,43 @@ def q_corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_K, _SUBSTR_CAP = 20, 64
+
+
+@register(
+    "dedup_exact_substring",
+    f"""WITH toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents),
+anch AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         {_dd_md5_long(f"array_to_string(w[t.i:t.i+{_SUBSTR_K - 1}], ' ')", 15)} AS h
+         FROM toks, UNNEST(range(1, len(w) - {_SUBSTR_K} + 2)) AS t(i)),
+capped AS (SELECT * FROM anch QUALIFY ROW_NUMBER()
+           OVER (PARTITION BY h ORDER BY doc_id, pos) <= {_SUBSTR_CAP}),
+m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id),
+isl AS (SELECT *, pa - ROW_NUMBER()
+        OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS island FROM m)
+SELECT id_a, id_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+       CAST(COUNT(*) + {_SUBSTR_K} - 1 AS BIGINT) AS n_tokens
+FROM isl GROUP BY id_a, id_b, diag, island""",
+    tags=("text", "dedup", "pipeline"),
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-boundary exact-substring dedup (Lee et al. 2022
+    suffix-array shape, r8 verdict item 6): every maximal >= 20-token
+    run shared verbatim between two documents, via k-token md5 anchors
+    at EVERY token offset + per-anchor occurrence caps + diagonal run
+    merging — so duplications straddling the fixed 8-word segment
+    boundaries of corpus_segment_dedup are found regardless of
+    alignment. See operators/dedup.py exact_substring_spans."""
+    from .operators.dedup import exact_substring_spans
+
+    return exact_substring_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=_SUBSTR_K, max_anchor_occ=_SUBSTR_CAP,
+    )
+
+
 @register(
     "corpus_pack_sequences",
     """WITH toks AS (

@@ -2200,3 +2200,67 @@ def test_classifier_fit_cache_hygiene(spark, sf_dir, monkeypatch):
     assert calls["n"] == 3, "eval with warm key must not refit"
     assert ev["n_holdout"] == d.count() - 50
     T._FIT_CACHE.clear()
+
+
+def test_exact_substring_spans_hand_checked(spark):
+    """Hand-built corpus: d2 shares the 5-token run 'a b c d e'
+    starting at its position 3 with d1's position 1; d3 is a verbatim
+    copy of d1 (full-length span both ways); within-doc repeats are
+    ignored (cross-document only). k=3."""
+    from data_transformation_2022_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x x a b c d e y"),
+            (3, "a b c d e f g h"),
+            (4, "q q q q q q"),  # self-repetitive, shares nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["a_start"], r["b_start"], r["n_tokens"])
+        for r in exact_substring_spans(docs, "doc_id", "text", k=3).collect()
+    }
+    assert out[(1, 2)] == (1, 3, 5)  # 'a b c d e' merged from 3 anchors
+    assert out[(1, 3)] == (1, 1, 8)  # verbatim copy -> one maximal span
+    assert out[(2, 3)] == (3, 1, 5)
+    assert len(out) == 3  # d4 pairs with nobody; no within-doc spans
+
+
+def test_exact_substring_spans_degenerate_bound(spark):
+    """Degenerate corpus (every doc the same token repeated): the
+    per-anchor occurrence cap bounds the pair blowup — output rows stay
+    <= cap^2 regardless of corpus size, and every reported span is
+    internally consistent (n_tokens >= k, positions >= 1)."""
+    from data_transformation_2022_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    docs = spark.range(60).selectExpr(
+        "id AS doc_id", "repeat('ha ', 40) AS text"
+    )
+    # every doc has 36 positions of the SAME anchor; cap=80 keeps the
+    # first 80 occurrences by (doc_id, pos) -> docs 0 and 1 whole plus
+    # 8 positions of doc 2 — everything else is excluded from pairing
+    cap = 80
+    rows = exact_substring_spans(
+        docs, "doc_id", "text", k=5, max_anchor_occ=cap
+    ).collect()
+    assert rows, "capped participants must still pair"
+    assert {r["id_b"] for r in rows} <= {1, 2}, "capped-out docs must not pair"
+    # spans per pair are bounded by the diagonal count (<= 2*36-1), so
+    # 3 participating pairs bound the output regardless of corpus size
+    assert len(rows) <= 3 * (2 * 36 - 1)
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["n_tokens"] >= 5
+        assert r["a_start"] >= 1 and r["b_start"] >= 1
+    # tighter cap that lands entirely inside doc 0: no cross-doc pairs
+    # at all — the blowup is fully suppressed, not just reduced
+    none = exact_substring_spans(
+        docs, "doc_id", "text", k=5, max_anchor_occ=4
+    ).collect()
+    assert none == []
