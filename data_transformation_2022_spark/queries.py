@@ -5142,6 +5142,7 @@ def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = quality_classifier_scores(
         docs_all, "doc_id", "text", label,
         n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N,
+        fit_key=(_os.path.normpath(sf_dir), "gopher_stop"),
     ).filter(F.col("pred") == 1)
     docs = docs_all.join(gate.select("doc_id"), "doc_id")
     # clean feeds TWO branches (fluency scoring + token counting) and
@@ -6324,60 +6325,65 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round no exact query's newest attestation is older than r05.
 
 _PRIORITY: list[str] = [
-    # --- (1) new in round 8: first attestation ---
-    "corpus_classifier_eval",
-    "sample_alpha_temperature",
-    "sim_hybrid_rrf",
-    # --- (2) code or oracle changed in round 8 ---
-    "basic_hsum",
-    "basic_hmul",
-    "corpus_decontaminate_fuzzy",
-    "dedup_components",
-    "stream_lsh_neardup",
+    # Round-9 attestation prefix — exactly 50 entries; the driver
+    # attests the first 50 registry rows each round. Composition:
+    # 1 new + 6 changed + all 28 r05-stale + 15 r06 backfill = 50.
+    # --- (1) new in round 9: first attestation ---
+    "dedup_exact_substring",
+    # --- (2) code or oracle changed in round 9 (semdedup oracle
+    #     rewrite; classifier fit_key memoization touches the three
+    #     classifier consumers + source quality; alpha oracle escaping) ---
     "sim_semantic_dedup",
-    "dedup_keep_list",
-    "dedup_keep_best",
-    "pipeline_build_corpus",
-    # --- (3) every r04-stale exact query (31) ---
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "events_hourly_rollup",
-    "io_bucketed_join",
-    "multimodal_audio_meta",
-    "sample_hash_bernoulli",
-    "sample_stratified",
-    "scoring_cdm",
-    "scoring_correlation",
-    "scoring_hist2d",
-    "scoring_moments",
-    "sig_linearness_fstat",
-    "sig_outstanding1_fstat",
-    "stream_dedup_keys",
-    "stream_hourly_rollup",
-    "stream_sessionize",
-    "text_fingerprint",
-    "text_quality_score",
-    "text_token_counts",
-    "tpch_q1",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_lines",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q7",
-    "tpch_q8_mktshare",
-    "tpch_q9_profit",
-    "window_moving_avg",
-    # --- (4) r05 backfill (next-stalest, alphabetical, 7) to fill the 50 ---
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "basic_astype",
-    "basic_div",
+    "corpus_quality_classifier",
+    "corpus_classifier_eval",
+    "pipeline_curate_corpus",
+    "corpus_source_quality",
+    "sample_alpha_temperature",
+    # --- (3) every r05-stale exact query (28, r8 audit list) ---
+    "basic_filter",
+    "basic_select_like",
+    "basic_sub",
+    "coret_kmeans",
+    "coret_lida",
+    "corpus_boilerplate_scrub",
+    "corpus_decontaminate",
+    "corpus_language_stats",
+    "dates_multi_format_parse",
+    "dedup_exact_text",
+    "dedup_simhash_pairs",
+    "emb_centroid_by_bucket",
+    "io_json_roundtrip",
+    "io_partitioned_pruning",
+    "join_asof",
+    "join_semi_anti",
+    "multimodal_frame_sample",
+    "multimodal_image_meta",
+    "profile_key_detection",
+    "profile_wasserstein",
+    "sort_with_position",
+    "stream_sink_parquet",
+    "text_langid",
+    "text_repetition_filter",
+    "tpch_q18",
+    "tpch_q19",
+    "window_cume_ntile",
+    "window_lag_delta",
+    # --- (4) r06 backfill (next-stalest, alphabetical, 15) to fill 50 ---
+    "agg_incremental_rollup",
+    "basic_nominalize",
+    "basic_rank",
+    "coret_pca",
+    "corpus_balance_languages",
+    "corpus_bigram_fluency",
+    "corpus_bpe_encode",
+    "corpus_clean_text",
+    "corpus_dsir_weights",
+    "corpus_dup_stats",
+    "corpus_gopher_rules",
+    "corpus_segment_dedup",
+    "corpus_tfidf_topk",
+    "corpus_token_budget",
+    "corpus_topk_docs_per_lang",
 ]
 
 def _reorder_registry() -> None:
