@@ -748,6 +748,7 @@ def quality_classifier_scores(
     round_digits: int = 6,
     _seed_ids_out: list | None = None,
     fit_key: tuple | None = None,
+    carry_label: bool = False,
 ):
     """Classifier-based quality scoring (fastText-style linear model
     over hashed token features): train on a bounded labeled seed,
@@ -857,14 +858,19 @@ def quality_classifier_scores(
             ).alias("margin"),
         )
     )
-    out = (
-        df.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
-            F.coalesce(F.col("margin"), F.lit(empty_margin)).alias("margin"),
-        )
+    # carry_label: evaluate label_col inside THIS scan (the final join's
+    # left side reads every document anyway), so classifier_eval gets
+    # the per-doc label without a second tokenize pass + join
+    left = (
+        df.select(F.col(id_col), label_col.cast("int").alias("__y"))
+        if carry_label
+        else df.select(id_col)
+    )
+    out = left.join(scored, id_col, "left").select(
+        F.col(id_col),
+        *([F.col("__y")] if carry_label else []),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.coalesce(F.col("margin"), F.lit(empty_margin)).alias("margin"),
     )
     return out.withColumn("pred", (F.col("margin") >= 0).cast("int"))
 
@@ -917,11 +923,14 @@ def classifier_eval(
     from .order import global_running_sum
 
     seed_used: list = []
+    # carry_label: the label rides the scorer's own final document scan
+    # instead of a second tokenize pass + an extra doc_id join (r9:
+    # measured ~1 s off the warm-fit eval at sf0.1)
     scored = quality_classifier_scores(
         df, id_col, text_col, label_col, n_buckets, seed_n, epochs, lr, l2,
         binarize, round_digits, _seed_ids_out=seed_used, fit_key=fit_key,
+        carry_label=True,
     )
-    labels = df.select(F.col(id_col), label_col.cast("int").alias("__y"))
     # exclude EXACTLY the ids the trainer used (collected during the
     # fit) — no second full-corpus hash+sort job, and train/eval
     # disjointness holds by construction rather than by two derivations
@@ -931,14 +940,23 @@ def classifier_eval(
     seed_ids = spark.createDataFrame(
         [(v,) for v in seed_used], f"{id_col} {id_type}"
     )
-    hold = (
-        scored.join(labels, id_col)
-        .join(F.broadcast(seed_ids), id_col, "left_anti")
-        .select("margin", "pred", "__y")
+    hold = scored.join(F.broadcast(seed_ids), id_col, "left_anti").select(
+        "margin", "__y"
     )
-    groups = hold.groupBy("margin").agg(
-        F.sum("__y").cast("bigint").alias("__pos"),
-        F.sum(1 - F.col("__y")).cast("bigint").alias("__neg"),
+    # ONE document-shaped pass: everything downstream — the confusion
+    # matrix included — derives from the bounded distinct-margin group
+    # table (pred == 1 ⇔ margin >= 0 by definition, so tp/fp/fn/tn are
+    # margin-conditional sums of the group counts). The r9 predecessor
+    # aggregated `hold` twice (conf + AUC branches), re-running the
+    # whole scoring join chain per branch; `groups` is persisted for
+    # its two metadata-sized consumers instead.
+    groups = (
+        hold.groupBy("margin")
+        .agg(
+            F.sum("__y").cast("bigint").alias("__pos"),
+            F.sum(1 - F.col("__y")).cast("bigint").alias("__neg"),
+        )
+        .persist()
     )
     cum = global_running_sum(groups, ["margin"], "__neg", "__cneg_le")
     u2 = cum.agg(
@@ -949,18 +967,24 @@ def classifier_eval(
         .cast("bigint")
         .alias("__u2")
     )
-    conf = hold.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_holdout"),
-        F.sum(((F.col("pred") == 1) & (F.col("__y") == 1)).cast("bigint"))
-        .cast("bigint").alias("tp"),
-        F.sum(((F.col("pred") == 1) & (F.col("__y") == 0)).cast("bigint"))
-        .cast("bigint").alias("fp"),
-        F.sum(((F.col("pred") == 0) & (F.col("__y") == 1)).cast("bigint"))
-        .cast("bigint").alias("fn"),
-        F.sum(((F.col("pred") == 0) & (F.col("__y") == 0)).cast("bigint"))
-        .cast("bigint").alias("tn"),
-        F.sum("__y").cast("bigint").alias("n_pos"),
-        F.sum(1 - F.col("__y")).cast("bigint").alias("n_neg"),
+    pos_if = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, F.col("__pos")).otherwise(F.lit(0))
+    ).cast("bigint")
+    neg_if = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, F.col("__neg")).otherwise(F.lit(0))
+    ).cast("bigint")
+    conf = groups.agg(
+        # coalesce: an empty holdout must report 0 like the COUNT(*)
+        # of the previous two-pass form, not NULL
+        F.coalesce(F.sum(F.col("__pos") + F.col("__neg")), F.lit(0))
+        .cast("bigint")
+        .alias("n_holdout"),
+        pos_if(F.col("margin") >= 0).alias("tp"),
+        neg_if(F.col("margin") >= 0).alias("fp"),
+        pos_if(F.col("margin") < 0).alias("fn"),
+        neg_if(F.col("margin") < 0).alias("tn"),
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum("__neg").cast("bigint").alias("n_neg"),
     )
 
     def _ratio(num, den):
