@@ -2264,3 +2264,57 @@ def test_exact_substring_spans_degenerate_bound(spark):
         docs, "doc_id", "text", k=5, max_anchor_occ=4
     ).collect()
     assert none == []
+
+
+def test_exact_substring_spans_matches_bruteforce(spark):
+    """Randomized (seeded) equivalence against a naive O(n^2 * len^2)
+    reference: tiny alphabet so shared runs are common, uncapped
+    anchors — the distributed anchor+diagonal plan must report exactly
+    the maximal shared spans the quadratic scan finds."""
+    import random
+
+    from data_transformation_2022_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    def naive(docs, k):
+        toks = {i: t.lower().split() for i, t in docs}
+        ids = sorted(toks)
+        out = {}
+        for x, ia in enumerate(ids):
+            for ib in ids[x + 1:]:
+                a, b = toks[ia], toks[ib]
+                by_diag: dict[int, list[int]] = {}
+                for pa in range(len(a) - k + 1):
+                    for pb in range(len(b) - k + 1):
+                        if a[pa:pa + k] == b[pb:pb + k]:
+                            by_diag.setdefault(pa - pb, []).append(pa)
+                for diag, pas in by_diag.items():
+                    pas.sort()
+                    run_start, prev = pas[0], pas[0]
+                    for p in pas[1:] + [None]:
+                        if p is None or p != prev + 1:
+                            out[(ia, ib, run_start + 1, run_start - diag + 1)] = (
+                                k + (prev - run_start)
+                            )
+                            if p is not None:
+                                run_start = p
+                        prev = p if p is not None else prev
+        return out
+
+    rng = random.Random(7)
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice("ab") for _ in range(rng.randint(6, 18))))
+            for i in range(6)
+        ]
+        k = 3
+        want = naive(docs, k)
+        got = {
+            (r["id_a"], r["id_b"], r["a_start"], r["b_start"]): r["n_tokens"]
+            for r in exact_substring_spans(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                "doc_id", "text", k=k, max_anchor_occ=10_000,
+            ).collect()
+        }
+        assert got == want, (trial, got, want)
