@@ -901,22 +901,39 @@ def exact_substring_spans(
             ).alias("__h"),
         )
     )
+    # The cap window's rank<=N compiles to WindowGroupLimit — Spark
+    # prunes past-cap rows MAP-SIDE before the __h exchange, so a
+    # degenerate anchor never funnels its full occurrence list through
+    # one reducer.
     wcap = Window.partitionBy("__h").orderBy(F.col(id_col), "pos")
     capped = (
         anchors.withColumn("__rn", F.row_number().over(wcap))
         .filter(F.col("__rn") <= max_anchor_occ)
         .drop("__rn")
     )
-    left = capped.select(
-        F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "__h"
-    )
-    right = capped.select(
-        F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "__h"
+    # Pair expansion WITHOUT a self-join: a self-join would rebuild the
+    # whole tokenize→anchor→cap chain once per side (two corpus scans,
+    # two __h shuffles). Instead collect each anchor's (bounded) capped
+    # occurrence list in a groupBy that REUSES the cap window's hash
+    # partitioning (no new exchange — one corpus scan, one shuffle
+    # total) and expand ordered pairs with a double explode; the
+    # intermediate is |occ|^2 <= max_anchor_occ^2 rows per anchor,
+    # exactly the join's output bound.
+    occ = capped.groupBy("__h").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
+        .alias("__occ")
     )
     matches = (
-        left.join(right, "__h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("__diag"))
+        occ.select(F.explode("__occ").alias("a"), "__occ")
+        .select("a", F.explode("__occ").alias("b"))
+        .filter(F.col("a.i") < F.col("b.i"))
+        .select(
+            F.col("a.i").alias("id_a"),
+            F.col("b.i").alias("id_b"),
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+            (F.col("a.p") - F.col("b.p")).alias("__diag"),
+        )
     )
     wisl = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pa")
     islands = matches.withColumn(
