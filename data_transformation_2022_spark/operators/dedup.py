@@ -948,3 +948,78 @@ def exact_substring_spans(
         )
         .select("id_a", "id_b", "a_start", "b_start", "n_tokens")
     )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Removal half of Lee et al. 2022 exact-substring dedup: given the
+    maximal shared spans from :func:`exact_substring_spans`, delete
+    each duplicated run from its HIGHER-id document (keep-first by id —
+    the dedup_exact_text convention; the ``id_a`` occurrence survives)
+    and reassemble the remaining tokens in order.
+
+    Returns one row per input document: ``(id, n_tokens, n_removed,
+    clean_md5)`` where ``clean_md5`` is the md5 of the surviving tokens
+    joined by single spaces (empty string when everything was removed
+    or the document had no tokens).
+
+    Scale shape: the removed-position set expands each b-side span to
+    its covered token positions (Σ n_tokens rows over spans — output-
+    bounded, never corpus²); tokens explode once; the subtraction is a
+    broadcast-friendly anti-join on (id, pos); reassembly is one
+    groupBy with an in-group array sort (per-doc sized). No windows, no
+    SinglePartition."""
+    removed = (
+        spans.select(
+            F.col("id_b").alias(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"),
+                    F.col("b_start") + F.col("n_tokens") - 1,
+                )
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    toks = fan_out(df).select(
+        F.col(id_col), tokens_ws(F.lower(F.col(text_col))).alias("__w")
+    )
+    pos_tok = toks.select(
+        F.col(id_col),
+        F.posexplode("__w").alias("__p0", "__tok"),
+    ).select(
+        F.col(id_col),
+        (F.col("__p0") + 1).cast("bigint").alias("__pos"),
+        "__tok",
+    )
+    kept = pos_tok.join(removed, [id_col, "__pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__tok"))
+                    ),
+                    lambda x: x["__tok"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    base = toks.select(
+        F.col(id_col), F.size("__w").cast("bigint").alias("n_tokens")
+    )
+    return base.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        # a fully-scrubbed (or empty) document hashes the empty string
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )

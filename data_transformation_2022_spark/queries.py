@@ -4884,10 +4884,12 @@ def q_corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTR_K, _SUBSTR_CAP = 20, 64
 
-
-@register(
-    "dedup_exact_substring",
-    f"""WITH toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents),
+# Shared CTE chain for the exact-substring family: tokens → k-token
+# md5 anchors at every offset → per-anchor occurrence cap → cross-doc
+# matches → diagonal islands → maximal spans. The detection query and
+# the scrub query replay the IDENTICAL text so their span sets cannot
+# drift.
+_SUBSTR_SPAN_CTES = f"""toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents),
 anch AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
          {_dd_md5_long(f"array_to_string(w[t.i:t.i+{_SUBSTR_K - 1}], ' ')", 15)} AS h
          FROM toks, UNNEST(range(1, len(w) - {_SUBSTR_K} + 2)) AS t(i)),
@@ -4897,7 +4899,12 @@ m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
              a.pos - b.pos AS diag
       FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id),
 isl AS (SELECT *, pa - ROW_NUMBER()
-        OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS island FROM m)
+        OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS island FROM m)"""
+
+
+@register(
+    "dedup_exact_substring",
+    f"""WITH {_SUBSTR_SPAN_CTES}
 SELECT id_a, id_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
        CAST(COUNT(*) + {_SUBSTR_K} - 1 AS BIGINT) AS n_tokens
 FROM isl GROUP BY id_a, id_b, diag, island""",
@@ -4917,6 +4924,44 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         k=_SUBSTR_K, max_anchor_occ=_SUBSTR_CAP,
     )
+
+
+@register(
+    "corpus_substring_scrub",
+    f"""WITH {_SUBSTR_SPAN_CTES},
+spans AS (SELECT id_a, id_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+                 CAST(COUNT(*) + {_SUBSTR_K} - 1 AS BIGINT) AS n_tokens
+          FROM isl GROUP BY id_a, id_b, diag, island),
+rem AS (SELECT DISTINCT id_b AS doc_id, b_start + t.i AS pos
+        FROM spans, UNNEST(range(0, n_tokens)) AS t(i)),
+pt AS (SELECT doc_id, CAST(t.ord AS BIGINT) AS pos, w[t.ord] AS tok
+       FROM toks, UNNEST(range(1, len(w) + 1)) AS t(ord)),
+kept AS (SELECT pt.doc_id, pt.pos, pt.tok FROM pt
+         ANTI JOIN rem ON pt.doc_id = rem.doc_id AND pt.pos = rem.pos),
+re AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(len(t.w) - COALESCE(re.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(re.clean_md5, md5('')) AS clean_md5
+FROM toks t LEFT JOIN re USING (doc_id)""",
+    tags=("text", "dedup", "pipeline"),
+)
+def q_corpus_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal half of Lee et al. 2022 exact-substring dedup: delete
+    every maximal shared >= 20-token run from its higher-id document
+    (keep-first by id) and reassemble the survivors — one row per
+    document with original/removed token counts and the md5 of the
+    scrubbed text. Composes exact_substring_spans with
+    scrub_duplicate_spans (operators/dedup.py); the oracle replays the
+    IDENTICAL span CTE chain plus a position anti-join."""
+    from .operators.dedup import exact_substring_spans, scrub_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = exact_substring_spans(
+        docs, "doc_id", "text", k=_SUBSTR_K, max_anchor_occ=_SUBSTR_CAP
+    )
+    return scrub_duplicate_spans(docs, spans, "doc_id", "text")
 
 
 @register(
@@ -6327,9 +6372,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY: list[str] = [
     # Round-9 attestation prefix — exactly 50 entries; the driver
     # attests the first 50 registry rows each round. Composition:
-    # 1 new + 6 changed + all 28 r05-stale + 15 r06 backfill = 50.
+    # 2 new + 6 changed + all 28 r05-stale + 14 r06 backfill = 50.
     # --- (1) new in round 9: first attestation ---
     "dedup_exact_substring",
+    "corpus_substring_scrub",
     # --- (2) code or oracle changed in round 9 (semdedup oracle
     #     rewrite; classifier fit_key memoization touches the three
     #     classifier consumers + source quality; alpha oracle escaping) ---
@@ -6368,7 +6414,7 @@ _PRIORITY: list[str] = [
     "tpch_q19",
     "window_cume_ntile",
     "window_lag_delta",
-    # --- (4) r06 backfill (next-stalest, alphabetical, 15) to fill 50 ---
+    # --- (4) r06 backfill (next-stalest, alphabetical, 14) to fill 50 ---
     "agg_incremental_rollup",
     "basic_nominalize",
     "basic_rank",
@@ -6383,7 +6429,6 @@ _PRIORITY: list[str] = [
     "corpus_segment_dedup",
     "corpus_tfidf_topk",
     "corpus_token_budget",
-    "corpus_topk_docs_per_lang",
 ]
 
 def _reorder_registry() -> None:

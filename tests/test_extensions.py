@@ -2318,3 +2318,35 @@ def test_exact_substring_spans_matches_bruteforce(spark):
             ).collect()
         }
         assert got == want, (trial, got, want)
+
+
+def test_scrub_duplicate_spans_hand_checked(spark):
+    """Keep-first removal: d1 (lowest id) keeps everything; d2 loses
+    exactly its shared 5-token run; d3 (verbatim copy of d1) is fully
+    scrubbed to the empty string; d4 shares nothing and is untouched."""
+    import hashlib
+
+    from data_transformation_2022_spark.operators.dedup import (
+        exact_substring_spans,
+        scrub_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x x a b c d e y"),
+            (3, "a b c d e f g h"),
+            (4, "q q q q q q"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = exact_substring_spans(docs, "doc_id", "text", k=3)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_md5"])
+        for r in scrub_duplicate_spans(docs, spans, "doc_id", "text").collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1] == (8, 0, md5("a b c d e f g h"))
+    assert out[2] == (8, 5, md5("x x y"))
+    assert out[3] == (8, 8, md5(""))
+    assert out[4] == (6, 0, md5("q q q q q q"))
