@@ -293,7 +293,11 @@ def main() -> None:
         inline: dict[str, float] = {}
         base = dict(slim, queries=inline, queries_full="BENCH_LOCAL.json")
         base["single_run"] = len(single_run)
-        base["spread_flags"] = len(spread_flags)
+        # distinct key, not a type-morphing overwrite: consumers of the
+        # stdout line can rely on "spread_flags" always being a list
+        # (when present) and "n_spread_flags" always being a count
+        del base["spread_flags"]
+        base["n_spread_flags"] = len(spread_flags)
         for k, v in slowest.items():
             inline[k] = v
             if len(json.dumps(base, separators=(",", ":"))) > 1500:

@@ -274,8 +274,8 @@ class Executor:
         # group bar jobs by (base, x) and build one combined agg per group
         grouped: dict[tuple, list[tuple[tuple, str, Candidate | None, str]]] = {}
         for key, (x_col, y_cand, agg) in uniq_bars.items():
-            derive_key = tuple(
-                (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index))
+            derive_key = _chain_key(
+                s
                 for s in (y_cand.steps if (agg == "sum" and y_cand) else [])
                 if s.o_type == "append"
             )
@@ -582,9 +582,7 @@ class Executor:
         need)."""
         if not derive:
             return self.df
-        key = tuple(
-            (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index)) for s in derive
-        )
+        key = _chain_key(derive)
         if key not in self._derived_bases:
             parent = self._derived_base(derive[:-1], keep_cols=keep_cols)
             child = apply_tpath(parent, derive[-1:])
@@ -605,16 +603,23 @@ class Executor:
         return self._derived_bases[key]
 
     def _rebuild_base_unpruned(self, derive: list[Step]) -> DataFrame:
-        """Evict every memoized prefix of ``derive``'s chain and re-derive
-        it with no column pruning. Recovery path for a public-API
-        ``bar_aggregate`` whose columns were pruned away by a prior
-        prefetch registration (ADVICE r8); never taken by recommend(),
-        whose registration pass supplies the union of all consumers."""
-        for k_len in range(1, len(derive) + 1):
-            key = tuple(
-                (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index))
-                for s in derive[:k_len]
-            )
+        """Evict every memoized prefix of ``derive``'s chain — AND every
+        memoized longer chain extending one of those prefixes, whose
+        cached frames reference the about-to-be-unpersisted parents —
+        then re-derive with no column pruning. Recovery path for a
+        public-API ``bar_aggregate`` whose columns were pruned away by a
+        prior prefetch registration (ADVICE r8); never taken by
+        recommend(), whose registration pass supplies the union of all
+        consumers."""
+        evicted = {
+            _chain_key(derive[:k_len]) for k_len in range(1, len(derive) + 1)
+        }
+        stale = [
+            k
+            for k in self._derived_bases
+            if k in evicted or any(k[: len(e)] == e for e in evicted)
+        ]
+        for key in stale:
             cached = self._derived_bases.pop(key, None)
             if cached is not None and key in self._persisted_base_keys:
                 self._persisted_base_keys.discard(key)
@@ -623,6 +628,15 @@ class Executor:
                 except Exception:
                     pass
         return self._derived_base(derive)
+
+
+def _chain_key(steps) -> tuple:
+    """Canonical memo key of an append-step chain — the ONE place the
+    per-step tuple shape lives (_derived_base, prefetch's bar grouping,
+    and the rebuild eviction all key with it)."""
+    return tuple(
+        (s.t, s.i_type, tuple(s.i), s.o_type, tuple(s.index)) for s in steps
+    )
 
 
 def _prefer_derived(cand: Candidate) -> list[str]:

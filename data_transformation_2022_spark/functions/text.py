@@ -731,7 +731,28 @@ def classifier_seed_hash(id_col_str):
 # numpy fit per repeat invocation. Keys are caller-scoped (a data path
 # + label-rule tag), so the cache stays metadata-sized; worst case
 # under concurrent first calls is one redundant fit (same value).
+# CALLER CONTRACT: the key identifies the DATA, not just its path — a
+# process that rewrites the table at an sf_dir must call
+# clear_fit_cache() (or key with a version/mtime token) or it will
+# reuse the stale fit while a from-data oracle refits.
 _FIT_CACHE: dict[tuple, tuple[float, list[float], list]] = {}
+
+# single-slot rotation for classifier_eval's persisted group table —
+# see the comment at its persist() site
+_EVAL_GROUPS_SLOT: dict = {}
+
+
+def clear_fit_cache() -> None:
+    """Invalidate every memoized classifier fit (and release the last
+    evaluation's persisted group table). Call after regenerating data
+    at a path previously used as a ``fit_key``."""
+    _FIT_CACHE.clear()
+    prior = _EVAL_GROUPS_SLOT.pop("groups", None)
+    if prior is not None:
+        try:
+            prior.unpersist()
+        except Exception:
+            pass
 
 
 def quality_classifier_scores(
@@ -949,7 +970,12 @@ def classifier_eval(
     # margin-conditional sums of the group counts). The r9 predecessor
     # aggregated `hold` twice (conf + AUC branches), re-running the
     # whole scoring join chain per branch; `groups` is persisted for
-    # its two metadata-sized consumers instead.
+    # its two metadata-sized consumers instead. The function returns a
+    # lazy frame, so there is no in-function point to unpersist —
+    # instead each call releases the PREVIOUS call's group table
+    # (single-slot rotation: unpersisting a still-referenced frame just
+    # recomputes it), bounding the session to one live persisted
+    # evaluation instead of one per invocation.
     groups = (
         hold.groupBy("margin")
         .agg(
@@ -958,6 +984,13 @@ def classifier_eval(
         )
         .persist()
     )
+    prior = _EVAL_GROUPS_SLOT.pop("groups", None)
+    if prior is not None:
+        try:
+            prior.unpersist()
+        except Exception:
+            pass
+    _EVAL_GROUPS_SLOT["groups"] = groups
     cum = global_running_sum(groups, ["margin"], "__neg", "__cneg_le")
     u2 = cum.agg(
         F.sum(

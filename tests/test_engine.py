@@ -114,10 +114,21 @@ def test_bar_aggregate_rebuilds_pruned_base(spark):
     assert key in ex._persisted_base_keys
     assert "b" not in ex._derived_bases[key].columns  # pruned away
     # same derivation chain, but this consumer sums the pruned column b
+    # a memoized LONGER chain over the pruned parent: the rebuild must
+    # evict it too, or it would keep referencing the unpersisted frame
+    sub = Step(
+        t="sub", i_type="==", i=["rank a", "a"], o_type="append", index=["d"]
+    )
+    ex._derived_base([rank, sub])
+    sib_key = key + (("sub", "==", ("rank a", "a"), "append", ("d",)),)
+    assert sib_key in ex._derived_bases
     cand_b = Candidate(family="sum_bar", steps=[rank], out_cols=["b"])
     out = ex.bar_aggregate("g", cand_b, "sum")
     assert out is not None, "pruning miss must rebuild, not return None"
     got = dict(zip(out["g"], out["SUM(b)"]))
     assert got == {"g0": 760.0, "g1": 800.0}
     assert "b" in ex._derived_bases[key].columns  # memo now unpruned
+    assert sib_key not in ex._derived_bases  # stale sibling evicted
+    # re-deriving the sibling now rides the unpruned parent
+    assert "b" in ex._derived_base([rank, sub]).columns
     ex.release()

@@ -2350,3 +2350,39 @@ def test_scrub_duplicate_spans_hand_checked(spark):
     assert out[2] == (8, 5, md5("x x y"))
     assert out[3] == (8, 8, md5(""))
     assert out[4] == (6, 0, md5("q q q q q q"))
+
+
+def test_clear_fit_cache_invalidates(spark, sf_dir, monkeypatch):
+    """clear_fit_cache() is the documented invalidation hook for
+    regenerated-data-at-same-path: after clearing, the same fit_key
+    refits instead of reusing the stale weights."""
+    import data_transformation_2022_spark.functions.text as T
+
+    T._FIT_CACHE.clear()
+    calls = {"n": 0}
+    real = T.train_quality_classifier
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(T, "train_quality_classifier", counting)
+    from data_transformation_2022_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in T.GOPHER_STOPWORDS])
+    label = F.arrays_overlap(T.tokens_ws(F.lower(F.col("text"))), stop)
+
+    def run():
+        T.quality_classifier_scores(
+            d, "doc_id", "text", label, n_buckets=64, seed_n=50,
+            fit_key=(sf_dir, "rule"),
+        ).collect()
+
+    run()
+    run()
+    assert calls["n"] == 1
+    T.clear_fit_cache()
+    run()
+    assert calls["n"] == 2, "cleared cache must refit"
+    T._FIT_CACHE.clear()
