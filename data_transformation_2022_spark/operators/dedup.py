@@ -835,12 +835,233 @@ def fuzzy_decontaminate(
     )
 
 
+# --- Karp–Rabin anchor hashing for exact_substring_spans -------------------
+#
+# Two independent 31-bit polynomial-hash families combined into one
+# 62-bit value. The window hash is the pure mathematical function
+#
+#   H_f(p) = fold_{j=p}^{p+k-1} h := (h*B_f + tv_f[j]) mod M_f,  h0 = 0
+#   tv_f[j] = md5_60(token_j) mod M_f          (md5_60 = 60-bit md5 prefix)
+#   H(p)    = H_1(p) * 2^31 + H_2(p)
+#
+# with M_f < 2^31 and B_f ~ 10^6, so every intermediate product stays
+# under 2^62 — exact in int64 on ANY engine (the z-order/KMV portable-
+# integer-arithmetic convention). Because modular arithmetic is
+# evaluation-order-exact (unlike IEEE float addition), the DuckDB
+# oracle may evaluate H(p) by the DIRECT per-window fold while the
+# engine uses the blocked one-pass strategy below: the results are
+# bit-identical by algebra, not by replaying the same plan.
+_KR_M1, _KR_B1 = 2_147_483_647, 1_000_003  # 2^31 - 1 (Mersenne prime)
+_KR_M2, _KR_B2 = 2_147_483_629, 999_983  # largest prime < 2^31 - 17
+_KR_SHIFT = 1 << 31
+
+
+def _kr_pow(b: int, m: int, k: int) -> list[int]:
+    return [pow(b, x, m) for x in range(k + 1)]
+
+
+def _kr_block_prefix(tv60, k: int, b: int, m: int):
+    """array<array<bigint>>: per k-block running prefix-hash arrays of
+    the 60-bit token-value array ``tv60`` under family (B, M).
+
+    PH[q][r] = fold h := (h*B + tv mod M) mod M over the first r tokens
+    of block q (blocks of k tokens, last one possibly partial). ONE
+    aggregate() fold per block: k modular multiply-adds and <= k array
+    appends => O(n) multiplies and O(n*k/2) element copies total over
+    the document — NOT O(n*k) md5 bytes (the legacy content hash) and
+    NOT O(n^2) appends (a single whole-document fold) for long
+    documents."""
+    kL, bL, mL = F.lit(k), F.lit(b), F.lit(m)
+    nblocks = F.ceil(F.size(tv60) / kL).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nblocks - 1),
+        lambda q: F.aggregate(
+            F.slice(tv60, q * kL + 1, kL),
+            F.struct(
+                F.array().cast("array<bigint>").alias("hs"),
+                F.lit(0).cast("bigint").alias("h"),
+            ),
+            lambda acc, x: F.struct(
+                F.concat(
+                    acc["hs"],
+                    F.array(F.pmod(acc["h"] * bL + F.pmod(x, mL), mL)),
+                ).alias("hs"),
+                F.pmod(acc["h"] * bL + F.pmod(x, mL), mL).alias("h"),
+            ),
+            lambda acc: acc["hs"],
+        ),
+    )
+
+
+def _kr_window_expr(ph, n, k: int, b: int, m: int):
+    """array<bigint> of H_f(p) for p = 1..n-k+1 from the staged block
+    prefix-hash COLUMN ``ph`` (caller guards n >= k — and must pass
+    ``ph``/``n`` as plain column references, never inline expression
+    trees: every position's lambda re-evaluates whatever subtree it
+    references, so an inlined fold turns O(n) into O(n²)).
+
+    Window [p, p+k) spans blocks b = (p-1) div k and b+1 with split
+    r = (p-1) mod k:
+
+      SUF  = (PH[b][k] - PH[b][r] * B^(k-r)) mod M  (last k-r of block b)
+      H(p) = (SUF * B^r + PH[b+1][r]) mod M         (PH[.][0] := 0)
+
+    B^x constants for x in [0, k] are Python-precomputed literals."""
+    kL, mL = F.lit(k), F.lit(m)
+    pw = F.lit(_kr_pow(b, m, k))  # pw[x+1] = B^x mod M (1-based element_at)
+
+    def win(p):
+        i = p - 1
+        blk = F.floor(i / kL).cast("int")
+        r = (i % kL).cast("int")
+        phb = F.element_at(ph, blk + 1)
+        # window end p+k-1 <= n guarantees block `blk` is complete and,
+        # when r > 0, block blk+1 holds >= r values — both element_at
+        # calls are in range by construction; the r = 0 branch never
+        # touches block blk+1 (element_at(..., 0) would raise, hence
+        # the lazily-evaluated when/otherwise split).
+        suf = F.pmod(
+            F.element_at(phb, k)
+            - F.when(r == 0, F.lit(0)).otherwise(
+                F.element_at(phb, F.greatest(r, F.lit(1)))
+                * F.element_at(pw, kL - r + 1)
+            ),
+            mL,
+        )
+        tail = F.when(r == 0, F.lit(0)).otherwise(
+            F.element_at(
+                F.element_at(ph, blk + 2), F.greatest(r, F.lit(1))
+            )
+        )
+        return F.pmod(suf * F.element_at(pw, r + 1) + tail, mL)
+
+    return F.transform(F.sequence(F.lit(1), n - kL + 1), win)
+
+
+def with_kr_window_hashes(
+    df: DataFrame, tokens_col: str, k: int, out_col: str
+) -> DataFrame:
+    """Replace ``tokens_col`` (array<string>) with ``out_col``: the
+    combined 62-bit Karp–Rabin hash ``H1 * 2^31 + H2`` of every k-token
+    window (1-based positions; empty array when the document holds
+    fewer than ``k`` tokens). One md5 per TOKEN (not per window) — the
+    per-window work is pure int64 modular arithmetic.
+
+    The three stages are SEPARATE projections on purpose, each alias
+    referenced more than once downstream so CollapseProject cannot
+    inline a non-cheap producer into a higher-order lambda (an inlined
+    subtree is re-evaluated per array ELEMENT: measured 30 ms/window —
+    400+ s for 500 tiny documents — in the single-expression form of
+    this computation, vs ~1 µs/window staged)."""
+    keep = [c for c in df.columns if c != tokens_col]
+    s1 = df.select(
+        *keep,
+        F.transform(
+            F.col(tokens_col),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("__kr_tv"),
+    )
+    s2 = s1.select(
+        *keep,
+        F.size("__kr_tv").alias("__kr_n"),
+        _kr_block_prefix(F.col("__kr_tv"), k, _KR_B1, _KR_M1).alias("__kr_ph1"),
+        _kr_block_prefix(F.col("__kr_tv"), k, _KR_B2, _KR_M2).alias("__kr_ph2"),
+    )
+    n = F.col("__kr_n")
+    hw = F.when(
+        n >= k,
+        F.zip_with(
+            _kr_window_expr(F.col("__kr_ph1"), n, k, _KR_B1, _KR_M1),
+            _kr_window_expr(F.col("__kr_ph2"), n, k, _KR_B2, _KR_M2),
+            lambda a, b: a * F.lit(_KR_SHIFT) + b,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return s2.select(*keep, hw.alias(out_col))
+
+
+def _kr_anchor_gen(id_field, k: int):
+    """mapInPandas generator: (id, __tv) batches -> (id, pos, __h) anchor
+    rows under the double Karp–Rabin window-hash spec.
+
+    Vectorized O(total_tokens) numpy scan per Arrow batch — the
+    sequential prefix recurrence Catalyst cannot codegen (higher-order
+    functions evaluate interpreted/boxed: the pure-expression blocked
+    form measures ~6x SLOWER than even the legacy O(len*k) md5 path at
+    sf1, see with_kr_window_hashes). Per family:
+
+      u[j]    = (tv[j] mod M) * invB^j mod M       (j = 0-based in-doc)
+      Q       = running sum of u (plain int64 cumsum, exact: the batch
+                token count stays far below 2^32 so Q < 2^63)
+      H(p0)   = (Q[p0+k-1] - Q[p0-1]) mod M * B^(p0+k-1) mod M
+
+    invB = B^(M-2) mod M (M prime). Every product is (<2^31)*(<2^31)
+    < 2^62 — exact in int64 on any engine, identical to the direct
+    fold the SQL oracle evaluates."""
+    import numpy as np
+
+    def family_tables(b: int, m: int, maxlen: int):
+        inv = pow(b, m - 2, m)
+        bp = np.empty(maxlen, dtype=np.int64)
+        ip = np.empty(maxlen, dtype=np.int64)
+        x = y = 1
+        for j in range(maxlen):
+            bp[j], ip[j] = x, y
+            x = (x * b) % m
+            y = (y * inv) % m
+        return bp, ip
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy()
+            lists = pdf["__tv"]
+            lens = np.fromiter((len(v) for v in lists), dtype=np.int64,
+                               count=len(lists))
+            n_out = np.maximum(lens - k + 1, 0)
+            total = int(lens.sum())
+            if total == 0 or int(n_out.sum()) == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in lists if len(v)]
+            )
+            maxlen = int(lens.max())
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            # within-doc 0-based token index for every flat position
+            posw = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            # anchor windows: global start index of each window
+            doc_of = np.repeat(np.arange(len(lens)), n_out)
+            gs = np.concatenate(
+                [np.arange(s, s + c) for s, c in zip(starts, n_out) if c]
+            ) if n_out.any() else np.empty(0, dtype=np.int64)
+            p0 = gs - starts[doc_of]  # 0-based in-doc window start
+            h = np.zeros(len(gs), dtype=np.int64)
+            for b, m, shift in (
+                (_KR_B1, _KR_M1, _KR_SHIFT),
+                (_KR_B2, _KR_M2, 1),
+            ):
+                bp, ip = family_tables(b, m, maxlen)
+                u = (flat % m) * ip[posw] % m
+                q = np.concatenate([[0], np.cumsum(u)])
+                qd = (q[gs + k] - q[gs]) % m
+                hf = qd * bp[p0 + k - 1] % m
+                h += hf * shift
+            yield pd.DataFrame(
+                {"__id": np.repeat(ids, n_out), "pos": p0 + 1, "__h": h}
+            )
+
+    return gen
+
+
 def exact_substring_spans(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 50,
     max_anchor_occ: int = 64,
+    anchor_hash: str = "rolling",
 ) -> DataFrame:
     """Cross-document exact-substring duplication (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -853,12 +1074,15 @@ def exact_substring_spans(
     Plan (all built-in expressions, one anchor shuffle + one join):
 
     1. **anchors** — at every token position ``p`` of a document, the
-       md5-prefix hash of the ``k``-token window starting at ``p``
-       (content hash instead of a Rabin-Karp rolling hash: O(len·k)
-       map-side work instead of O(len), but engine-portable arithmetic
-       an SQL oracle replays exactly — and the SAME hash function on
-       both engines makes the result hash-exact by construction, the
-       dedup_exact_text convention).
+       62-bit double Karp–Rabin polynomial hash of the ``k``-token
+       window starting at ``p`` (:func:`kr_window_hashes`): ONE md5
+       per token plus O(1) int64 modular multiply-adds per window —
+       O(len) map CPU instead of the O(len·k) per-offset
+       ``concat_ws``+md5 of the first cut. The arithmetic is portable
+       62-bit integer math, so the SQL oracle replays the identical
+       values from the direct per-window definition while the engine
+       evaluates blocked-one-pass (``anchor_hash="md5"`` keeps the
+       legacy content-hash spec for A/B benchmarking).
     2. **hot-anchor cap** — only the first ``max_anchor_occ``
        occurrences of an anchor (by ``(id, pos)``) take part in
        pairing, bounding a degenerate corpus ("ha ha ha ..." x 1M
@@ -872,7 +1096,7 @@ def exact_substring_spans(
        ``pa`` runs on one diagonal (islands via ``pa − row_number``)
        merge into a maximal span of ``k + run_len − 1`` tokens.
 
-    Scale shape: anchors shuffle once on the 60-bit hash (payload is
+    Scale shape: anchors shuffle once on the 62-bit hash (payload is
     ``(id, pos)``, never text); the self-join output is bounded by the
     cap; the island window partitions by ``(id_a, id_b, diag)`` —
     pair-local, no global ordering anywhere. Unlike the fixed-8-word
@@ -886,21 +1110,74 @@ def exact_substring_spans(
         F.col(id_col), tokens_ws(F.lower(F.col(text_col))).alias("__w")
     )
     n = F.size("__w")
-    # sequence(a, b) counts DOWN when b < a — guard short docs to an
-    # empty position list instead
-    positions = F.when(
-        n >= k, F.sequence(F.lit(1), n - F.lit(k) + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    anchors = (
-        toks.select(F.col(id_col), F.explode(positions).alias("pos"), F.col("__w"))
-        .select(
-            F.col(id_col),
-            F.col("pos").cast("bigint").alias("pos"),
-            md5_prefix_long(
-                F.concat_ws(" ", F.slice("__w", F.col("pos").cast("int"), k))
-            ).alias("__h"),
+    if anchor_hash == "rolling":
+        # One md5 per TOKEN JVM-side, then the O(len) rolling scan as a
+        # vectorized Arrow/numpy batch (the sequential prefix
+        # recurrence is the one piece Catalyst cannot express
+        # efficiently — see _kr_anchor_gen). Token strings leave the
+        # plan here: anchors carry only (id, pos, 62-bit hash) into
+        # the shuffle.
+        id_type = df.schema[id_col].dataType.simpleString()
+        tv_frame = toks.select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                F.col("__w"),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            ).alias("__tv"),
         )
-    )
+        anchors = tv_frame.mapInPandas(
+            _kr_anchor_gen(id_col, k),
+            schema=f"__id {id_type}, pos bigint, __h bigint",
+        ).select(F.col("__id").alias(id_col), "pos", "__h")
+    elif anchor_hash == "rolling-catalyst":
+        # Same spec, pure built-in expressions (the no-Python path):
+        # blocked one-pass fold staged as columns. posexplode_OUTER on
+        # purpose: plain posexplode triggers InferFiltersFromGenerate,
+        # whose inferred size(__hw)>0 filter is pushed below the
+        # Generate and INLINES the whole staged hash chain into one
+        # Filter expression — re-evaluated per row with the block folds
+        # nested inside the per-window lambdas (measured: 98 s for the
+        # sf0.01 anchor stage vs ~1 s). The rule skips outer generates;
+        # short documents emit one NULL row dropped right after.
+        # Trade-off vs "rolling": interpreted higher-order evaluation
+        # (boxed) — measured ~6x slower than even the md5 path at sf1.
+        staged = with_kr_window_hashes(toks, "__w", k, "__hw")
+        anchors = (
+            staged.select(F.col(id_col), F.posexplode_outer("__hw"))
+            .filter(F.col("pos").isNotNull())
+            .select(
+                F.col(id_col),
+                (F.col("pos") + 1).cast("bigint").alias("pos"),
+                F.col("col").alias("__h"),
+            )
+        )
+    elif anchor_hash == "md5":
+        # legacy per-offset content hash (pre-round-10 spec), kept for
+        # A/B benchmarking: O(len·k) concat_ws+md5 map CPU.
+        # sequence(a, b) counts DOWN when b < a — guard short docs to
+        # an empty position list instead
+        positions = F.when(
+            n >= k, F.sequence(F.lit(1), n - F.lit(k) + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        anchors = (
+            toks.select(
+                F.col(id_col), F.explode(positions).alias("pos"), F.col("__w")
+            )
+            .select(
+                F.col(id_col),
+                F.col("pos").cast("bigint").alias("pos"),
+                md5_prefix_long(
+                    F.concat_ws(" ", F.slice("__w", F.col("pos").cast("int"), k))
+                ).alias("__h"),
+            )
+        )
+    else:  # pragma: no cover - guarded API misuse
+        raise ValueError(
+            "anchor_hash must be 'rolling', 'rolling-catalyst', or "
+            f"'md5': {anchor_hash!r}"
+        )
     # The cap window's rank<=N compiles to WindowGroupLimit — Spark
     # prunes past-cap rows MAP-SIDE before the __h exchange, so a
     # degenerate anchor never funnels its full occurrence list through

@@ -684,15 +684,19 @@ def semantic_dedup(
     ``books`` is a single-group PQ codebook (``pq_fit(m=1, k=…)``), so
     cluster assignment is the same literal-centroid argmin codegen
     expression as PQ coding — no UDF, map-only, and an SQL oracle
-    replays it bit-for-bit. The within-cluster self-join shuffles on the
-    cluster id; per-cluster pair work is O(cᵢ²), kept linear overall by
-    scaling k with corpus size (cluster population ≈ n/k). The
-    ``max_cluster`` guard bounds the degenerate case (every vector
-    identical → one cluster): only each cluster's first ``max_cluster``
-    members BY ID take part in pairing (windowed row_number riding the
-    join's own exchange, mirrored in the oracle as QUALIFY), so a
-    pathological cluster degrades to partial dedup instead of an O(n²)
-    job — same policy as the banded-LSH hot-bucket caps in
+    replays it bit-for-bit. Candidate pairs come from ONE
+    applyInPandas pass per cluster (blocked numpy gram matrix — each
+    member crosses Arrow once, pair work stays O(cᵢ²) flops but in
+    BLAS, never as pair ROWS); the double-precision prefilter is
+    conservative by the 1e-6 margin and the DECIMAL-exact fold the
+    oracle replays still decides every boundary survivor JVM-side.
+    Overall work is kept linear by scaling k with corpus size (cluster
+    population ≈ n/k). The ``max_cluster`` guard bounds the degenerate
+    case (every vector identical → one cluster): only each cluster's
+    first ``max_cluster`` members BY ID take part in pairing (sort +
+    truncate inside the group, mirrored in the oracle as QUALIFY), so
+    a pathological cluster degrades to partial dedup instead of an
+    O(n²) job — same policy as the banded-LSH hot-bucket caps in
     operators/dedup.py."""
     if len(books) != 1:
         raise ValueError("semantic_dedup expects a single-group codebook (m=1)")
@@ -712,45 +716,72 @@ def semantic_dedup(
     from ..session import iter_checkpoint
 
     assigned = iter_checkpoint(assigned)
-    pool = assigned
-    if max_cluster is not None:
-        w = Window.partitionBy("cluster").orderBy(id_col)
-        pool = (
-            assigned.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_cluster)
-            .drop("__rn")
+    # Candidate stage: per-cluster blocked gram matrix in ONE
+    # applyInPandas pass. The r9 form was a within-cluster self-join
+    # (O(cᵢ²) pair ROWS carrying both vectors) scored by interpreted
+    # zip_with/aggregate dots — at sf0.1 that is 125k 64-dim boxed
+    # folds plus the pair exchange. Here each cluster's members cross
+    # Arrow ONCE (cᵢ rows, not cᵢ² pairs), numpy does U·Uᵀ in blocked
+    # BLAS (block rows of 2048 bound the S slab to blk×cap, so a
+    # capped 10k-member cluster peaks at ~160 MB, never cᵢ² at once),
+    # and only the boundary survivors come back — the same
+    # double-precision prefilter as before (|err| ~1e-13 ≪ the 1e-6
+    # margin, so no pair whose EXACT rounded cosine reaches the
+    # threshold is lost; summation order is immaterial inside that
+    # margin). The DECIMAL-exact fold the oracle replays still decides
+    # every survivor JVM-side, so the result set is bit-identical to
+    # the self-join form (pytest-pinned). The occurrence cap keeps its
+    # spec: only each cluster's first ``max_cluster`` members BY ID
+    # take part in pairing (numpy sort + truncate replaces the
+    # windowed row_number).
+    tau_lo = threshold - 1e-6
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def find_candidates(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        if max_cluster is not None:
+            pdf = pdf.head(max_cluster)
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        v = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = v / np.linalg.norm(v, axis=1)[:, None]
+        out_a: list = []
+        out_b: list = []
+        blk = 2048
+        for i0 in range(0, len(ids), blk):
+            s = u[i0:i0 + blk] @ u.T  # (blk, c) slab
+            ia, ib = np.nonzero(s >= tau_lo)
+            ia = ia + i0
+            keep = ia < ib  # upper triangle: id_a < id_b (ids sorted)
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
-    a = pool.select(
-        "cluster",
+
+    cands = (
+        assigned.select("cluster", id_col, vec_col)
+        .groupBy("cluster")
+        .applyInPandas(find_candidates, schema=f"id_a {id_type}, id_b {id_type}")
+    )
+    a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         norm_exact(F.col(vec_col)).alias("na"),
     )
-    b = pool.select(
-        "cluster",
+    b = assigned.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         norm_exact(F.col(vec_col)).alias("nb"),
     )
-    pairs = a.join(b, on="cluster").filter(F.col("id_a") < F.col("id_b"))
-    # Two-stage cosine: a cheap double-precision dot prunes the pair
-    # stream first; the DECIMAL-exact fold (the slow, engine-portable
-    # arithmetic the oracle replays) runs only on pairs within 1e-6 of
-    # the threshold boundary. The double fold's error over 64 unit-ish
-    # terms is ~1e-14 ≪ the margin, so every pair whose EXACT rounded
-    # cosine can reach the threshold survives the prefilter — the
-    # result set is bit-identical to the single-stage form, at a
-    # fraction of the decimal work.
-    approx = F.aggregate(
-        F.zip_with(
-            F.col("va"), F.col("vb"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    ) / (F.col("na") * F.col("nb"))
     dropped = (
-        pairs.filter(approx >= F.lit(threshold - 1e-6))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_b",
             F.round(

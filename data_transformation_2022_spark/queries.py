@@ -4884,15 +4884,43 @@ def q_corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTR_K, _SUBSTR_CAP = 20, 64
 
-# Shared CTE chain for the exact-substring family: tokens → k-token
-# md5 anchors at every offset → per-anchor occurrence cap → cross-doc
-# matches → diagonal islands → maximal spans. The detection query and
-# the scrub query replay the IDENTICAL text so their span sets cannot
-# drift.
+from .operators.dedup import (  # noqa: E402 - anchor-hash spec constants
+    _KR_B1,
+    _KR_B2,
+    _KR_M1,
+    _KR_M2,
+    _KR_SHIFT,
+)
+
+# Shared CTE chain for the exact-substring family: tokens → 62-bit
+# double Karp–Rabin anchors at every offset → per-anchor occurrence
+# cap → cross-doc matches → diagonal islands → maximal spans. The
+# anchor hash is portable modular int64 arithmetic (constants from
+# operators/dedup.py), so the oracle evaluates the DIRECT per-window
+# fold — list_reduce over the k-token slice — while the engine uses
+# its blocked one-pass plan: identical values by modular algebra, one
+# md5 per TOKEN on both sides. The detection query and the scrub
+# query replay the IDENTICAL text so their span sets cannot drift.
+
+
+def _dd_kr_window(b: int, m: int) -> str:
+    """Direct Karp–Rabin fold over the k-token window at position t.i
+    of the per-document token-value list ``tv`` (60-bit md5 prefixes):
+    h := (h*B + tv mod M) mod M starting from the prepended 0."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"tv[t.i:t.i+{_SUBSTR_K - 1}]), "
+        f"(a, x) -> (a * {b} + x % {m}) % {m})"
+    )
+
+
 _SUBSTR_SPAN_CTES = f"""toks AS (SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents),
+tvs AS (SELECT doc_id, w, list_transform(w, tok -> {_dd_md5_long('tok', 15)}) AS tv
+        FROM toks),
 anch AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
-         {_dd_md5_long(f"array_to_string(w[t.i:t.i+{_SUBSTR_K - 1}], ' ')", 15)} AS h
-         FROM toks, UNNEST(range(1, len(w) - {_SUBSTR_K} + 2)) AS t(i)),
+         {_dd_kr_window(_KR_B1, _KR_M1)} * {_KR_SHIFT}
+         + {_dd_kr_window(_KR_B2, _KR_M2)} AS h
+         FROM tvs, UNNEST(range(1, len(w) - {_SUBSTR_K} + 2)) AS t(i)),
 capped AS (SELECT * FROM anch QUALIFY ROW_NUMBER()
            OVER (PARTITION BY h ORDER BY doc_id, pos) <= {_SUBSTR_CAP}),
 m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,

@@ -2202,6 +2202,87 @@ def test_classifier_fit_cache_hygiene(spark, sf_dir, monkeypatch):
     T._FIT_CACHE.clear()
 
 
+def test_kr_window_hashes_match_direct_definition(spark):
+    """The engine's blocked one-pass Karp–Rabin evaluation equals the
+    DIRECT per-window fold definition (the spec the DuckDB oracle
+    replays) bit-for-bit, across edge lengths: empty, < k, == k,
+    one-complete-block boundaries (r = 0), and partial last blocks."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_transformation_2022_spark.operators.dedup import (
+        _KR_B1,
+        _KR_B2,
+        _KR_M1,
+        _KR_M2,
+        _KR_SHIFT,
+        with_kr_window_hashes,
+    )
+
+    def direct(toks, k):
+        out = []
+        for p in range(len(toks) - k + 1):
+            h1 = h2 = 0
+            for t in toks[p:p + k]:
+                v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                h1 = (h1 * _KR_B1 + v % _KR_M1) % _KR_M1
+                h2 = (h2 * _KR_B2 + v % _KR_M2) % _KR_M2
+            out.append(h1 * _KR_SHIFT + h2)
+        return out
+
+    rng = random.Random(3)
+    k = 20
+    cases = [
+        (i, " ".join(
+            rng.choice(["a", "b", "cc", f"tok{rng.randint(0, 9)}"])
+            for _ in range(length)
+        ))
+        for i, length in enumerate([1, 19, 20, 21, 39, 40, 41, 60, 137])
+    ]
+    toks = spark.createDataFrame(cases, "id long, text string").select(
+        "id", F.split("text", " ").alias("__w")
+    )
+    got = {
+        r["id"]: r["hw"]
+        for r in with_kr_window_hashes(toks, "__w", k, "hw").collect()
+    }
+    for i, t in cases:
+        words = t.split(" ")
+        want = direct(words, k) if len(words) >= k else []
+        assert got[i] == want, (i, len(words))
+
+
+def test_exact_substring_spans_md5_ab_variant_agrees(spark):
+    """The legacy md5 content-hash anchor path (kept for A/B
+    benchmarking) finds the same spans as the rolling-hash spec on a
+    collision-free corpus — both hashes are stand-ins for k-token
+    window EQUALITY."""
+    from data_transformation_2022_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x x a b c d e y"),
+            (3, "a b c d e f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["a_start"], r["b_start"], r["n_tokens"])  # noqa: E731
+    rolling = sorted(
+        map(key, exact_substring_spans(docs, "doc_id", "text", k=3).collect())
+    )
+    legacy = sorted(
+        map(key, exact_substring_spans(
+            docs, "doc_id", "text", k=3, anchor_hash="md5"
+        ).collect())
+    )
+    assert rolling == legacy and rolling
+
+
 def test_exact_substring_spans_hand_checked(spark):
     """Hand-built corpus: d2 shares the 5-token run 'a b c d e'
     starting at its position 3 with d1's position 1; d3 is a verbatim
