@@ -39,14 +39,17 @@ Honesty rules (so round-over-round comparison stays meaningful):
   like everything else), so "sim_ivf_persisted" measures what its name
   claims: steady-state serving against an existing index, not an
   amortized build.
-* Pair-spread guard (round 9): every min-of-2 entry records its
-  run2/run1 spread ("spreads" in BENCH_LOCAL.json); entries whose two
-  runs differ >2x are listed in "spread_flags" and summarized in
-  "spread_stats" (n_flagged/median/p90/max). The reported min is still
-  the honest figure — the flag exists so driver-vs-local suite drift
-  (r8: 197 vs 214 s on identical code) can be adjudicated as VM stall
-  noise from the record alone. Expected band on this VM: median ~1.0-
-  1.3x, a handful of >2x flags during roaming stall phases.
+* Pair-spread guard (round 9, self-adjudicating since round 10): every
+  min-of-2 entry records its spread over the two FASTEST runs
+  ("spreads" in BENCH_LOCAL.json). A pair differing >2x buys ONE extra
+  run (min-of-3 for flagged entries only — a lone VM stall is outvoted
+  by the two clean runs); entries still >2x over their two fastest
+  runs land in "spread_flags" and "spread_stats"
+  (n_flagged/median/max, + ceil-rank p90 when n >= 10). The reported
+  min is still the honest figure — the record alone now distinguishes
+  a lone stall (third run agrees with the fast one) from genuine
+  bimodality (r8: 197 vs 214 s suite drift on identical code).
+  Expected band on this VM: median ~1.0-1.3x.
 * Budget fallbacks degrade visibly, never silently: past
   SPARK_GRAFT_REPEAT_BUDGET the second run is skipped (entry records
   run 1 and lands in "single_run"); past SPARK_GRAFT_BENCH_BUDGET
@@ -57,6 +60,7 @@ Honesty rules (so round-over-round comparison stays meaningful):
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -177,20 +181,32 @@ def main() -> None:
             print(f"BENCH_OK {name}: {timings[name]}s (single, run2 {e2[:80]})",
                   file=sys.stderr)
             return
-        timings[name] = round(min(r1, r2), 3)
-        runs[name] = [round(r1, 3), round(r2, 3)]
-        # pair-spread guard (r9): a min-of-2 whose two runs differ >2x
-        # is flagged — the reported min is trustworthy (that's why min
-        # is taken) but the flag lets a later reader adjudicate
-        # driver-vs-local suite drift as VM stall noise WITHOUT
-        # re-running (r8 saw 197 vs 214 s on identical code).
-        lo = min(r1, r2)
-        spread = (max(r1, r2) / lo) if lo > 0 else float("inf")
+        rs = [r1, r2]
+        # pair-spread guard (r9): runs differing >2x mark a VM-stall-
+        # suspect pair. r10 (ADVICE): instead of leaving the flag for a
+        # human to adjudicate, spend ONE bounded extra run on exactly
+        # the flagged entries — with 3 samples a single stall is
+        # outvoted (the two clean runs agree) and the recorded spread
+        # is computed over the two FASTEST runs, which is the
+        # comparable round-over-round statistic.
+        if (
+            max(rs) / min(rs) > 2.0
+            and min(rs) > 0
+            and time.time() - start <= REPEAT_BUDGET_S
+        ):
+            r3, e3 = _run_once(fn, f"{name}#3")
+            if e3 is None:
+                rs.append(r3)
+        timings[name] = round(min(rs), 3)
+        runs[name] = [round(r, 3) for r in rs]
+        fastest2 = sorted(rs)[:2]
+        spread = (fastest2[1] / fastest2[0]) if fastest2[0] > 0 else float("inf")
         spreads[name] = round(spread, 2)
         if spread > 2.0:
             spread_flags.append(name)
             print(f"BENCH_SPREAD {name}: runs {runs[name]} spread "
-                  f"{spread:.1f}x (>2x: stall-suspect pair)", file=sys.stderr)
+                  f"{spread:.1f}x (>2x even over the two fastest of "
+                  f"{len(rs)}: not a lone stall)", file=sys.stderr)
         print(f"BENCH_OK {name}: {timings[name]}s (runs {runs[name]})",
               file=sys.stderr)
 
@@ -246,16 +262,15 @@ def main() -> None:
     n_skipped = sum(1 for v in timings.values() if v == -2.0)
     n_min2 = sum(1 for k in timings if k not in single_run and timings[k] >= 0)
     svals = sorted(spreads.values())
-    spread_stats = (
-        {
-            "n_flagged": len(spread_flags),
-            "median": svals[len(svals) // 2],
-            "p90": svals[min(len(svals) - 1, int(len(svals) * 0.9))],
-            "max": svals[-1],
-        }
-        if svals
-        else {"n_flagged": 0}
-    )
+    spread_stats: dict = {"n_flagged": len(spread_flags)}
+    if svals:
+        spread_stats["median"] = svals[len(svals) // 2]
+        spread_stats["max"] = svals[-1]
+        # ceil-rank p90, and only when n is large enough for it to
+        # differ from max (the old int(n*0.9) nearest-rank collapsed to
+        # max for small n, overstating tail spread — ADVICE r9)
+        if len(svals) >= 10:
+            spread_stats["p90"] = svals[math.ceil(0.9 * len(svals)) - 1]
     full = {
         "metric": "end_to_end_query_suite",
         "value": total,
@@ -271,6 +286,22 @@ def main() -> None:
         "spreads": spreads,
         "spread_flags": sorted(spread_flags),
         "spread_stats": spread_stats,
+        # Self-describing record (ADVICE r9): these entries share the
+        # (data, rule, params)-memoized classifier fit
+        # (functions/text._FIT_CACHE), so any run after the first fit —
+        # including run 2 of min-of-2 and every later consumer — is a
+        # warm-fit measurement, not comparable to pre-round-9 cold-fit
+        # numbers for the fit-bearing entry.
+        "warm_fit": sorted(
+            q
+            for q in (
+                "corpus_source_quality",
+                "corpus_quality_classifier",
+                "corpus_classifier_eval",
+                "pipeline_curate_corpus",
+            )
+            if q in timings
+        ),
     }
     # Durable copy: the one-line stdout JSON is captured by the driver as a
     # bounded TAIL, and ~100 query entries overflowed it in round 2 (front

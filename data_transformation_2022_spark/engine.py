@@ -365,21 +365,37 @@ class Executor:
             # persisting all ~17 lineitem columns made the base
             # materialization mostly serialization cost (measured: the
             # 2-column rank itself runs 1.3 s warm at sf0.1 while the
-            # full-width persist+count took 4.6 s).
-            keep: set[str] = set()
+            # full-width persist+count took 4.6 s). The hint is PER
+            # LEVEL (keep_fn): a prefix keeps the global consumer needs
+            # plus the inputs of steps beyond it across every chain
+            # extending it — so the engine's shared all-columns rank
+            # step computes and persists only the ranked columns some
+            # consumer actually touches (sub-linear in table width),
+            # while sibling chains sharing the prefix still find every
+            # column they need.
+            needs: set[str] = set()
+            chains: dict[tuple, list[Step]] = {}
             for x_col, y_cand, agg in uniq_bars.values():
-                keep.add(x_col)
+                needs.add(x_col)
                 if y_cand is not None:
-                    keep.update(_prefer_derived(y_cand))
-                    for s in y_cand.steps:
-                        keep.update(s.i or [])
-                        keep.update(s.index or [])
-            for _, y_cand, agg in uniq_bars.values():
+                    needs.update(_prefer_derived(y_cand))
                 if agg == "sum" and y_cand is not None:
-                    self._derived_base(
-                        [s for s in y_cand.steps if s.o_type == "append"],
-                        keep_cols=keep,
-                    )
+                    chain = [s for s in y_cand.steps if s.o_type == "append"]
+                    if chain:
+                        chains[_chain_key(chain)] = chain
+            suffix: dict[tuple, set[str]] = {}
+            for chain in chains.values():
+                for lvl in range(1, len(chain) + 1):
+                    ns = suffix.setdefault(_chain_key(chain[:lvl]), set())
+                    for s in chain[lvl:]:
+                        ns.update(s.i or [])
+                        ns.update(s.index or [])
+
+            def keep_fn(k: tuple) -> set[str]:
+                return needs | suffix.get(k, set())
+
+            for chain in chains.values():
+                self._derived_base(chain, keep_fn=keep_fn)
             by_level: dict[int, list[DataFrame]] = {}
             for key, base in self._derived_bases.items():
                 if key not in self._persisted_base_keys:
@@ -556,7 +572,9 @@ class Executor:
             list(pool.map(_one_group, range(0, len(pieces), CHUNK)))
 
     def _derived_base(
-        self, derive: list[Step], keep_cols: set[str] | None = None
+        self,
+        derive: list[Step],
+        keep_fn=None,
     ) -> DataFrame:
         """Derived table for an append-step chain, memoized on the FULL
         chain key but built from the longest shared prefix — sibling
@@ -572,28 +590,72 @@ class Executor:
         at sf1) to cache what codegen computes for free in the
         consuming aggregate's scan.
 
-        ``keep_cols`` (prefetch's registration pass): prune the
-        PERSISTED projection to the columns any bar consumer can touch
-        — the bases serve only the bar aggregates, and persisting the
-        full table width made materialization mostly serialization
-        cost. Only applied when the chain is first registered; memo
-        hits ignore the hint (the registration pass supplies the union
-        over every bar job, so later callers see every column they
-        need)."""
+        ``keep_fn`` (prefetch's registration pass): ``chain_key ->
+        set[str]`` giving, PER LEVEL, the columns any consumer of that
+        prefix can still touch — the union over every bar job of its
+        groupBy x / output columns plus the inputs of steps BEYOND the
+        prefix, across all registered chains extending it (so sibling
+        chains sharing the prefix can't find it over-pruned). Two
+        effects on a rank/nominalize level:
+
+        * the COMPUTATION itself is reduced to the consumed outputs —
+          the engine's shared rank step ranks every real column of the
+          table (plans/search._ranked_profile), but a wide table's bar
+          consumers touch a handful, and ranked columns are mutually
+          independent, so the melt/exchange shrinks from O(table
+          width) to O(consumed width) with identical values
+          (r9 verdict item 5: the 102-column stress spent 13.3 s
+          materializing a full-width rank chain);
+        * the PERSISTED projection drops everything a consumer can't
+          touch — including the rank inputs themselves once no later
+          step or bar job reads them.
+
+        Only applied when the chain is first registered; memo hits
+        ignore the hint. Public-API callers that later need a pruned
+        column are caught by bar_aggregate's missing-column check →
+        _rebuild_base_unpruned."""
         if not derive:
             return self.df
         key = _chain_key(derive)
         if key not in self._derived_bases:
-            parent = self._derived_base(derive[:-1], keep_cols=keep_cols)
-            child = apply_tpath(parent, derive[-1:])
-            if derive[-1].t in ("rank", "nominalize"):
-                if keep_cols is not None:
+            parent = self._derived_base(derive[:-1], keep_fn=keep_fn)
+            step = derive[-1]
+            if (
+                step.i_type == "=="
+                and any(c not in parent.columns for c in (step.i or []))
+                and derive[:-1]
+            ):
+                # public-API chain extension over a parent pruned for a
+                # different consumer set: rebuild the prefix unpruned
+                # (the in-prefetch keep_fn always includes later-step
+                # inputs, so registration never lands here)
+                parent = self._rebuild_base_unpruned(derive[:-1])
+            keep = keep_fn(key) if keep_fn is not None else None
+            if (
+                keep is not None
+                and step.t in ("rank", "nominalize")
+                and step.i_type == "=="
+                and step.index
+                and len(step.i) == len(step.index)
+            ):
+                used = [j for j, o in enumerate(step.index) if o in keep]
+                if used and len(used) < len(step.index):
+                    step = Step(
+                        t=step.t,
+                        i_type=step.i_type,
+                        i=[step.i[j] for j in used],
+                        index=[step.index[j] for j in used],
+                        o_type=step.o_type,
+                    )
+            child = apply_tpath(parent, [step])
+            if step.t in ("rank", "nominalize"):
+                if keep is not None:
                     # RID always survives: a downstream rank step uses it
                     # as the pandas-faithful tie-break, and apply_step
                     # silently drops the tie-break when RID is absent —
                     # a value change, not an error
                     pruned = [
-                        c for c in child.columns if c in keep_cols or c == RID
+                        c for c in child.columns if c in keep or c == RID
                     ]
                     if pruned:
                         child = child.select(*pruned)

@@ -738,8 +738,12 @@ def classifier_seed_hash(id_col_str):
 _FIT_CACHE: dict[tuple, tuple[float, list[float], list]] = {}
 
 # single-slot rotation for classifier_eval's persisted group table —
-# see the comment at its persist() site
+# see the comment at its persist() site. The lock makes the pop/assign
+# pair atomic under concurrent evals (e.g. threaded bench entries).
+import threading as _threading  # noqa: E402
+
 _EVAL_GROUPS_SLOT: dict = {}
+_EVAL_SLOT_LOCK = _threading.Lock()
 
 
 def clear_fit_cache() -> None:
@@ -747,12 +751,29 @@ def clear_fit_cache() -> None:
     evaluation's persisted group table). Call after regenerating data
     at a path previously used as a ``fit_key``."""
     _FIT_CACHE.clear()
-    prior = _EVAL_GROUPS_SLOT.pop("groups", None)
+    with _EVAL_SLOT_LOCK:
+        prior = _EVAL_GROUPS_SLOT.pop("groups", None)
     if prior is not None:
         try:
             prior.unpersist()
         except Exception:
             pass
+
+
+def data_fit_key(sf_dir: str, table: str, tag: str) -> tuple:
+    """Version-aware ``fit_key`` for a parquet table under ``sf_dir``:
+    (absolute path, mtime_ns, tag). The mtime token makes an in-process
+    rewrite of the table refit automatically instead of relying on the
+    clear_fit_cache() caller contract alone, and abspath canonicalizes
+    relative-vs-absolute references to the same data (ADVICE r9)."""
+    import os
+
+    path = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    try:
+        version = os.stat(path).st_mtime_ns
+    except OSError:
+        version = 0
+    return (path, version, tag)
 
 
 def quality_classifier_scores(
@@ -984,13 +1005,21 @@ def classifier_eval(
         )
         .persist()
     )
-    prior = _EVAL_GROUPS_SLOT.pop("groups", None)
-    if prior is not None:
+    # materialize the NEW group table before rotating the previous one
+    # out (the table is margin-distinct — metadata-sized — so the extra
+    # count job is trivial); rotating first would unpersist a frame an
+    # interleaved still-running evaluation may be about to read
+    # (recompute, perf-only, but avoidable). The lock makes pop/assign
+    # atomic under concurrent evals (ADVICE r9).
+    groups.count()
+    with _EVAL_SLOT_LOCK:
+        prior = _EVAL_GROUPS_SLOT.pop("groups", None)
+        _EVAL_GROUPS_SLOT["groups"] = groups
+    if prior is not None and prior is not groups:
         try:
             prior.unpersist()
         except Exception:
             pass
-    _EVAL_GROUPS_SLOT["groups"] = groups
     cum = global_running_sum(groups, ["margin"], "__neg", "__cneg_le")
     u2 = cum.agg(
         F.sum(

@@ -3789,6 +3789,7 @@ def q_corpus_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report is metadata-sized at any corpus scale."""
     from .functions.text import (
         GOPHER_STOPWORDS,
+        data_fit_key,
         fingerprint64,
         quality_classifier_scores,
         tokens_ws,
@@ -3800,7 +3801,7 @@ def q_corpus_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     clf = quality_classifier_scores(
         docs, "doc_id", "text", label,
         n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N,
-        fit_key=(_os.path.normpath(sf_dir), "gopher_stop"),
+        fit_key=data_fit_key(sf_dir, "documents", "gopher_stop"),
     ).select("doc_id", "pred")
     pred = docs.select(
         "doc_id", "source", fingerprint64(F.col("text")).alias("fp")
@@ -4295,14 +4296,19 @@ def q_corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     size); the oracle derives its own seed counts in DuckDB and runs
     them through the same Python trainer, so the weights are
     bit-identical by construction and the margins hash-match."""
-    from .functions.text import GOPHER_STOPWORDS, quality_classifier_scores, tokens_ws
+    from .functions.text import (
+        GOPHER_STOPWORDS,
+        data_fit_key,
+        quality_classifier_scores,
+        tokens_ws,
+    )
 
     d = _t(spark, sf_dir, "documents")
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     label = F.arrays_overlap(tokens_ws(F.lower(F.col("text"))), stop_arr)
     return quality_classifier_scores(
         d, "doc_id", "text", label, n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N,
-        fit_key=(_os.path.normpath(sf_dir), "gopher_stop"),
+        fit_key=data_fit_key(sf_dir, "documents", "gopher_stop"),
     )
 
 
@@ -4381,14 +4387,19 @@ def q_corpus_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in integer arithmetic (2U via a bucketed prefix sum over
     the distinct-margin group table — no SinglePartition window) with
     one final double division. See functions.text.classifier_eval."""
-    from .functions.text import GOPHER_STOPWORDS, classifier_eval, tokens_ws
+    from .functions.text import (
+        GOPHER_STOPWORDS,
+        classifier_eval,
+        data_fit_key,
+        tokens_ws,
+    )
 
     d = _t(spark, sf_dir, "documents")
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     label = F.arrays_overlap(tokens_ws(F.lower(F.col("text"))), stop_arr)
     return classifier_eval(
         d, "doc_id", "text", label, n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N,
-        fit_key=(_os.path.normpath(sf_dir), "gopher_stop"),
+        fit_key=data_fit_key(sf_dir, "documents", "gopher_stop"),
     )
 
 
@@ -5203,6 +5214,7 @@ def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import (
         GOPHER_STOPWORDS,
         bigram_fluency,
+        data_fit_key,
         dedup_segments_keep_first,
         quality_classifier_scores,
         tokens_ws,
@@ -5215,7 +5227,7 @@ def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = quality_classifier_scores(
         docs_all, "doc_id", "text", label,
         n_buckets=_CLF_BUCKETS, seed_n=_CLF_SEED_N,
-        fit_key=(_os.path.normpath(sf_dir), "gopher_stop"),
+        fit_key=data_fit_key(sf_dir, "documents", "gopher_stop"),
     ).filter(F.col("pred") == 1)
     docs = docs_all.join(gate.select("doc_id"), "doc_id")
     # clean feeds TWO branches (fluency scoring + token counting) and

@@ -14,7 +14,11 @@ shape honest instead of artificially quadratic:
 * embeddings get a tiny deterministic per-replica rotation of one
   coordinate, for the same reason.
 
-Usage: python scripts/make_sf1.py [copies] (default 10)
+Usage: python scripts/make_sf1.py [copies] [tables] [dst]
+  copies  replication factor (default 10 → sf1 from sf0.1; 100 → sf10)
+  tables  comma-separated subset to generate (default: all) — the sf10
+          probe only needs documents,embeddings
+  dst     output dir (default /tmp/spark_graft_sf1)
 """
 from __future__ import annotations
 
@@ -44,17 +48,25 @@ COPY_ONLY = ("region", "nation", "supplier", "part")
 
 
 def main() -> None:
+    global DST
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    if len(sys.argv) > 3:
+        DST = sys.argv[3]
     spark = get_spark(app_name="make_sf1")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     os.makedirs(DST, exist_ok=True)
 
     for t in COPY_ONLY:
+        if only is not None and t not in only:
+            continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         df.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
         print(f"{t}: copied", flush=True)
 
     for t, keys in OFFSETS.items():
+        if only is not None and t not in only:
+            continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         maxima = df.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
         rep = spark.range(copies).select(F.col("id").alias("__rep"))

@@ -112,23 +112,31 @@ def test_bar_aggregate_rebuilds_pruned_base(spark):
     ex.prefetch(frame_jobs=[], bar_jobs=[("g", cand_a, "sum")])
     key = (("rank", "==", ("a",), "append", ("rank a",)),)
     assert key in ex._persisted_base_keys
-    assert "b" not in ex._derived_bases[key].columns  # pruned away
-    # same derivation chain, but this consumer sums the pruned column b
-    # a memoized LONGER chain over the pruned parent: the rebuild must
-    # evict it too, or it would keep referencing the unpersisted frame
-    sub = Step(
-        t="sub", i_type="==", i=["rank a", "a"], o_type="append", index=["d"]
-    )
-    ex._derived_base([rank, sub])
-    sib_key = key + (("sub", "==", ("rank a", "a"), "append", ("d",)),)
-    assert sib_key in ex._derived_bases
+    # per-level pruning: neither the un-consumed column b NOR the rank
+    # input a itself survives (no bar job and no later step reads them)
+    assert "b" not in ex._derived_bases[key].columns
+    assert "a" not in ex._derived_bases[key].columns
+    # scenario 1: public-API bar_aggregate summing the pruned column b
     cand_b = Candidate(family="sum_bar", steps=[rank], out_cols=["b"])
     out = ex.bar_aggregate("g", cand_b, "sum")
     assert out is not None, "pruning miss must rebuild, not return None"
     got = dict(zip(out["g"], out["SUM(b)"]))
     assert got == {"g0": 760.0, "g1": 800.0}
     assert "b" in ex._derived_bases[key].columns  # memo now unpruned
-    assert sib_key not in ex._derived_bases  # stale sibling evicted
-    # re-deriving the sibling now rides the unpruned parent
-    assert "b" in ex._derived_base([rank, sub]).columns
     ex.release()
+
+    # scenario 2: extending the chain through _derived_base with a step
+    # whose input was pruned away — the extension itself must rebuild
+    # the prefix unpruned instead of raising, and the child must compute
+    # real values over the rebuilt parent
+    ex2 = Executor(df, sample_cap=10)
+    ex2.prefetch(frame_jobs=[], bar_jobs=[("g", cand_a, "sum")])
+    assert "a" not in ex2._derived_bases[key].columns
+    sub = Step(
+        t="sub", i_type="==", i=["rank a", "a"], o_type="append", index=["d"]
+    )
+    sib = ex2._derived_base([rank, sub])
+    assert "d" in sib.columns and "a" in ex2._derived_bases[key].columns
+    row = sib.orderBy("a").limit(1).collect()[0]
+    assert row["d"] == row["rank a"] - row["a"]
+    ex2.release()
