@@ -6382,93 +6382,84 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The correctness driver attests the first 50 registry entries per round.
-# Rounds 1-7 together attested every exact-oracle query at least once
-# (union 159/159, none staler than r04). The round-8 prefix
-# (3 + 9 + 31 + 7 = 50):
-#   (1) the THREE new round-8 exact queries (corpus_classifier_eval,
-#       sample_alpha_temperature, sim_hybrid_rrf) — first attestation;
-#   (2) every exact query whose CODE or ORACLE changed this round
+# Union across rounds 1-9: every exact-oracle query attested (164/164,
+# none staler than r06 entering round 10 — scripts/attestation_audit.py).
+# The round-10 prefix (7 + 25 + 18 = 50):
+#   (1) every exact query whose CODE or ORACLE changed this round
 #       ("attested" must mean attested for the code that ships):
-#       basic_hsum/basic_hmul (explicit overflow raise on the decimal
-#       fold), corpus_decontaminate_fuzzy (shingle size now reaches the
-#       signature stage), dedup_components (reliable-checkpoint knob
-#       threaded through every engine), stream_lsh_neardup (state-cell
-#       coarsening + streaming-sized partition scope), plus the four
-#       exact queries riding the iter_checkpoint routing of connected
-#       components / semantic dedup (sim_semantic_dedup,
-#       dedup_keep_list, dedup_keep_best, pipeline_build_corpus) —
-#       identical behavior by default and pytest-pinned, re-attested
-#       anyway; tpch_q1 also changed (scaled-BIGINT decimal→double)
-#       and is covered by its slot in band (3);
-#   (3) all 31 queries whose newest attestation is r04 — the stalest
-#       band, the rotation target the round-7 verdict named
-#       (attestation_audit lists them);
-#   (4) backfill to 50 with the 12 alphabetically-first r05-cohort
-#       entries, the next-stalest band.
-# Everything displaced holds an r05-r07 attestation, so union coverage
-# is unaffected (scripts/attestation_audit.py checks); after this
-# round no exact query's newest attestation is older than r05.
+#       dedup_exact_substring + corpus_substring_scrub (anchor hash
+#       re-pinned from per-window md5 to the 62-bit double Karp-Rabin
+#       spec - engine Arrow scan + direct-fold oracle), sim_semantic_dedup
+#       (candidate stage rewritten to the per-cluster gram matrix;
+#       kept set pytest-pinned identical), and the four classifier
+#       consumers riding the data_fit_key/eval-rotation edits
+#       (corpus_quality_classifier, corpus_classifier_eval,
+#       pipeline_curate_corpus, corpus_source_quality - values
+#       unchanged, re-attested anyway);
+#   (2) all 25 queries whose newest attestation is r06 - the stalest
+#       band, the rotation target the round-9 verdict named;
+#   (3) backfill to 50 with the 18 alphabetically-first r07-cohort
+#       entries. The remaining 24 r07 entries rotate in round 11
+#       (the r9 verdict's planned two-round rotation).
+# Everything displaced holds an r07-r09 attestation, so union coverage
+# is unaffected; after this round no exact query's newest attestation
+# is older than r07.
 
 _PRIORITY: list[str] = [
-    # Round-9 attestation prefix — exactly 50 entries; the driver
-    # attests the first 50 registry rows each round. Composition:
-    # 2 new + 6 changed + all 28 r05-stale + 14 r06 backfill = 50.
-    # --- (1) new in round 9: first attestation ---
+    # Round-10 attestation prefix - exactly 50 entries.
+    # --- (1) code or oracle changed in round 10 (7) ---
     "dedup_exact_substring",
     "corpus_substring_scrub",
-    # --- (2) code or oracle changed in round 9 (semdedup oracle
-    #     rewrite; classifier fit_key memoization touches the three
-    #     classifier consumers + source quality; alpha oracle escaping) ---
     "sim_semantic_dedup",
     "corpus_quality_classifier",
     "corpus_classifier_eval",
     "pipeline_curate_corpus",
     "corpus_source_quality",
-    "sample_alpha_temperature",
-    # --- (3) every r05-stale exact query (28, r8 audit list) ---
-    "basic_filter",
-    "basic_select_like",
-    "basic_sub",
-    "coret_kmeans",
-    "coret_lida",
-    "corpus_boilerplate_scrub",
-    "corpus_decontaminate",
-    "corpus_language_stats",
-    "dates_multi_format_parse",
-    "dedup_exact_text",
-    "dedup_simhash_pairs",
-    "emb_centroid_by_bucket",
-    "io_json_roundtrip",
-    "io_partitioned_pruning",
-    "join_asof",
-    "join_semi_anti",
-    "multimodal_frame_sample",
-    "multimodal_image_meta",
-    "profile_key_detection",
-    "profile_wasserstein",
-    "sort_with_position",
-    "stream_sink_parquet",
-    "text_langid",
-    "text_repetition_filter",
-    "tpch_q18",
-    "tpch_q19",
-    "window_cume_ntile",
-    "window_lag_delta",
-    # --- (4) r06 backfill (next-stalest, alphabetical, 14) to fill 50 ---
-    "agg_incremental_rollup",
-    "basic_nominalize",
-    "basic_rank",
-    "coret_pca",
-    "corpus_balance_languages",
-    "corpus_bigram_fluency",
-    "corpus_bpe_encode",
-    "corpus_clean_text",
-    "corpus_dsir_weights",
-    "corpus_dup_stats",
-    "corpus_gopher_rules",
-    "corpus_segment_dedup",
-    "corpus_tfidf_topk",
-    "corpus_token_budget",
+    # --- (2) every r06-stale exact query (25, r9 audit list) ---
+    "corpus_topk_docs_per_lang",
+    "corpus_vocab_topk",
+    "dedup_incremental_lsh",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "delta_upsert_merge",
+    "emb_neardup_pairs",
+    "emb_pq_codes",
+    "emb_quantize_int8",
+    "events_funnel_ordered",
+    "events_resample_ffill",
+    "events_variant_agg",
+    "io_orc_roundtrip",
+    "io_zorder_cluster",
+    "profile_column_stats",
+    "profile_skew_report",
+    "sample_weighted_priority",
+    "sim_cosine_topk",
+    "sim_ivf_full_probe",
+    "sketch_cms_topk",
+    "sketch_hist_quantile",
+    "sketch_kmv_distinct",
+    "sketch_kmv_join_card",
+    "sketch_kmv_union",
+    "stream_stream_join",
+    # --- (3) r07 backfill (next-stalest, alphabetical, 18) to fill 50 ---
+    "agg_group_count",
+    "agg_group_sum",
+    "agg_median_mode",
+    "agg_unpivot",
+    "basic_replace_mode",
+    "basic_rid_concat",
+    "corpus_chunk_documents",
+    "corpus_pack_sequences",
+    "corpus_ppl_buckets",
+    "corpus_ppl_buckets_sketch",
+    "corpus_shuffle_deterministic",
+    "distinct_domain",
+    "events_json_extract",
+    "events_retention_cohort",
+    "events_sessionize",
+    "io_compact_small_files",
+    "io_csv_roundtrip",
+    "io_dynamic_pruning",
 ]
 
 def _reorder_registry() -> None:
