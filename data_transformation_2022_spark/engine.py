@@ -378,7 +378,13 @@ class Executor:
             for x_col, y_cand, agg in uniq_bars.values():
                 needs.add(x_col)
                 if y_cand is not None:
-                    needs.update(_prefer_derived(y_cand))
+                    # what the aggregate ACTUALLY sums: the series-capped
+                    # slice (_batched_bars / bar_aggregate both take
+                    # [:MAX_SERIES]) — an all-numeric-columns candidate
+                    # lists every column in out_cols, and taking the
+                    # full list here made `needs` table-wide, defeating
+                    # the per-consumer reduction entirely
+                    needs.update(_prefer_derived(y_cand)[:MAX_SERIES])
                 if agg == "sum" and y_cand is not None:
                     chain = [s for s in y_cand.steps if s.o_type == "append"]
                     if chain:

@@ -1018,14 +1018,22 @@ def _kr_anchor_gen(id_field, k: int):
         for pdf in batches:
             ids = pdf["__id"].to_numpy()
             lists = pdf["__tv"]
-            lens = np.fromiter((len(v) for v in lists), dtype=np.int64,
-                               count=len(lists))
+            # NULL text tokenizes to a NULL array — treat as empty
+            lens = np.fromiter(
+                (0 if v is None else len(v) for v in lists),
+                dtype=np.int64,
+                count=len(lists),
+            )
             n_out = np.maximum(lens - k + 1, 0)
             total = int(lens.sum())
             if total == 0 or int(n_out.sum()) == 0:
                 continue
             flat = np.concatenate(
-                [np.asarray(v, dtype=np.int64) for v in lists if len(v)]
+                [
+                    np.asarray(v, dtype=np.int64)
+                    for v in lists
+                    if v is not None and len(v)
+                ]
             )
             maxlen = int(lens.max())
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])

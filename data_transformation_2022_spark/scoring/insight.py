@@ -178,6 +178,14 @@ def _bfs_far(adj, start: int) -> tuple[int, float, dict[int, int]]:
     return far, far_d, parent
 
 
+def _avg_ranks(a: np.ndarray) -> np.ndarray:
+    """0-based ranks with ties averaged (permutation-invariant)."""
+    a = np.asarray(a, dtype=float)
+    _, inv, counts = np.unique(a, return_inverse=True, return_counts=True)
+    starts = np.cumsum(counts) - counts
+    return (starts + (counts - 1) / 2.0)[inv]
+
+
 def scagnostics(x: np.ndarray, y: np.ndarray) -> dict[str, float]:
     """MST-based scatter diagnostics (Wilkinson et al.). All zero when
     fewer than DOT_NUM_LIMIT distinct points (reference score.py:73-76)."""
@@ -239,9 +247,16 @@ def scagnostics(x: np.ndarray, y: np.ndarray) -> dict[str, float]:
         clumpy = max(clumpy, 1.0 - (max_len / w if w > 0 else 1.0))
     clumpy = float(min(max(clumpy, 0.0), 1.0))
 
-    # monotonic: |Spearman| via Pearson of ranks
-    rx = np.argsort(np.argsort(x)).astype(float)
-    ry = np.argsort(np.argsort(y)).astype(float)
+    # monotonic: |Spearman| via Pearson of AVERAGE ranks. Ties must get
+    # their group-mean rank: the earlier double-argsort broke ties by
+    # array position, making the statistic depend on the pandas frame's
+    # ROW ORDER — which a batched outer join does not fix — so the
+    # byte-stable recommend goldens drifted in the 5th decimal between
+    # otherwise-identical runs (caught round 10). Average ranks are
+    # permutation-invariant (and the standard Spearman treatment); the
+    # MST metrics above are already order-free via the np.unique point
+    # canonicalization.
+    rx, ry = _avg_ranks(x), _avg_ranks(y)
     cx, cy = rx - rx.mean(), ry - ry.mean()
     denom = float(np.sqrt((cx**2).sum() * (cy**2).sum()))
     monotonic = float(abs((cx * cy).sum() / denom)) if denom > 0 else 0.0

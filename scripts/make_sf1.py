@@ -74,12 +74,36 @@ def main() -> None:
         for k in keys:
             out = out.withColumn(k, F.col(k) + F.col("__rep") * (int(maxima[k]) + 1))
         if t == "documents":
-            out = out.withColumn(
-                "text",
-                F.when(F.col("__rep") == 0, F.col("text")).otherwise(
-                    F.concat(F.col("text"), F.lit(" rep"), F.col("__rep").cast("string"))
-                ),
-            )
+            if os.environ.get("SF_TOKEN_SALT"):
+                # replica-DISJOINT corpus: suffix every token with the
+                # replica id, so docs within one replica share exactly
+                # the runs the sf0.1 originals shared while replicas
+                # share nothing. This is the honest "N x more of the
+                # same workload" shape for content-overlap operators
+                # (exact-substring/segment dedup): the default
+                # end-of-text tag leaves every cross-replica PREFIX
+                # duplicated, which at copies=100 turns the corpus into
+                # a 100-clone pathology where per-anchor caps bind —
+                # the designed degradation, but a different measurement.
+                out = out.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda tok: F.concat(
+                                tok, F.lit("·r"), F.col("__rep").cast("string")
+                            ),
+                        ),
+                        " ",
+                    ),
+                )
+            else:
+                out = out.withColumn(
+                    "text",
+                    F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                        F.concat(F.col("text"), F.lit(" rep"), F.col("__rep").cast("string"))
+                    ),
+                )
         if t == "embeddings":
             # perturb element 0 by rep * 1e-3: breaks verbatim clone
             # pairs while leaving the cosine geometry essentially intact

@@ -91,6 +91,71 @@ def test_decorate_presentation_reorder():
     assert len(out2["vis_list"]) == 14  # permutation, nothing dropped
 
 
+def test_rank_step_reduced_to_consumed_outputs(spark):
+    """Per-consumer rank reduction (r9 verdict item 5): a shared rank
+    step over many columns is REDUCED to the outputs some bar consumer
+    actually touches — the persisted base ranks (and keeps) only those,
+    with identical values, so wide-table rank-chain materialization
+    scales with consumed width, not table width. A consumer whose
+    LATER step reads more ranked columns widens the reduction via the
+    suffix-input union (second scenario)."""
+    from data_transformation_2022_spark.engine import Executor
+    from data_transformation_2022_spark.operators.steps import Step
+    from data_transformation_2022_spark.plans.search import Candidate
+
+    cols = [f"m{i}" for i in range(6)]
+    df = spark.createDataFrame(
+        [tuple(float(i * 7 + j) for j in range(6)) + (f"g{i % 2}",)
+         for i in range(30)],
+        ", ".join(f"{c} double" for c in cols) + ", g string",
+    )
+    rank = Step(
+        t="rank", i_type="==", i=list(cols), o_type="append",
+        index=[f"rank {c}" for c in cols],
+    )
+    ex = Executor(df, sample_cap=10)
+    cand = Candidate(
+        family="sum_bar", steps=[rank],
+        out_cols=["rank m1", "rank m4"], derived=["rank m1", "rank m4"],
+    )
+    ex.prefetch(frame_jobs=[], bar_jobs=[("g", cand, "sum")])
+    key = next(iter(ex._persisted_base_keys))
+    base = ex._derived_bases[key]
+    ranked = sorted(c for c in base.columns if c.startswith("rank "))
+    assert ranked == ["rank m1", "rank m4"], ranked
+    assert "m0" not in base.columns  # un-consumed sources pruned too
+    out = ex.bar_aggregate("g", cand, "sum")
+    # values identical to an unreduced rank over the same data
+    ex2 = Executor(df, sample_cap=10)
+    want = ex2.bar_aggregate("g", cand, "sum")
+    got = {r["g"]: (r["SUM(rank m1)"], r["SUM(rank m4)"]) for _, r in out.iterrows()}
+    exp = {r["g"]: (r["SUM(rank m1)"], r["SUM(rank m4)"]) for _, r in want.iterrows()}
+    assert got == exp
+    ex.release()
+    ex2.release()
+
+    # scenario 2: a sibling chain's arithmetic step consumes MORE ranked
+    # columns — the suffix-input union widens the shared rank prefix
+    sub = Step(
+        t="sub", i_type="==", i=["rank m2", "rank m3"], o_type="append",
+        index=["d"],
+    )
+    cand2 = Candidate(
+        family="sum_bar", steps=[rank, sub], out_cols=["d"], derived=["d"],
+    )
+    ex3 = Executor(df, sample_cap=10)
+    ex3.prefetch(
+        frame_jobs=[], bar_jobs=[("g", cand, "sum"), ("g", cand2, "sum")]
+    )
+    rank_key = min(ex3._persisted_base_keys, key=len)
+    ranked3 = sorted(
+        c for c in ex3._derived_bases[rank_key].columns
+        if c.startswith("rank ")
+    )
+    assert ranked3 == ["rank m1", "rank m2", "rank m3", "rank m4"], ranked3
+    ex3.release()
+
+
 def test_bar_aggregate_rebuilds_pruned_base(spark):
     """A public-API bar_aggregate on a chain whose persisted base was
     column-pruned by an earlier prefetch registration (for a DIFFERENT

@@ -90,3 +90,21 @@ def test_moments_match_numpy():
     v = rng.rand(500)
     m = moments(v)
     assert m["variance"] == pytest.approx(np.var(v, ddof=1), rel=1e-9)
+
+
+def test_scagnostics_permutation_invariant_with_ties():
+    """Every scagnostic — monotonic included — must be independent of
+    the point ORDER: chart frames arrive from joins whose row order is
+    not deterministic, and the recommend goldens are byte-stable only
+    if scoring is permutation-invariant. Regression for the round-10
+    drift: positional tie-breaking in the Spearman ranks made
+    `monotonic` order-sensitive on tied (integer-ish) data."""
+    rng = np.random.RandomState(11)
+    # heavy ties: integer grid data, the shape that exposed the drift
+    x = rng.randint(0, 7, 200).astype(float)
+    y = (x + rng.randint(0, 4, 200)).astype(float)
+    base = scagnostics(x, y)
+    for trial in range(5):
+        p = rng.permutation(len(x))
+        got = scagnostics(x[p], y[p])
+        assert got == base, (trial, got, base)
