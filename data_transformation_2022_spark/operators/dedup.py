@@ -981,7 +981,7 @@ def with_kr_window_hashes(
     return s2.select(*keep, hw.alias(out_col))
 
 
-def _kr_anchor_gen(id_field, k: int):
+def _kr_anchor_gen(k: int):
     """mapInPandas generator: (id, __tv) batches -> (id, pos, __h) anchor
     rows under the double Karp–Rabin window-hash spec.
 
@@ -1136,7 +1136,7 @@ def exact_substring_spans(
             ).alias("__tv"),
         )
         anchors = tv_frame.mapInPandas(
-            _kr_anchor_gen(id_col, k),
+            _kr_anchor_gen(k),
             schema=f"__id {id_type}, pos bigint, __h bigint",
         ).select(F.col("__id").alias(id_col), "pos", "__h")
     elif anchor_hash == "rolling-catalyst":

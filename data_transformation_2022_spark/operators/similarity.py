@@ -743,11 +743,27 @@ def semantic_dedup(
 
         pdf = pdf.sort_values(id_col)
         if max_cluster is not None:
+            # cap BEFORE validity filtering: degenerate rows occupy cap
+            # slots exactly as under the r9 windowed row_number
             pdf = pdf.head(max_cluster)
-        ids = pdf[id_col].to_numpy()
+        # NULL or ragged vectors can't pair (the r9 zip_with fold gave
+        # them a null cosine — excluded from pairing, kept in output);
+        # np.vstack would raise on them, failing the whole task
+        vecs = list(pdf[vec_col])
+        dim = next(
+            (len(x) for x in vecs if x is not None and len(x) > 0), None
+        )
+        valid = np.fromiter(
+            (x is not None and len(x) == dim for x in vecs),
+            dtype=bool,
+            count=len(vecs),
+        )
+        ids = pdf[id_col].to_numpy()[valid]
         if len(ids) < 2:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
-        v = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        v = np.vstack(
+            [np.asarray(x, dtype=np.float64) for x, ok in zip(vecs, valid) if ok]
+        )
         with np.errstate(divide="ignore", invalid="ignore"):
             u = v / np.linalg.norm(v, axis=1)[:, None]
         out_a: list = []
@@ -757,7 +773,11 @@ def semantic_dedup(
             s = u[i0:i0 + blk] @ u.T  # (blk, c) slab
             ia, ib = np.nonzero(s >= tau_lo)
             ia = ia + i0
-            keep = ia < ib  # upper triangle: id_a < id_b (ids sorted)
+            # id_a < id_b by VALUE (the oracle's a.id < b.id): with ids
+            # sorted this is the upper triangle, but duplicate ids must
+            # NOT self-pair (a positional i < j would emit (X, X) and
+            # spuriously drop X)
+            keep = ids[ia] < ids[ib]
             out_a.append(ids[ia[keep]])
             out_b.append(ids[ib[keep]])
         return pd.DataFrame(

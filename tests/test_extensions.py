@@ -815,6 +815,42 @@ def test_semantic_dedup_semantics(spark):
     assert 1 not in ids and 3 not in ids
 
 
+def test_semantic_dedup_null_vector_and_duplicate_ids(spark):
+    """Degenerate inputs the gram-matrix candidate stage must survive
+    (r10 self-review): a NULL embedding is excluded from pairing but
+    KEPT in the output (the r9 zip_with fold gave it a null cosine —
+    same policy), and duplicate ids must not self-pair — a positional
+    upper-triangle would emit (X, X) at cosine 1 and spuriously drop
+    every duplicated id."""
+    from data_transformation_2022_spark.operators.similarity import (
+        pq_fit,
+        semantic_dedup,
+    )
+    from data_transformation_2022_spark.queries import _flit
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0 -> dropped
+        (2, None),                       # NULL vector: kept, never pairs
+        (3, [3.0, 3.0, 3.0, 3.0]),      # duplicate id pair below
+        (3, [3.0, 3.0, 3.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_fit(
+        df.filter(F.col("embedding").isNotNull()),
+        "vec_id", "embedding", m=1, k=2, fit_cap=100,
+    )
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", books, _flit, threshold=0.95
+        ).collect()
+    }
+    assert 0 in kept and 1 not in kept
+    assert 2 in kept, "null-vector row must survive, not crash or drop"
+    assert 3 in kept, "duplicate ids must not self-pair into dropped"
+
+
 def test_semantic_dedup_identical_vectors_bounded(spark):
     """Degenerate skew gate: 10k identical vectors land in ONE cluster;
     the windowed cap bounds pairing to the first ``max_cluster`` ids, so
