@@ -70,15 +70,52 @@ WHITELIST: dict[str, tuple[int, str]] = {
     ),
 }
 
+# Condition-less logical Join nodes (crossJoin): every one must be a
+# broadcast of a 1-row aggregate / bounded synopsis frame against the
+# data stream — the z-order-bounds / sketch-report idiom — never a
+# data×data cartesian. query -> max such nodes; the shared bound is
+# "one side is a 1-row aggregate or a ≤k-row sketch/synopsis frame".
+CROSSJOIN_WHITELIST: dict[str, int] = {
+    "corpus_classifier_eval": 1,   # 1-row confusion/AUC scalar frames
+    "corpus_ppl_buckets_sketch": 6,  # histogram-sketch threshold rows
+    "emb_neardup_pairs": 1,        # the GUARDED all-pairs oracle anchor:
+                                   # cosine_neardup_pairs refuses inputs
+                                   # beyond max_rows instead of launching
+                                   # an n² job (similarity.py)
+    "io_zorder_cluster": 1,        # 1-row min/max bounds
+    "io_zorder_cluster3": 1,       # 1-row min/max bounds
+    "join_bloom_pruned": 1,        # 1-row bloom-bitset build
+    "profile_outliers": 4,         # 1-row per-column quantile frames
+    "profile_skew_report": 1,      # 1-row total-count frame
+    "scoring_cdm": 2,              # 1-row grid-extent frames
+    "scoring_hist2d": 1,           # 1-row grid-extent frame
+    "sig_outstanding1_fstat": 1,   # 1-row F-stat scalar frame
+    "sim_cosine_topk": 1,          # ≤k-row query-vector frame
+    "sim_hybrid_rrf": 1,           # ≤k-row fused-leg frame
+    "sketch_hist_quantile": 15,    # per-quantile 1-row threshold frames
+    "sketch_kmv_join_card": 4,     # 1-row sketch-scalar frames
+    "sketch_kmv_union": 2,         # 1-row sketch-scalar frames
+}
+
 _SF = "/root/testdata/sf0.001"
 
 
-def test_unpartitioned_windows_are_whitelisted_and_bounded(spark):
-    """Exhaustive SinglePartition-window inventory: every batch query's
-    analyzed plan; any unpartitioned Window must be whitelisted (with
-    its bound named above), every whitelist entry must still exist and
-    still exhibit its windows (no stale entries)."""
-    found: dict[str, int] = {}
+def test_plan_shape_gates(spark):
+    """Exhaustive plan-shape inventory in ONE pass over every batch
+    query's analyzed plan:
+
+    * any unpartitioned Window must be whitelisted with a named bound
+      (WHITELIST above) — a global window is a single-reducer sort;
+    * ZERO row-wise Python UDF nodes anywhere (EvalPython) — the only
+      Python in any plan is Arrow-vectorized mapInPandas /
+      applyInPandas(WithState);
+    * every condition-less Join is whitelisted (CROSSJOIN_WHITELIST) —
+      a cross join is only ever a broadcast 1-row/synopsis frame.
+
+    Whitelists are exhaustive both ways: an entry whose query no longer
+    exhibits the shape fails as stale."""
+    found_w: dict[str, int] = {}
+    found_c: dict[str, int] = {}
     for name, qd in Q.REGISTRY.items():
         if "streaming" in qd.tags:
             continue
@@ -90,8 +127,19 @@ def test_unpartitioned_windows_are_whitelisted_and_bounded(spark):
             if node.get("class", "").endswith(".Window")
             and not node.get("partitionSpec")
         )
+        n_udf = sum(
+            1 for node in plan if "EvalPython" in node.get("class", "")
+        )
+        n_cross = sum(
+            1
+            for node in plan
+            if node.get("class", "").endswith(".Join")
+            and not node.get("condition")
+        )
         if n_unpart:
-            found[name] = n_unpart
+            found_w[name] = n_unpart
+        if n_cross:
+            found_c[name] = n_cross
         cap = WHITELIST.get(name, (0, ""))[0]
         assert n_unpart <= cap, (
             f"{name}: {n_unpart} unpartitioned Window node(s) in the "
@@ -99,10 +147,24 @@ def test_unpartitioned_windows_are_whitelisted_and_bounded(spark):
             "is a single-reducer sort at scale; either partition it, "
             "bound its input, or whitelist it here WITH the named bound"
         )
-    stale = [n for n in WHITELIST if n not in Q.REGISTRY]
-    assert not stale, f"whitelist names unknown queries: {stale}"
-    unexercised = [n for n in WHITELIST if n not in found]
-    assert not unexercised, (
-        f"whitelisted queries no longer have unpartitioned windows "
-        f"(remove the stale entries): {unexercised}"
-    )
+        assert n_udf == 0, (
+            f"{name}: {n_udf} row-wise Python UDF node(s) — use built-in "
+            "expressions or an Arrow-vectorized mapInPandas instead"
+        )
+        ccap = CROSSJOIN_WHITELIST.get(name, 0)
+        assert n_cross <= ccap, (
+            f"{name}: {n_cross} condition-less Join node(s) (cap {ccap}) "
+            "— a cross join must be a broadcast 1-row/synopsis frame; "
+            "whitelist it here WITH that property verified"
+        )
+    for wl, found, what in (
+        (WHITELIST, found_w, "unpartitioned windows"),
+        (CROSSJOIN_WHITELIST, found_c, "condition-less joins"),
+    ):
+        stale = [n for n in wl if n not in Q.REGISTRY]
+        assert not stale, f"whitelist names unknown queries: {stale}"
+        unexercised = [n for n in wl if n not in found]
+        assert not unexercised, (
+            f"whitelisted queries no longer have {what} "
+            f"(remove the stale entries): {unexercised}"
+        )
