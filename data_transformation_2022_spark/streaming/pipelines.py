@@ -611,52 +611,105 @@ def auto_state_cells(
     return int(min(max_cells, max(floor_cells, cells)))
 
 
-def streaming_lsh_neardup(
+def _streaming_band_rows(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 16,
-    bands: int = 4,
-    max_bucket: int = 64,
-    state_cells: int | str = "auto",
-    expected_docs: int | None = None,
+    k: int,
+    bands: int,
+    sig_impl: str = "arrow",
+    shingle: int | None = None,
 ) -> DataFrame:
-    """Streaming MinHash-LSH near-dup detection: as documents arrive,
-    emit candidate pairs (new doc × every same-bucket doc seen so far) —
-    the crawl-ingestion dedup loop run ONLINE instead of as a nightly
-    batch (the stateful twin of dedup.lsh_incremental_pairs).
+    """(id, band, bh) LSH band rows computed MAP-ONLY per document —
+    the streaming-friendly twin of the batch explode+groupBy
+    ``minhash_signatures`` → ``_band_rows`` chain, value-identical to
+    it (pytest-pinned on both impls).
 
-    The signature is computed ROW-WISE (tokens → shingles → per-shingle
-    universal hashes → array_min), not via the batch explode+groupBy —
-    a streaming pipeline wants the signature map-only so the ONLY
-    shuffle is the (band, bucket) grouping the state lives under. Same
-    constants as the batch operator, so values are identical
-    (pytest-pinned: the drained pair set equals batch
-    lsh_candidate_pairs).
+    ``sig_impl="arrow"`` (default): one vectorized ``mapInPandas``
+    stage — tokens cross Arrow once per doc, the per-shingle md5 runs
+    in hashlib (bit-identical to ``md5(string)``, same convention as
+    the Karp–Rabin anchor stage in operators/dedup.py), and the k
+    universal-hash minimums are one numpy (k × shingles) broadcast.
+    This replaced the ``aggregate``/``zip_with`` fold because Catalyst
+    evaluates higher-order functions interpreted and boxed: the fold
+    measured 11-29 s for the sf0.1 signature stage alone vs ~1 s
+    Arrow-vectorized (the streaming query's entire 12-20 s cost was
+    this one expression).
 
-    State per (band, bucket) is the member-id list, capped at
-    ``max_bucket`` (keep-FIRST-by-id within a batch; arrival order
-    across batches): a degenerate bucket (10k identical docs) holds at
-    most ``max_bucket`` ids and emits O(max_bucket²) pairs total, never
-    O(n²) — the streaming mirror of the batch hot-bucket cap, with
-    keep-first instead of drop-bucket because emitted pairs cannot be
-    retracted."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
+    ``sig_impl="catalyst"``: the legacy pure-expression one-fold form,
+    kept for A/B equivalence testing.
+    """
     from ..functions.text import tokens_ws
     from ..operators.dedup import (
+        DEFAULT_SHINGLE,
         MERSENNE_P,
         _band_rows,
         _uh_constants,
         shingles_of_tokens,
     )
 
+    n = DEFAULT_SHINGLE if shingle is None else shingle
     A, B = _uh_constants(k)
     toked = docs.select(
         F.col(id_col), tokens_ws(F.lower(F.col(text_col))).alias("__toks")
     )
+    if sig_impl == "arrow":
+        import numpy as np
+
+        id_dtype = docs.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, id_dtype),
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bh", T.StringType()),
+            ]
+        )
+        Aa = np.array(A, dtype=np.int64)[:, None]
+        Ba = np.array(B, dtype=np.int64)[:, None]
+        r = k // bands
+
+        def gen(batches):
+            import hashlib
+
+            for pdf in batches:
+                ids_out: list = []
+                band_out: list[int] = []
+                bh_out: list[str] = []
+                for did, toks in zip(pdf[id_col], pdf["__toks"]):
+                    # NULL text tokenizes to NULL; < n tokens yields no
+                    # shingles — both match the batch size(__sh)>0 filter
+                    if toks is None or len(toks) < n:
+                        continue
+                    sh = [
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    ]
+                    hs = np.fromiter(
+                        (
+                            int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                            for s in sh
+                        ),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )
+                    # (A·h + B) mod P: A,B < 2^30, h < 2^32 → < 2^63, exact
+                    sig = ((Aa * hs[None, :] + Ba) % MERSENNE_P).min(axis=1)
+                    for b in range(bands):
+                        part = "_".join(
+                            str(int(v)) for v in sig[b * r : (b + 1) * r]
+                        )
+                        ids_out.append(did)
+                        band_out.append(b)
+                        bh_out.append(hashlib.md5(part.encode()).hexdigest())
+                if ids_out:
+                    yield pd.DataFrame(
+                        {id_col: ids_out, "band": band_out, "bh": bh_out}
+                    )
+
+        return toked.mapInPandas(gen, schema=out_schema)
+
     shingled = toked.select(
-        F.col(id_col), shingles_of_tokens(F.col("__toks")).alias("__sh")
+        F.col(id_col), shingles_of_tokens(F.col("__toks"), n).alias("__sh")
     ).filter(F.size("__sh") > 0)
     hashed = shingled.select(
         F.col(id_col),
@@ -665,13 +718,12 @@ def streaming_lsh_neardup(
             lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
         ).alias("__h"),
     )
-    # All k min-hashes in ONE fold: the accumulator is the k-vector of
-    # running minimums, updated per shingle hash via zip_with against
-    # the (Aᵢ, Bᵢ) literal table. Identical values to k separate
-    # array_min(transform(...)) columns ((a·h+b) mod P < P = the init),
-    # but the expression tree is O(1) instead of O(k) — measured ~4 s
-    # less cold-codegen per streaming query instance, which a
-    # per-microbatch-planned stream pays where a batch plan would not.
+    # Legacy one-fold form: the accumulator is the k-vector of running
+    # minimums, updated per shingle hash via zip_with against the
+    # (Aᵢ, Bᵢ) literal table — identical values to k separate
+    # array_min(transform(...)) columns, O(1) expression tree. Kept only
+    # for the A/B pytest: higher-order functions evaluate interpreted,
+    # so this path is ~10x slower than the Arrow stage.
     ab = F.lit([[int(A[i]), int(B[i])] for i in range(k)])
     sig_arr = F.aggregate(
         F.col("__h"),
@@ -686,7 +738,45 @@ def streaming_lsh_neardup(
         F.col(id_col),
         *[F.element_at(F.col("__sig"), i + 1).alias(f"sig_{i}") for i in range(k)],
     )
-    banded = _band_rows(sigs, id_col, k, bands)
+    return _band_rows(sigs, id_col, k, bands)
+
+
+def streaming_lsh_neardup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+    state_cells: int | str = "auto",
+    expected_docs: int | None = None,
+    sig_impl: str = "arrow",
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection: as documents arrive,
+    emit candidate pairs (new doc × every same-bucket doc seen so far) —
+    the crawl-ingestion dedup loop run ONLINE instead of as a nightly
+    batch (the stateful twin of dedup.lsh_incremental_pairs).
+
+    The signature is computed PER-DOCUMENT map-only (one vectorized
+    Arrow ``mapInPandas`` stage — see :func:`_streaming_band_rows`),
+    not via the batch explode+groupBy — a streaming pipeline wants the
+    signature map-only so the ONLY shuffle is the (band, bucket)
+    grouping the state lives under. Same constants and hash spec as
+    the batch operator, so values are identical (pytest-pinned: the
+    drained pair set equals batch lsh_candidate_pairs, and the Arrow
+    band rows equal the legacy ``sig_impl="catalyst"`` expression
+    form).
+
+    State per (band, bucket) is the member-id list, capped at
+    ``max_bucket`` (keep-FIRST-by-id within a batch; arrival order
+    across batches): a degenerate bucket (10k identical docs) holds at
+    most ``max_bucket`` ids and emits O(max_bucket²) pairs total, never
+    O(n²) — the streaming mirror of the batch hot-bucket cap, with
+    keep-first instead of drop-bucket because emitted pairs cannot be
+    retracted."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    banded = _streaming_band_rows(docs, id_col, text_col, k, bands, sig_impl)
     # State-cell COARSENING: grouping state by raw (band, bucket) means
     # one python invocation per occupied bucket per batch — at sf0.1
     # that is ~20k near-empty groups whose fixed dispatch cost (python

@@ -1345,6 +1345,31 @@ def test_streaming_lsh_equals_batch(spark, sf_dir):
     assert got == exp and len(got) > 0
 
 
+def test_streaming_band_rows_arrow_equals_catalyst(spark, sf_dir):
+    """The vectorized Arrow signature stage (hashlib md5 + numpy
+    universal-hash minimums) produces EXACTLY the band rows of the
+    legacy pure-expression fold — same (id, band, bh) set, so the
+    r11 signature rewrite cannot have changed any emitted pair."""
+    from data_transformation_2022_spark.streaming.pipelines import (
+        _streaming_band_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arrow = {
+        tuple(r)
+        for r in _streaming_band_rows(
+            docs, "doc_id", "text", 16, 4, sig_impl="arrow"
+        ).collect()
+    }
+    legacy = {
+        tuple(r)
+        for r in _streaming_band_rows(
+            docs, "doc_id", "text", 16, 4, sig_impl="catalyst"
+        ).collect()
+    }
+    assert arrow == legacy and len(arrow) > 0
+
+
 def test_streaming_lsh_degenerate_bounded(spark, tmp_path):
     """5k identical documents: the keep-first state cap bounds emitted
     pairs to C(cap, 2) per bucket (identical docs share ONE bucket per
