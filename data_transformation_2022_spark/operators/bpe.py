@@ -40,17 +40,6 @@ from pyspark.sql import functions as F
 MERGE_SEP = " "
 
 
-def _adjacent_pairs(syms: F.Column) -> F.Column:
-    """Array of (w1, w2) structs for each adjacent position — the same
-    slice(transform(sequence...)) shape as functions.text.word_bigrams
-    (see its docstring for why slice-then-probe instead of CASE)."""
-    return F.expr(
-        "slice(transform(sequence(0, greatest(size({c}) - 2, 0)),"
-        " i -> struct(get({c}, i) AS w1, get({c}, i+1) AS w2)),"
-        " 1, greatest(size({c}) - 1, 0))".format(c="__syms")
-    )
-
-
 def _apply_merge(syms: F.Column, w1: str, w2: str) -> F.Column:
     """Left-to-right non-overlapping merge of (w1, w2) -> "w1 w2" via a
     lookbehind fold: append each symbol unless it completes the pair
@@ -77,6 +66,36 @@ def _apply_merge(syms: F.Column, w1: str, w2: str) -> F.Column:
     )
 
 
+def _pair_count_gen(sep: str):
+    """mapInPandas generator: packed-corpus batches → PARTIAL adjacent-
+    pair counts (w1, w2, c) — overlapping counts, exactly the explode+
+    count of the expression form, but one python Counter pass per Arrow
+    batch instead of an interpreted transform/get lambda per position
+    (the HOF path measured 0.8-8 s per round at sf0.1; this is <0.3 s).
+    Partial aggregation per batch keeps the shuffle vocabulary²-bounded,
+    same as partial groupBy aggregation would."""
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            cnt: Counter = Counter()
+            for s in pdf["__p"]:
+                if not s:  # empty or NULL doc packs to ""/None — no pairs
+                    continue
+                syms = s[1:-1].split(sep)
+                cnt.update(zip(syms, syms[1:]))
+            if cnt:
+                yield pd.DataFrame(
+                    ((a, b, c) for (a, b), c in cnt.items()),
+                    columns=["w1", "w2", "c"],
+                )
+
+    return gen
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str,
@@ -91,28 +110,73 @@ def bpe_train_merges(
     standard implementation shape: "a a a" counts (a,a) twice) while the
     rewrite merges non-overlapping left-to-right.
 
-    ``checkpoint_dir`` (or $SPARK_GRAFT_CHECKPOINT_DIR) switches the
-    per-round lineage truncation from executor-local ``localCheckpoint``
-    to reliable ``checkpoint()`` — see session.iter_checkpoint: a
-    multi-hour merge loop at fleet scale must survive executor loss.
-    Identical merge tables either way (pytest-pinned).
+    r11 round-cost shape (replacing the array-fold + per-round
+    checkpoint loop — identical merge tables, naive-equivalence
+    pytest-pinned):
+
+    - the corpus is packed ONCE into the sentinel-string form of
+      :func:`bpe_encode_packed` (``US+s1+US US+s2+US …``) and stays
+      packed across rounds;
+    - pair counting is a vectorized Arrow ``mapInPandas`` partial count
+      over the packed strings (one Counter pass per batch) feeding a
+      vocabulary²-bounded groupBy SUM and a 1-row TakeOrdered;
+    - each merge applies as ONE native ``replace`` (a codegen'd JVM
+      string scan, the packed-encoder trick) layered LAZILY on the
+      packed corpus, so the rewrite rides the NEXT round's count scan
+      instead of paying its own materialization job per round — the
+      count job and the rewrite are fused into one action;
+    - lineage stays bounded: the packed init is checkpointed, and the
+      replace chain is re-truncated every 8 rounds (every round when
+      ``checkpoint_dir`` / $SPARK_GRAFT_CHECKPOINT_DIR selects reliable
+      ``checkpoint()`` — a multi-hour fleet-scale loop must survive
+      executor loss; see session.iter_checkpoint).
+
+    Like ``bpe_encode_packed``, the packed form raises on corpora
+    containing the \\x1f/\\x1e sentinel bytes (they would forge symbol
+    boundaries); pre-clean such a corpus (functions.text.
+    clean_control_chars) before training.
 
     Returns (step, w1, w2, pair_count, merged) — ``n_merges`` rows."""
-    from ..session import iter_checkpoint
+    import os as _os
+
+    from ..session import CHECKPOINT_DIR_ENV, iter_checkpoint
     from ..sources.readers import fan_out
 
     spark = df.sparkSession
-    cur = iter_checkpoint(
-        fan_out(df).select(tokens_ws_lower(F.col(text_col)).alias("__syms")),
-        checkpoint_dir,
+    reliable = bool(checkpoint_dir or _os.environ.get(CHECKPOINT_DIR_ENV))
+    ckpt_every = 1 if reliable else 8
+
+    toks = tokens_ws_lower(F.col(text_col))
+    packed = F.when(
+        F.col(text_col).contains(PACK_WRAP) | F.col(text_col).contains(PACK_JOIN),
+        F.raise_error(
+            F.lit(
+                "bpe_train_merges: text contains sentinel bytes \\x1f/\\x1e; "
+                "pre-clean the corpus (clean_control_chars) before training"
+            )
+        ),
+    ).otherwise(
+        F.when(F.size(toks) == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit(PACK_WRAP),
+                F.array_join(toks, PACK_WRAP + PACK_WRAP),
+                F.lit(PACK_WRAP),
+            )
+        )
     )
+    base = iter_checkpoint(
+        fan_out(df).select(packed.alias("__p")), checkpoint_dir
+    )
+    cur = base
+    count_gen = _pair_count_gen(PACK_WRAP + PACK_WRAP)
     merges: list[tuple[int, str, str, int, str]] = []
+    pending = 0
     try:
         for step in range(n_merges):
             top = (
-                cur.select(F.explode(_adjacent_pairs(F.col("__syms"))).alias("p"))
-                .groupBy("p.w1", "p.w2")
-                .agg(F.count("*").alias("c"))
+                cur.mapInPandas(count_gen, schema="w1 string, w2 string, c long")
+                .groupBy("w1", "w2")
+                .agg(F.sum("c").alias("c"))
                 .orderBy(F.col("c").desc(), "w1", "w2")
                 .limit(1)
                 .collect()
@@ -121,14 +185,19 @@ def bpe_train_merges(
                 break
             w1, w2, c = top[0]["w1"], top[0]["w2"], int(top[0]["c"])
             merges.append((step, w1, w2, c, w1 + MERGE_SEP + w2))
-            nxt = iter_checkpoint(
-                cur.select(_apply_merge(F.col("__syms"), w1, w2).alias("__syms")),
-                checkpoint_dir,
+            pat = PACK_WRAP + w1 + PACK_WRAP + PACK_WRAP + w2 + PACK_WRAP
+            rep = PACK_WRAP + w1 + MERGE_SEP + w2 + PACK_WRAP
+            cur = cur.select(
+                F.replace(F.col("__p"), F.lit(pat), F.lit(rep)).alias("__p")
             )
-            cur.unpersist()
-            cur = nxt
+            pending += 1
+            if pending >= ckpt_every and step < n_merges - 1:
+                nxt = iter_checkpoint(cur, checkpoint_dir)
+                base.unpersist()
+                base = cur = nxt
+                pending = 0
     finally:
-        cur.unpersist()
+        base.unpersist()
     return spark.createDataFrame(
         merges, schema="step int, w1 string, w2 string, pair_count bigint, merged string"
     )
