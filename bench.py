@@ -55,6 +55,18 @@ Honesty rules (so round-over-round comparison stays meaningful):
   run 1 and lands in "single_run"); past SPARK_GRAFT_BENCH_BUDGET
   remaining entries record -2.0 ("skipped"). Per-run hangs are
   cancelled after SPARK_GRAFT_QUERY_BUDGET and record -1.0.
+* Band-suspect self-labeling (round 11): every entry whose reported
+  min exceeds the newest committed BENCH_r*.json figure by >2x is
+  checked against the git diff since that bench's commit. If no
+  package .py file plausibly feeding the query changed (file-stem ∩
+  query-function source; queries.py itself via verbatim function-
+  source membership in the old blob), the regression CANNOT be a code
+  change and the entry is labeled "band_suspect" — this VM's roaming
+  stall bands (BENCH_NOTES variance tables) are the only remaining
+  explanation. Entries with overlapping code changes are listed with
+  the overlap instead, for human adjudication. Details in
+  BENCH_LOCAL.json "band_suspects"; the stdout line carries the names
+  + prior figures.
 """
 
 from __future__ import annotations
@@ -93,6 +105,72 @@ SOFT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
 REPEAT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_REPEAT_BUDGET", "780"))
 
 RID_TABLES = ("lineitem", "orders", "documents", "embeddings", "events")
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _band_suspects(timings: dict[str, float], qs: dict) -> dict[str, dict]:
+    """Label >2x regressions vs the newest committed BENCH_r*.json as
+    band_suspect when git shows the query's code unchanged since that
+    bench (see module docstring). Never raises — a bench must not die
+    on a git/IO hiccup; on any failure it returns {}."""
+    import glob
+    import inspect
+    import subprocess
+
+    try:
+        prior_files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        if not prior_files:
+            return {}
+        pf = prior_files[-1]
+        with open(pf) as f:
+            prior = json.load(f).get("parsed", {}).get("queries", {})
+        if not isinstance(prior, dict) or not prior:
+            return {}
+
+        def _git(*args: str) -> str:
+            return subprocess.run(
+                ["git", "-C", REPO, *args],
+                capture_output=True, text=True, timeout=30,
+            ).stdout
+
+        commit = _git("log", "-1", "--format=%H", "--", os.path.basename(pf)).strip()
+        if not commit:
+            return {}
+        pkg = "data_transformation_2022_spark"
+        changed = [
+            p for p in _git("diff", "--name-only", commit).splitlines()
+            if p.startswith(pkg + "/") and p.endswith(".py")
+        ]
+        stems = {os.path.splitext(os.path.basename(p))[0] for p in changed}
+        queries_changed = "queries" in stems
+        stems.discard("queries")
+        old_queries_src = (
+            _git("show", f"{commit}:{pkg}/queries.py") if queries_changed else ""
+        )
+
+        out: dict[str, dict] = {}
+        for name, v in timings.items():
+            p = prior.get(name)
+            if not isinstance(p, (int, float)) or p <= 0 or v <= 0 or v <= 2 * p:
+                continue
+            try:
+                src = inspect.getsource(qs[name])
+            except Exception:
+                src = ""
+            overlap = sorted(s for s in stems if s and s in src)
+            if queries_changed and src and src not in old_queries_src:
+                overlap.append("queries(fn changed)")
+            out[name] = {
+                "prior": p,
+                "prior_file": os.path.basename(pf),
+                "min": v,
+                "changed_overlap": overlap,
+                "band_suspect": not overlap,
+            }
+        return out
+    except Exception:
+        return {}
 
 
 def main() -> None:
@@ -175,12 +253,21 @@ def main() -> None:
             return
         r2, e2 = _run_once(fn, f"{name}#2")
         if e2 is not None:
-            timings[name] = round(r1, 3)
-            runs[name] = [round(r1, 3)]
-            single_run.append(name)
-            print(f"BENCH_OK {name}: {timings[name]}s (single, run2 {e2[:80]})",
-                  file=sys.stderr)
-            return
+            # One bounded retry before falling back to a single-run
+            # figure: a run-2 timeout on a query whose run 1 completed
+            # is this VM's stall-band signature (r10: stream_lsh run 1
+            # 61.6s, run 2 timeout → published single-run), and a third
+            # attempt usually lands outside the stall. Only if IT also
+            # fails does the entry degrade to single_run.
+            if time.time() - start <= REPEAT_BUDGET_S:
+                r2, e2 = _run_once(fn, f"{name}#2retry")
+            if e2 is not None:
+                timings[name] = round(r1, 3)
+                runs[name] = [round(r1, 3)]
+                single_run.append(name)
+                print(f"BENCH_OK {name}: {timings[name]}s (single, run2 {e2[:80]})",
+                      file=sys.stderr)
+                return
         rs = [r1, r2]
         # pair-spread guard (r9): runs differing >2x mark a VM-stall-
         # suspect pair. r10 (ADVICE): instead of leaving the flag for a
@@ -256,6 +343,7 @@ def main() -> None:
 
         _min_of_2(name, _fn, start)
 
+    band_suspects = _band_suspects(timings, qs)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     n_ok = sum(1 for v in timings.values() if v >= 0)
     n_error = sum(1 for v in timings.values() if v == -1.0)
@@ -283,6 +371,7 @@ def main() -> None:
         "n_skipped": n_skipped,
         "n_min2": n_min2,
         "single_run": single_run,
+        "band_suspects": band_suspects,
         "spreads": spreads,
         "spread_flags": sorted(spread_flags),
         "spread_stats": spread_stats,
@@ -312,6 +401,13 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     slim = {k: v for k, v in full.items() if k not in ("runs", "spreads")}
+    # stdout line: compact {name: [prior, min]} for true suspects only;
+    # full records (incl. changed-code overlaps) stay in BENCH_LOCAL.json
+    slim["band_suspects"] = {
+        n: [d["prior"], d["min"]]
+        for n, d in band_suspects.items()
+        if d["band_suspect"]
+    }
     slim["runs_full"] = "BENCH_LOCAL.json"
     line = json.dumps(slim, separators=(",", ":"))
     if len(line) > 1600:
