@@ -119,6 +119,11 @@ class Executor:
         # it once instead of re-running its jobs per chart
         self._derived_bases: dict[tuple, DataFrame] = {}
         self._persisted_base_keys: set[tuple] = set()
+        # chains whose memoized frame carries FEWER columns/ranked
+        # outputs than the unpruned derivation would (keep_fn pruning,
+        # inherited transitively by children built over them) — the
+        # dynamic-selector guard in _derived_base keys off this
+        self._pruned_base_keys: set[tuple] = set()
         # sample-side step-prefix memo: many candidates share a leading
         # rank/nominalize step (e.g. "rank all 100 columns" → select
         # subset), and re-attaching that subtree to every candidate's
@@ -473,6 +478,8 @@ class Executor:
             except Exception:
                 pass
         self._derived_bases.clear()
+        self._persisted_base_keys.clear()
+        self._pruned_base_keys.clear()
         for base in self._sample_bases.values():
             try:  # best-effort: free the localCheckpoint block storage
                 base.rdd.unpersist()
@@ -626,6 +633,8 @@ class Executor:
         if key not in self._derived_bases:
             parent = self._derived_base(derive[:-1], keep_fn=keep_fn)
             step = derive[-1]
+            parent_key = _chain_key(derive[:-1])
+            parent_pruned = bool(derive[:-1]) and parent_key in self._pruned_base_keys
             if (
                 step.i_type == "=="
                 and any(c not in parent.columns for c in (step.i or []))
@@ -636,7 +645,19 @@ class Executor:
                 # (the in-prefetch keep_fn always includes later-step
                 # inputs, so registration never lands here)
                 parent = self._rebuild_base_unpruned(derive[:-1])
+                parent_pruned = False
+            elif step.i_type != "==" and parent_pruned:
+                # dynamic selectors (num/all/like) resolve their input
+                # set FROM the parent's columns, so a pruned parent
+                # silently changes what the step computes over (a value
+                # change with no missing-column error to catch it) —
+                # rebuild the prefix unpruned before resolving (ADVICE
+                # r10). recommend() only emits '==' steps; this is the
+                # direct-API path.
+                parent = self._rebuild_base_unpruned(derive[:-1])
+                parent_pruned = False
             keep = keep_fn(key) if keep_fn is not None else None
+            reduced = False
             if (
                 keep is not None
                 and step.t in ("rank", "nominalize")
@@ -646,6 +667,7 @@ class Executor:
             ):
                 used = [j for j, o in enumerate(step.index) if o in keep]
                 if used and len(used) < len(step.index):
+                    reduced = True
                     step = Step(
                         t=step.t,
                         i_type=step.i_type,
@@ -664,9 +686,13 @@ class Executor:
                         c for c in child.columns if c in keep or c == RID
                     ]
                     if pruned:
+                        if len(pruned) < len(child.columns):
+                            reduced = True
                         child = child.select(*pruned)
                 child = child.persist()
                 self._persisted_base_keys.add(key)
+            if parent_pruned or reduced:
+                self._pruned_base_keys.add(key)
             self._derived_bases[key] = child
         return self._derived_bases[key]
 
@@ -689,6 +715,7 @@ class Executor:
         ]
         for key in stale:
             cached = self._derived_bases.pop(key, None)
+            self._pruned_base_keys.discard(key)
             if cached is not None and key in self._persisted_base_keys:
                 self._persisted_base_keys.discard(key)
                 try:

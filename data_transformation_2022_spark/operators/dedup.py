@@ -1033,6 +1033,16 @@ def _kr_anchor_gen(k: int):
             )
             n_out = np.maximum(lens - k + 1, 0)
             total = int(lens.sum())
+            # The plain int64 cumsum of u (each < m < 2^31) is exact only
+            # while the per-batch token total stays below 2^32 (Q < 2^63).
+            # Enforce rather than assume: a pathological batch (billions
+            # of tokens) must fail loudly, not hash wrong.
+            if total >= 1 << 32:
+                raise ValueError(
+                    f"_kr_anchor_gen: Arrow batch holds {total} tokens "
+                    f"(>= 2^32); the unreduced cumsum would overflow — "
+                    "lower spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             if total == 0 or int(n_out.sum()) == 0:
                 continue
             flat = np.fromiter(
@@ -1089,7 +1099,10 @@ def exact_substring_spans(
     ``(id_a, id_b, a_start, b_start, n_tokens)`` with 1-based token
     positions and ``id_a < id_b``.
 
-    Plan (all built-in expressions, one anchor shuffle + one join):
+    Plan (one anchor shuffle + one join; the default ``"rolling"``
+    anchor stage is a vectorized Arrow ``mapInPandas`` scan, while the
+    ``"rolling-catalyst"`` and ``"md5"`` variants are pure built-in
+    expressions):
 
     1. **anchors** — at every token position ``p`` of a document, the
        62-bit double Karp–Rabin polynomial hash of the ``k``-token

@@ -746,40 +746,46 @@ def semantic_dedup(
             # cap BEFORE validity filtering: degenerate rows occupy cap
             # slots exactly as under the r9 windowed row_number
             pdf = pdf.head(max_cluster)
-        # NULL or ragged vectors can't pair (the r9 zip_with fold gave
-        # them a null cosine — excluded from pairing, kept in output);
-        # np.vstack would raise on them, failing the whole task
+        # NULL/empty vectors can't pair, and neither can two vectors of
+        # DIFFERENT lengths (the r9 zip_with fold gave both a null
+        # cosine — excluded from pairing, kept in output). Same-length
+        # vectors pair regardless of which length the cluster's first
+        # vector had, so a ragged cluster is processed per LENGTH CLASS
+        # — exactly the r9 pairing domain, and np.vstack stays
+        # rectangular within each class.
         vecs = list(pdf[vec_col])
-        dim = next(
-            (len(x) for x in vecs if x is not None and len(x) > 0), None
-        )
-        valid = np.fromiter(
-            (x is not None and len(x) == dim for x in vecs),
-            dtype=bool,
+        all_ids = pdf[id_col].to_numpy()
+        lens = np.fromiter(
+            (-1 if x is None else len(x) for x in vecs),
+            dtype=np.int64,
             count=len(vecs),
         )
-        ids = pdf[id_col].to_numpy()[valid]
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
-        v = np.vstack(
-            [np.asarray(x, dtype=np.float64) for x, ok in zip(vecs, valid) if ok]
-        )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = v / np.linalg.norm(v, axis=1)[:, None]
-        out_a: list = []
-        out_b: list = []
+        out_a: list = [all_ids[:0]]
+        out_b: list = [all_ids[:0]]
         blk = 2048
-        for i0 in range(0, len(ids), blk):
-            s = u[i0:i0 + blk] @ u.T  # (blk, c) slab
-            ia, ib = np.nonzero(s >= tau_lo)
-            ia = ia + i0
-            # id_a < id_b by VALUE (the oracle's a.id < b.id): with ids
-            # sorted this is the upper triangle, but duplicate ids must
-            # NOT self-pair (a positional i < j would emit (X, X) and
-            # spuriously drop X)
-            keep = ids[ia] < ids[ib]
-            out_a.append(ids[ia[keep]])
-            out_b.append(ids[ib[keep]])
+        for dim in np.unique(lens):
+            if dim <= 0:
+                continue
+            valid = lens == dim
+            ids = all_ids[valid]
+            if len(ids) < 2:
+                continue
+            v = np.vstack(
+                [np.asarray(x, dtype=np.float64) for x, ok in zip(vecs, valid) if ok]
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = v / np.linalg.norm(v, axis=1)[:, None]
+            for i0 in range(0, len(ids), blk):
+                s = u[i0:i0 + blk] @ u.T  # (blk, c) slab
+                ia, ib = np.nonzero(s >= tau_lo)
+                ia = ia + i0
+                # id_a < id_b by VALUE (the oracle's a.id < b.id): with
+                # ids sorted this is the upper triangle, but duplicate
+                # ids must NOT self-pair (a positional i < j would emit
+                # (X, X) and spuriously drop X)
+                keep = ids[ia] < ids[ib]
+                out_a.append(ids[ia[keep]])
+                out_b.append(ids[ib[keep]])
         return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )

@@ -85,11 +85,19 @@ def main() -> None:
                 # duplicated, which at copies=100 turns the corpus into
                 # a 100-clone pathology where per-anchor caps bind —
                 # the designed degradation, but a different measurement.
+                # split on the SAME \s+ regex the engine's tokens_ws
+                # uses (ADVICE r10: a single-space split left tokens
+                # separated by tabs/newlines unsalted, letting
+                # cross-replica shared runs survive); empty chunks from
+                # leading/trailing whitespace pick up a bare "·rN"
+                # suffix, which tokens_ws treats as an ordinary token —
+                # still replica-disjoint, which is all this salter
+                # promises
                 out = out.withColumn(
                     "text",
                     F.array_join(
                         F.transform(
-                            F.split(F.col("text"), " "),
+                            F.split(F.col("text"), r"\s+"),
                             lambda tok: F.concat(
                                 tok, F.lit("·r"), F.col("__rep").cast("string")
                             ),
