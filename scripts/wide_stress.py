@@ -78,6 +78,47 @@ def one(spark, n_rows: int, n_num: int, cap: int) -> None:
     )
 
 
+def rank_chain_phase(spark, n_rows: int, n_num: int) -> None:
+    """Isolated 102-column rank-chain materialization phase (r10
+    verdict item 6: pin the keep_fn pruning win against future engine
+    edits). A NARROW consumer (2 ranked columns) over the wide table:
+    keep_fn must reduce both the rank computation and the persisted
+    projection to consumed width, so `persisted_width` staying small
+    (vs 2x-table-width unpruned) and `prefetch` scaling with consumed
+    width are the regression signals — per-phase numbers, because suite
+    wall-clock totals on this VM swing 3-5x with the stall bands
+    (BENCH_NOTES r10)."""
+    from data_transformation_2022_spark.engine import Executor
+    from data_transformation_2022_spark.operators.steps import Step
+    from data_transformation_2022_spark.plans.search import Candidate
+
+    df = wide_df(spark, n_rows, n_num)
+    cols = [f"m{i:03d}" for i in range(n_num)]
+    rank = Step(
+        t="rank", i_type="==", i=cols, o_type="append",
+        index=[f"rank {c}" for c in cols],
+    )
+    cand = Candidate(
+        family="sum_bar", steps=[rank],
+        out_cols=["rank m001", "rank m004"],
+        derived=["rank m001", "rank m004"],
+    )
+    ex = Executor(df, sample_cap=500)
+    t0 = time.time()
+    ex.prefetch(frame_jobs=[], bar_jobs=[("g1", cand, "sum")])
+    t_pref = time.time() - t0
+    key = next(iter(ex._persisted_base_keys))
+    base = ex._derived_bases[key]
+    ranked = [c for c in base.columns if c.startswith("rank ")]
+    print(
+        f"rank_chain: cols={n_num + 2} rows={n_rows} "
+        f"persisted_width={len(base.columns)} ranked={len(ranked)} "
+        f"prefetch={t_pref:.2f}s",
+        flush=True,
+    )
+    ex.release()
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     spark = get_spark(app_name="wide_stress")
@@ -88,6 +129,7 @@ def main() -> None:
     one(spark, n_rows, 100, 12)    # reference m1.csv width, default caps
     one(spark, n_rows, 100, 60)    # ~5x candidate count
     one(spark, n_rows, 100, 120)   # ~10x candidate count
+    rank_chain_phase(spark, n_rows, 100)  # keep_fn pruning pin (r10)
     spark.stop()
 
 

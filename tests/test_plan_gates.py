@@ -168,3 +168,120 @@ def test_plan_shape_gates(spark):
             f"whitelisted queries no longer have {what} "
             f"(remove the stale entries): {unexercised}"
         )
+
+
+def test_streaming_plan_shape_gates(spark):
+    """The streaming twin of the batch gate (r10 verdict item 7): the
+    batch gate skips streaming queries because EXECUTING them drains a
+    stream, but their plans are buildable unstarted — so the standing
+    claims about the stateful operators are CI-checked here, on the
+    analyzed plans of the exact frames the drivers start:
+
+    * every custom-stateful node (FlatMapGroupsInPandasWithState) is
+      KEYED — non-empty groupingAttributes; an unkeyed stateful op
+      would funnel the whole stream through one state partition;
+    * every streaming Aggregate / Deduplicate is keyed the same way;
+    * every stream-stream Join carries a condition (the event-time
+      range is what lets Spark bound the join state);
+    * watermarks are present where the pipeline claims bounded state;
+    * zero row-wise EvalPython nodes, as in batch.
+    """
+    from data_transformation_2022_spark.streaming import pipelines as P
+
+    docs_schema = spark.read.parquet(f"{_SF}/documents.parquet").schema
+    doc_stream = (
+        spark.readStream.format("parquet")
+        .schema(docs_schema)
+        .option("path", _SF)
+        .option("pathGlobFilter", "documents.parquet")
+        .load()
+    )
+    ev = P._event_stream(spark, _SF)
+
+    # name -> (frame, expected stateful-node counts)
+    cases = {
+        "stream_lsh_neardup": (
+            P.streaming_lsh_neardup(doc_stream, "doc_id", "text", expected_docs=500),
+            dict(with_state=1, watermarks=0),
+        ),
+        "stream_running_totals": (
+            P.running_user_totals(ev),
+            dict(with_state=1, watermarks=0),  # processing-time timeout
+        ),
+        "stream_hourly_rollup": (
+            P.hourly_rollup_agg(ev, with_watermark=True),
+            dict(aggregates=1, watermarks=1),
+        ),
+        "stream_sessionize": (
+            ev.withWatermark("ts", "2 hours")
+            .groupBy(P.F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(P.F.count(P.F.lit(1)).alias("n_events")),
+            dict(aggregates=1, watermarks=1),
+        ),
+        "stream_dedup_keys": (
+            ev.withWatermark("ts", "2 hours").dropDuplicates(
+                ["user_id", "event_type"]
+            ),
+            dict(dedups=1, watermarks=1),
+        ),
+    }
+    for name, (frame, want) in cases.items():
+        assert frame.isStreaming, name
+        plan = json.loads(frame._jdf.queryExecution().analyzed().toJSON())
+        got = dict(with_state=0, aggregates=0, dedups=0, watermarks=0)
+        for node in plan:
+            cls = node.get("class", "")
+            if cls.endswith("FlatMapGroupsInPandasWithState"):
+                got["with_state"] += 1
+                assert node.get("groupingAttributes"), (
+                    f"{name}: unkeyed FlatMapGroupsInPandasWithState — "
+                    "all-stream single-partition state"
+                )
+            elif cls.endswith(".Aggregate"):
+                got["aggregates"] += 1
+                assert node.get("groupingExpressions"), (
+                    f"{name}: global streaming aggregate (no grouping)"
+                )
+            elif cls.endswith(".Deduplicate") or cls.endswith(
+                "DeduplicateWithinWatermark"
+            ):
+                got["dedups"] += 1
+                assert node.get("keys"), f"{name}: keyless Deduplicate"
+            elif cls.endswith(".Join"):
+                assert node.get("condition"), (
+                    f"{name}: condition-less stream join (unbounded state)"
+                )
+            elif cls.endswith("EventTimeWatermark"):
+                got["watermarks"] += 1
+            assert "EvalPython" not in cls, f"{name}: row-wise Python UDF"
+        for k, v in want.items():
+            assert got[k] == v, f"{name}: expected {k}={v}, plan has {got[k]}"
+
+    # the stream-stream interval join, built exactly as the driver does
+    views = (
+        ev.filter(P.F.col("event_type") == "view")
+        .select("event_id", "user_id", P.F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(P.F.col("event_type") == "click")
+        .select(
+            P.F.col("event_id").alias("click_id"),
+            P.F.col("user_id").alias("c_user"),
+            P.F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (P.F.col("user_id") == P.F.col("c_user"))
+        & (P.F.col("click_ts") >= P.F.col("view_ts"))
+        & (P.F.col("click_ts") <= P.F.col("view_ts") + P.F.expr("INTERVAL 3 HOURS")),
+        "inner",
+    )
+    plan = json.loads(joined._jdf.queryExecution().analyzed().toJSON())
+    joins = [n for n in plan if n.get("class", "").endswith(".Join")]
+    assert joins and all(n.get("condition") for n in joins)
+    assert sum(
+        1 for n in plan if n.get("class", "").endswith("EventTimeWatermark")
+    ) == 2
