@@ -6382,84 +6382,81 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The correctness driver attests the first 50 registry entries per round.
-# Union across rounds 1-9: every exact-oracle query attested (164/164,
-# none staler than r06 entering round 10 — scripts/attestation_audit.py).
-# The round-10 prefix (7 + 25 + 18 = 50):
-#   (1) every exact query whose CODE or ORACLE changed this round
+# Union across rounds 1-10: every exact-oracle query attested (164/164,
+# none staler than r07 entering round 11 — scripts/attestation_audit.py).
+# The round-11 prefix (3 + 24 + 23 = 50):
+#   (1) every exact query whose engine code changed this round
 #       ("attested" must mean attested for the code that ships):
-#       dedup_exact_substring + corpus_substring_scrub (anchor hash
-#       re-pinned from per-window md5 to the 62-bit double Karp-Rabin
-#       spec - engine Arrow scan + direct-fold oracle), sim_semantic_dedup
-#       (candidate stage rewritten to the per-cluster gram matrix;
-#       kept set pytest-pinned identical), and the four classifier
-#       consumers riding the data_fit_key/eval-rotation edits
-#       (corpus_quality_classifier, corpus_classifier_eval,
-#       pipeline_curate_corpus, corpus_source_quality - values
+#       sim_semantic_dedup (find_candidates now pairs per length class
+#       in ragged clusters — ADVICE r10), dedup_exact_substring +
+#       corpus_substring_scrub (the Karp-Rabin anchor stage gained the
+#       2^32-token-per-batch overflow guard — ADVICE r10; values
 #       unchanged, re-attested anyway);
-#   (2) all 25 queries whose newest attestation is r06 - the stalest
-#       band, the rotation target the round-9 verdict named;
-#   (3) backfill to 50 with the 18 alphabetically-first r07-cohort
-#       entries. The remaining 24 r07 entries rotate in round 11
-#       (the r9 verdict's planned two-round rotation).
-# Everything displaced holds an r07-r09 attestation, so union coverage
+#   (2) all 24 queries whose newest attestation is r07 — the final
+#       band of the r9 verdict's planned rotation;
+#   (3) backfill to 50 with the 23 alphabetically-first r08-cohort
+#       entries (incl. corpus_decontaminate_fuzzy, this round's
+#       band-adjudication target). The remaining 24 r08 entries are
+#       round 12's rotation.
+# Everything displaced holds an r08-r10 attestation, so union coverage
 # is unaffected; after this round no exact query's newest attestation
-# is older than r07.
+# is older than r08.
 
 _PRIORITY: list[str] = [
-    # Round-10 attestation prefix - exactly 50 entries.
-    # --- (1) code or oracle changed in round 10 (7) ---
+    # Round-11 attestation prefix - exactly 50 entries.
+    # --- (1) code changed in round 11 (3) ---
+    "sim_semantic_dedup",
     "dedup_exact_substring",
     "corpus_substring_scrub",
-    "sim_semantic_dedup",
-    "corpus_quality_classifier",
-    "corpus_classifier_eval",
-    "pipeline_curate_corpus",
-    "corpus_source_quality",
-    # --- (2) every r06-stale exact query (25, r9 audit list) ---
-    "corpus_topk_docs_per_lang",
-    "corpus_vocab_topk",
-    "dedup_incremental_lsh",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "delta_upsert_merge",
-    "emb_neardup_pairs",
-    "emb_pq_codes",
-    "emb_quantize_int8",
-    "events_funnel_ordered",
-    "events_resample_ffill",
-    "events_variant_agg",
-    "io_orc_roundtrip",
-    "io_zorder_cluster",
-    "profile_column_stats",
-    "profile_skew_report",
-    "sample_weighted_priority",
-    "sim_cosine_topk",
-    "sim_ivf_full_probe",
-    "sketch_cms_topk",
-    "sketch_hist_quantile",
-    "sketch_kmv_distinct",
-    "sketch_kmv_join_card",
-    "sketch_kmv_union",
-    "stream_stream_join",
-    # --- (3) r07 backfill (next-stalest, alphabetical, 18) to fill 50 ---
-    "agg_group_count",
-    "agg_group_sum",
-    "agg_median_mode",
-    "agg_unpivot",
-    "basic_replace_mode",
-    "basic_rid_concat",
-    "corpus_chunk_documents",
-    "corpus_pack_sequences",
-    "corpus_ppl_buckets",
-    "corpus_ppl_buckets_sketch",
-    "corpus_shuffle_deterministic",
-    "distinct_domain",
-    "events_json_extract",
-    "events_retention_cohort",
-    "events_sessionize",
-    "io_compact_small_files",
-    "io_csv_roundtrip",
-    "io_dynamic_pruning",
+    # --- (2) every r07-stale exact query (24, r10 audit list) ---
+    "io_schema_evolution",
+    "io_zorder_cluster3",
+    "join_3way_topk",
+    "join_bloom_pruned",
+    "join_broadcast_dims",
+    "join_full_outer_reconcile",
+    "join_range_cooccur",
+    "join_skew_salted",
+    "profile_outliers",
+    "set_intersect_except",
+    "set_union_all",
+    "stream_static_enrich",
+    "text_fuzzy_name_pairs",
+    "topk_by_value",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q16_notin",
+    "tpch_q22_antijoin",
+    "tpch_q2_corr_min",
+    "tpch_q3",
+    "tpch_q4_exists",
+    "tpch_q5",
+    "tpch_q6",
+    "window_range_frame",
+    # --- (3) r08 backfill (next-stalest, alphabetical, 23) to fill 50 ---
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "basic_astype",
+    "basic_div",
+    "basic_hmul",
+    "basic_hsum",
+    "corpus_decontaminate_fuzzy",
+    "dedup_components",
+    "dedup_keep_best",
+    "dedup_keep_list",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "events_hourly_rollup",
+    "io_bucketed_join",
+    "multimodal_audio_meta",
+    "pipeline_build_corpus",
+    "sample_hash_bernoulli",
+    "sample_stratified",
+    "scoring_cdm",
+    "scoring_correlation",
 ]
 
 def _reorder_registry() -> None:
