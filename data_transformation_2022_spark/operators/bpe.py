@@ -66,14 +66,24 @@ def _apply_merge(syms: F.Column, w1: str, w2: str) -> F.Column:
     )
 
 
-def _pair_count_gen(sep: str):
+def _pair_count_gen(sep: str, repls: tuple[tuple[str, str], ...] = ()):
     """mapInPandas generator: packed-corpus batches → PARTIAL adjacent-
     pair counts (w1, w2, c) — overlapping counts, exactly the explode+
     count of the expression form, but one python Counter pass per Arrow
     batch instead of an interpreted transform/get lambda per position
     (the HOF path measured 0.8-8 s per round at sf0.1; this is <0.3 s).
     Partial aggregation per batch keeps the shuffle vocabulary²-bounded,
-    same as partial groupBy aggregation would."""
+    same as partial groupBy aggregation would.
+
+    ``repls`` replays the merges accepted so far onto each packed
+    string before counting (``str.replace`` — left-to-right
+    non-overlapping, byte-identical to the JVM ``replace`` the packed
+    encoder uses). Applying them HERE instead of layering per-round
+    ``F.replace`` projections keeps every round's JVM plan IDENTICAL,
+    so whole-stage codegen compiles once for the whole training loop
+    instead of once per round (the per-round recompile made the cold
+    loop ~18 s at sf0.1; with a constant plan it is the one-time Arrow
+    stage cost)."""
 
     def gen(batches):
         from collections import Counter
@@ -85,6 +95,8 @@ def _pair_count_gen(sep: str):
             for s in pdf["__p"]:
                 if not s:  # empty or NULL doc packs to ""/None — no pairs
                     continue
+                for pat, rep in repls:
+                    s = s.replace(pat, rep)
                 syms = s[1:-1].split(sep)
                 cnt.update(zip(syms, syms[1:]))
             if cnt:
@@ -115,21 +127,24 @@ def bpe_train_merges(
     pytest-pinned):
 
     - the corpus is packed ONCE into the sentinel-string form of
-      :func:`bpe_encode_packed` (``US+s1+US US+s2+US …``) and stays
-      packed across rounds;
+      :func:`bpe_encode_packed` (``US+s1+US US+s2+US …``), checkpointed,
+      and NEVER rewritten: the merge state is the driver-side merge
+      list, replayed onto each packed string inside the count pass
+      (``str.replace`` ≡ the JVM ``replace`` of the packed encoder);
     - pair counting is a vectorized Arrow ``mapInPandas`` partial count
-      over the packed strings (one Counter pass per batch) feeding a
-      vocabulary²-bounded groupBy SUM and a 1-row TakeOrdered;
-    - each merge applies as ONE native ``replace`` (a codegen'd JVM
-      string scan, the packed-encoder trick) layered LAZILY on the
-      packed corpus, so the rewrite rides the NEXT round's count scan
-      instead of paying its own materialization job per round — the
-      count job and the rewrite are fused into one action;
-    - lineage stays bounded: the packed init is checkpointed, and the
-      replace chain is re-truncated every 8 rounds (every round when
-      ``checkpoint_dir`` / $SPARK_GRAFT_CHECKPOINT_DIR selects reliable
-      ``checkpoint()`` — a multi-hour fleet-scale loop must survive
-      executor loss; see session.iter_checkpoint).
+      (one Counter pass per batch) feeding a vocabulary²-bounded
+      groupBy SUM and a 1-row TakeOrdered — ONE job per round, and
+      every round shares the IDENTICAL JVM plan over the checkpointed
+      base, so codegen compiles once for the whole loop;
+    - rounds re-apply the accepted merges (round j replays j string
+      scans — O(n_merges · corpus) total python replace work, trivial
+      at tokenizer-table sizes; a >>100-merge run should fold the
+      accumulated merges into the base periodically, which is one
+      ``bpe_encode_packed``-style replace chain + re-checkpoint);
+    - fault tolerance: reliable ``checkpoint()`` mode (``checkpoint_dir``
+      / $SPARK_GRAFT_CHECKPOINT_DIR, see session.iter_checkpoint) now
+      protects the ONLY cluster-side state — the packed base; everything
+      else is driver metadata, so executor loss costs one round's job.
 
     Like ``bpe_encode_packed``, the packed form raises on corpora
     containing the \\x1f/\\x1e sentinel bytes (they would forge symbol
@@ -137,15 +152,10 @@ def bpe_train_merges(
     clean_control_chars) before training.
 
     Returns (step, w1, w2, pair_count, merged) — ``n_merges`` rows."""
-    import os as _os
-
-    from ..session import CHECKPOINT_DIR_ENV, iter_checkpoint
+    from ..session import iter_checkpoint
     from ..sources.readers import fan_out
 
     spark = df.sparkSession
-    reliable = bool(checkpoint_dir or _os.environ.get(CHECKPOINT_DIR_ENV))
-    ckpt_every = 1 if reliable else 8
-
     toks = tokens_ws_lower(F.col(text_col))
     packed = F.when(
         F.col(text_col).contains(PACK_WRAP) | F.col(text_col).contains(PACK_JOIN),
@@ -167,14 +177,13 @@ def bpe_train_merges(
     base = iter_checkpoint(
         fan_out(df).select(packed.alias("__p")), checkpoint_dir
     )
-    cur = base
-    count_gen = _pair_count_gen(PACK_WRAP + PACK_WRAP)
     merges: list[tuple[int, str, str, int, str]] = []
-    pending = 0
+    repls: list[tuple[str, str]] = []
     try:
         for step in range(n_merges):
+            gen = _pair_count_gen(PACK_WRAP + PACK_WRAP, tuple(repls))
             top = (
-                cur.mapInPandas(count_gen, schema="w1 string, w2 string, c long")
+                base.mapInPandas(gen, schema="w1 string, w2 string, c long")
                 .groupBy("w1", "w2")
                 .agg(F.sum("c").alias("c"))
                 .orderBy(F.col("c").desc(), "w1", "w2")
@@ -185,17 +194,12 @@ def bpe_train_merges(
                 break
             w1, w2, c = top[0]["w1"], top[0]["w2"], int(top[0]["c"])
             merges.append((step, w1, w2, c, w1 + MERGE_SEP + w2))
-            pat = PACK_WRAP + w1 + PACK_WRAP + PACK_WRAP + w2 + PACK_WRAP
-            rep = PACK_WRAP + w1 + MERGE_SEP + w2 + PACK_WRAP
-            cur = cur.select(
-                F.replace(F.col("__p"), F.lit(pat), F.lit(rep)).alias("__p")
+            repls.append(
+                (
+                    PACK_WRAP + w1 + PACK_WRAP + PACK_WRAP + w2 + PACK_WRAP,
+                    PACK_WRAP + w1 + MERGE_SEP + w2 + PACK_WRAP,
+                )
             )
-            pending += 1
-            if pending >= ckpt_every and step < n_merges - 1:
-                nxt = iter_checkpoint(cur, checkpoint_dir)
-                base.unpersist()
-                base = cur = nxt
-                pending = 0
     finally:
         base.unpersist()
     return spark.createDataFrame(
