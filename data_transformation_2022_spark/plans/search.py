@@ -71,14 +71,23 @@ def common_suffix_name(op: str, cols: list[str]) -> str:
 
 
 def name_distance(a: str, b: str) -> float:
-    """Header-name distance in [0,1]: 1 − max(token-Jaccard, char-ngram
-    cosine). The reference uses word2vec cosine (utils.py:176-213);
+    """Header-name distance in [0,1]. The reference uses word2vec
+    cosine (utils.py:176-213); with a NameEmbedder installed
+    (functions/embeddings.set_name_embedder — corpus-trained PPMI-SVD
+    vectors, or a real model if the env gains one) this IS an embedding
+    cosine distance, reference-shaped including the shared-UNK
+    treatment of out-of-vocabulary names. Default (no embedder): the
+    model-free stand-in 1 − max(token-Jaccard, char-ngram cosine) —
     token overlap catches shared words, the character-ngram cosine
     (profiler.char_ngram_cosine) catches shared morphology the token
     set misses (exp0/exp9) while keeping different stems apart
-    (exp0/imp0) — the model-free stand-ins with the same planner role."""
+    (exp0/imp0). Opt-in keeps goldens corpus-independent."""
+    from ..functions.embeddings import get_name_embedder
     from ..profiler import char_ngram_cosine
 
+    emb = get_name_embedder()
+    if emb is not None:
+        return emb.distance(a, b)
     ta = set(re.findall(r"[a-zA-Z]{2,}|\d+", a.lower()))
     tb = set(re.findall(r"[a-zA-Z]{2,}|\d+", b.lower()))
     jac = len(ta & tb) / len(ta | tb) if ta and tb else 0.0

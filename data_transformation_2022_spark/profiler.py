@@ -860,20 +860,37 @@ def semantic_name_clusters(
     cols: list[str], eps: float = 0.5, min_samples: int = 5
 ) -> list[list[str]]:
     """Header-semantics clusters: DBSCAN (same eps=0.5/min_samples=5 as
-    the reference's w2v clustering, spreadsheet.py:239-246) over a
-    character-ngram cosine distance matrix. Recovers morphology families
-    the substring pass can miss and keeps unrelated stems apart — e.g.
-    ie19's exp0..exp9 vs imp0..imp9 land in two separate clusters
-    (reference test corpus, FIXTURES.md)."""
+    the reference's w2v clustering, spreadsheet.py:239-246). With a
+    NameEmbedder installed (functions/embeddings) the distance matrix
+    is euclidean between L2-NORMALIZED name embeddings — the
+    reference's DBSCAN(metric='euclidean') over w2v vectors, up to the
+    normalization that makes eps corpus-scale-free. Default: the
+    character-ngram cosine distance stand-in, which recovers morphology
+    families the substring pass can miss and keeps unrelated stems
+    apart — e.g. ie19's exp0..exp9 vs imp0..imp9 land in two separate
+    clusters (reference test corpus, FIXTURES.md)."""
+    from .functions.embeddings import get_name_embedder
+
     named = [c for c in cols if char_ngrams(c)]
     if len(named) < min_samples:
         return []
     n = len(named)
     dist = np.zeros((n, n))
-    for i in range(n):
-        for j in range(i + 1, n):
-            d = 1.0 - char_ngram_cosine(named[i], named[j])
-            dist[i, j] = dist[j, i] = d
+    emb = get_name_embedder()
+    if emb is not None:
+        vs = np.vstack([emb.embed(c) for c in named])
+        norms = np.linalg.norm(vs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vs = vs / norms
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = float(np.linalg.norm(vs[i] - vs[j]))
+                dist[i, j] = dist[j, i] = d
+    else:
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = 1.0 - char_ngram_cosine(named[i], named[j])
+                dist[i, j] = dist[j, i] = d
     labels = dbscan_labels(dist, eps=eps, min_samples=min_samples)
     return [
         [named[i] for i in np.where(labels == lab)[0]]

@@ -2528,3 +2528,150 @@ def test_clear_fit_cache_invalidates(spark, sf_dir, monkeypatch):
     run()
     assert calls["n"] == 2, "cleared cache must refit"
     T._FIT_CACHE.clear()
+
+
+def test_cooccurrence_counts_match_naive(spark):
+    """Distributed windowed co-occurrence counts == a naive python
+    count over the same window scheme (symmetric, unweighted, offsets
+    1..w) — the exact-integer substrate the PPMI embeddings train on."""
+    from collections import Counter
+
+    from data_transformation_2022_spark.functions.embeddings import (
+        cooccurrence_pairs,
+    )
+
+    texts = [
+        "red cat sat on the red mat",
+        "blue dog ran",
+        "cat and dog",
+        "",
+        None,
+        "one",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    w = 3
+    got = Counter()
+    for r in cooccurrence_pairs(docs, "text", window=w).collect():
+        got[(r["center"], r["context"])] += 1
+    want = Counter()
+    for t in texts:
+        toks = (t or "").lower().split()
+        for i, a in enumerate(toks):
+            for d in range(1, w + 1):
+                if i + d < len(toks):
+                    want[(a, toks[i + d])] += 1
+                    want[(toks[i + d], a)] += 1
+    assert got == want and len(want) > 0
+
+
+def _topic_corpus(spark, n=60):
+    """Synthetic two-topic corpus: 'fruit' docs share contexts among
+    {apple, banana, mango}; 'metal' docs among {iron, copper, zinc}."""
+    fruit = ["apple", "banana", "mango"]
+    metal = ["iron", "copper", "zinc"]
+    rows = []
+    for i in range(n):
+        f = [fruit[(i + j) % 3] for j in range(4)]
+        m = [metal[(i + j) % 3] for j in range(4)]
+        rows.append((2 * i, "sweet ripe " + " ".join(f) + " juice tree"))
+        rows.append((2 * i + 1, "hard forged " + " ".join(m) + " ore mine"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ppmi_svd_deterministic_and_semantic(spark):
+    """train_ppmi_svd is partition-invariant and byte-deterministic
+    (exact counts -> fixed matrix -> sign-pinned SVD), and embeds the
+    two synthetic topics separably: within-topic cosine similarity
+    beats cross-topic for every pair."""
+    import numpy as np
+
+    from data_transformation_2022_spark.functions.embeddings import (
+        train_ppmi_svd,
+    )
+
+    docs = _topic_corpus(spark)
+    v1 = train_ppmi_svd(docs.repartition(1), "text", vocab_size=50, dim=8)
+    v8 = train_ppmi_svd(docs.repartition(8), "text", vocab_size=50, dim=8)
+    assert set(v1) == set(v8) and len(v1) >= 10
+    for t in v1:
+        assert np.array_equal(v1[t], v8[t]), t
+
+    # full naive replay: same vocab rule, window counts (pinning the
+    # Arrow pair-counter == cooccurrence_pairs), PPMI, SVD + sign pin —
+    # identical matrices give bit-identical vectors
+    from collections import Counter
+
+    texts = [r["text"] for r in docs.collect()]
+    uni: Counter = Counter(t for s in texts for t in s.lower().split())
+    vocab = sorted(
+        (t for t, c in uni.items() if c >= 2),
+        key=lambda t: (-uni[t], t),
+    )[:50]
+    idx = {t: i for i, t in enumerate(vocab)}
+    M = np.zeros((len(vocab), len(vocab)))
+    for s in texts:
+        toks = s.lower().split()
+        for i, a in enumerate(toks):
+            for d in range(1, 6):
+                if i + d < len(toks):
+                    b = toks[i + d]
+                    if a in idx and b in idx:
+                        M[idx[a], idx[b]] += 1
+                        M[idx[b], idx[a]] += 1
+    tot, rows, cols = M.sum(), M.sum(1, keepdims=True), M.sum(0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log((M * tot) / (rows @ cols))
+    ppmi = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+    u, s_, _ = np.linalg.svd(ppmi, full_matrices=False)
+    d = min(8, int((s_ > 1e-12).sum()))
+    u, s_ = u[:, :d], s_[:d]
+    flips = np.sign(u[np.abs(u).argmax(axis=0), np.arange(d)])
+    flips[flips == 0] = 1.0
+    naive = (u * flips) * np.sqrt(s_)
+    assert set(v1) == set(vocab)
+    for t in vocab:
+        assert np.allclose(v1[t], naive[idx[t]], atol=1e-10), t
+
+    def cos(a, b):
+        va, vb = v1[a], v1[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    fruit, metal = ["apple", "banana", "mango"], ["iron", "copper", "zinc"]
+    within = [cos(a, b) for g in (fruit, metal) for a in g for b in g if a < b]
+    cross = [cos(a, b) for a in fruit for b in metal]
+    assert min(within) > max(cross), (min(within), max(cross))
+
+
+def test_name_embedder_hook_and_fallback(spark):
+    """With a corpus-trained NameEmbedder installed, name_distance and
+    semantic_name_clusters run on embedding geometry (reference w2v
+    role, incl. the shared-UNK rule: two fully-OOV names sit at
+    distance 0); with it cleared, the model-free stand-ins return
+    exactly their prior values — goldens cannot drift."""
+    from data_transformation_2022_spark.functions.embeddings import (
+        NameEmbedder,
+        set_name_embedder,
+        train_ppmi_svd,
+    )
+    from data_transformation_2022_spark.plans.search import name_distance
+    from data_transformation_2022_spark.profiler import semantic_name_clusters
+
+    before = name_distance("apple price", "zinc price")
+    vecs = train_ppmi_svd(_topic_corpus(spark), "text", vocab_size=50, dim=8)
+    set_name_embedder(NameEmbedder(vecs))
+    try:
+        d_within = name_distance("apple total", "banana total")
+        d_cross = name_distance("apple total", "copper total")
+        assert d_within < d_cross
+        assert name_distance("qqq1", "zzz9") == 0.0  # shared UNK
+        cols = [f"{t} level" for t in
+                ("apple", "banana", "mango", "iron", "copper", "zinc")]
+        clusters = semantic_name_clusters(cols, eps=0.5, min_samples=2)
+        as_sets = [frozenset(c) for c in clusters]
+        assert frozenset({"apple level", "banana level", "mango level"}) in as_sets
+        assert frozenset({"iron level", "copper level", "zinc level"}) in as_sets
+    finally:
+        set_name_embedder(None)
+    assert name_distance("apple price", "zinc price") == before
