@@ -257,19 +257,85 @@ class NameEmbedder:
         return float(min(1.0, max(0.0, d)))
 
 
+def save_embeddings(vectors: dict[str, np.ndarray], path: str) -> None:
+    """Persist a trained vector table as parquet (token,
+    vector float64[]) — pyarrow directly, no SparkSession needed, so a
+    serving process can load it before any Spark work starts (the
+    persisted-IVF-index convention applied to the name model)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    toks = sorted(vectors)
+    tbl = pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "vector": pa.array(
+                [vectors[t].tolist() for t in toks],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def load_embeddings(path: str) -> dict[str, np.ndarray]:
+    """Inverse of :func:`save_embeddings` — bit-exact round trip
+    (float64 end to end, pytest-pinned)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    toks = tbl.column("token").to_pylist()
+    vecs = tbl.column("vector").to_pylist()
+    return {t: np.asarray(v, dtype=np.float64) for t, v in zip(toks, vecs)}
+
+
 # --- active-embedder registry (opt-in; default None keeps the
 # model-free stand-ins and every golden byte-stable) ------------------
 _ACTIVE: NameEmbedder | None = None
+_ENV_TRIED = False
+
+# Env tier: point at a saved vector table (parquet from
+# save_embeddings, or a word2vec-format .bin if the image ever gains
+# gensim) and every session picks it up without code changes — the
+# concrete form of the "real model when the environment provides one"
+# hook the reference's GoogleNews dependency maps to.
+NAME_EMB_ENV = "SPARK_GRAFT_NAME_EMB"
 
 
 def set_name_embedder(emb: NameEmbedder | None) -> None:
     """Install (or clear) the process-wide name embedder consulted by
     plans/search.name_distance and profiler.semantic_name_clusters.
     Opt-in by design: profiling must not silently depend on whichever
-    corpus was last trained."""
-    global _ACTIVE
+    corpus was last trained. Clearing also re-arms the env loader."""
+    global _ACTIVE, _ENV_TRIED
     _ACTIVE = emb
+    _ENV_TRIED = emb is not None
 
 
 def get_name_embedder() -> NameEmbedder | None:
+    global _ACTIVE, _ENV_TRIED
+    if _ACTIVE is None and not _ENV_TRIED:
+        _ENV_TRIED = True  # one attempt per process; failures warn once
+        import os
+        import sys
+
+        path = os.environ.get(NAME_EMB_ENV)
+        if path:
+            try:
+                if path.endswith(".bin"):
+                    from gensim.models import KeyedVectors  # env-gated
+
+                    kv = KeyedVectors.load_word2vec_format(path, binary=True)
+                    _ACTIVE = NameEmbedder(
+                        {t: np.asarray(kv[t], dtype=np.float64) for t in kv.key_to_index}
+                    )
+                else:
+                    _ACTIVE = NameEmbedder(load_embeddings(path))
+            except Exception as e:  # degrade to the stand-in, loudly
+                print(
+                    f"WARN {NAME_EMB_ENV}={path} failed to load "
+                    f"({type(e).__name__}: {e}); name semantics fall back "
+                    "to the model-free stand-in",
+                    file=sys.stderr,
+                )
     return _ACTIVE

@@ -2675,3 +2675,40 @@ def test_name_embedder_hook_and_fallback(spark):
     finally:
         set_name_embedder(None)
     assert name_distance("apple price", "zinc price") == before
+
+
+def test_embeddings_save_load_and_env_tier(spark, tmp_path, monkeypatch):
+    """save/load round-trips the vector table bit-exactly, and the
+    SPARK_GRAFT_NAME_EMB env tier auto-installs it on first
+    get_name_embedder() — the concrete 'real model when the env
+    provides one' hook; clearing restores the stand-in default."""
+    import numpy as np
+
+    from data_transformation_2022_spark.functions import embeddings as E
+
+    vecs = E.train_ppmi_svd(_topic_corpus(spark), "text", vocab_size=50, dim=8)
+    p = str(tmp_path / "name_vecs.parquet")
+    E.save_embeddings(vecs, p)
+    back = E.load_embeddings(p)
+    assert set(back) == set(vecs)
+    for t in vecs:
+        assert np.array_equal(back[t], vecs[t]), t
+
+    monkeypatch.setenv(E.NAME_EMB_ENV, p)
+    E.set_name_embedder(None)
+    E._ENV_TRIED = False  # re-arm (set_name_embedder(None) also does)
+    try:
+        emb = E.get_name_embedder()
+        assert emb is not None
+        assert emb.distance("apple total", "banana total") < emb.distance(
+            "apple total", "copper total"
+        )
+        # a broken path degrades loudly to the stand-in, not an error
+        E.set_name_embedder(None)
+        E._ENV_TRIED = False
+        monkeypatch.setenv(E.NAME_EMB_ENV, str(tmp_path / "missing.parquet"))
+        assert E.get_name_embedder() is None
+    finally:
+        monkeypatch.delenv(E.NAME_EMB_ENV, raising=False)
+        E.set_name_embedder(None)
+        E._ENV_TRIED = True  # leave the suite in the no-env default
