@@ -205,3 +205,52 @@ def test_bar_aggregate_rebuilds_pruned_base(spark):
     row = sib.orderBy("a").limit(1).collect()[0]
     assert row["d"] == row["rank a"] - row["a"]
     ex2.release()
+
+
+def test_dynamic_selector_over_pruned_prefix_rebuilds(spark):
+    """ADVICE r10: a public-API chain extension whose step uses a
+    DYNAMIC input selector (num/all/like) resolves its inputs from the
+    parent's columns, so a keep_fn-pruned parent would silently change
+    the computation (no missing-column error). The executor must
+    rebuild the prefix unpruned — the horizontal sum over 'num' must
+    cover ALL ranked columns, identical to a never-pruned executor."""
+    from data_transformation_2022_spark.engine import Executor
+    from data_transformation_2022_spark.operators.steps import Step
+    from data_transformation_2022_spark.plans.search import Candidate
+
+    cols = [f"m{i}" for i in range(6)]
+    df = spark.createDataFrame(
+        [tuple(float(i * 7 + j) for j in range(6)) + (f"g{i % 2}",)
+         for i in range(30)],
+        ", ".join(f"{c} double" for c in cols) + ", g string",
+    )
+    rank = Step(
+        t="rank", i_type="==", i=list(cols), o_type="append",
+        index=[f"rank {c}" for c in cols],
+    )
+    ex = Executor(df, sample_cap=10)
+    narrow = Candidate(
+        family="sum_bar", steps=[rank],
+        out_cols=["rank m1"], derived=["rank m1"],
+    )
+    # registration prunes the rank base to the narrow consumer's width
+    ex.prefetch(frame_jobs=[], bar_jobs=[("g", narrow, "sum")])
+    key = next(iter(ex._persisted_base_keys))
+    assert key in ex._pruned_base_keys
+    assert len([c for c in ex._derived_bases[key].columns
+                if c.startswith("rank ")]) == 1
+    # now extend the SAME chain with a dynamic-selector horizontal sum
+    hsum = Step(t="sum", i_type="num", i=[], o_type="append",
+                index=["SUM over num"])
+    wide = Candidate(
+        family="sum_bar", steps=[rank, hsum],
+        out_cols=["SUM over num"], derived=["SUM over num"],
+    )
+    got = ex.bar_aggregate("g", wide, "sum")
+    ex2 = Executor(df, sample_cap=10)
+    want = ex2.bar_aggregate("g", wide, "sum")
+    g = {r["g"]: r["SUM(SUM over num)"] for _, r in got.iterrows()}
+    w = {r["g"]: r["SUM(SUM over num)"] for _, r in want.iterrows()}
+    assert g == w, (g, w)
+    ex.release()
+    ex2.release()
