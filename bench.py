@@ -119,24 +119,28 @@ def _band_suspects(timings: dict[str, float], qs: dict) -> dict[str, dict]:
     import subprocess
 
     try:
-        prior_files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-        if not prior_files:
-            return {}
-        pf = prior_files[-1]
-        with open(pf) as f:
-            prior = json.load(f).get("parsed", {}).get("queries", {})
-        if not isinstance(prior, dict) or not prior:
-            return {}
-
         def _git(*args: str) -> str:
             return subprocess.run(
                 ["git", "-C", REPO, *args],
                 capture_output=True, text=True, timeout=30,
             ).stdout
 
-        commit = _git("log", "-1", "--format=%H", "--", os.path.basename(pf)).strip()
-        if not commit:
+        # newest COMMITTED bench record: an uncommitted BENCH_r*.json
+        # saved earlier this round has no commit to diff against, so
+        # walk newest->oldest until git knows the file
+        pf = commit = None
+        for cand in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), reverse=True):
+            c = _git("log", "-1", "--format=%H", "--", os.path.basename(cand)).strip()
+            if c:
+                pf, commit = cand, c
+                break
+        if pf is None:
             return {}
+        with open(pf) as f:
+            prior = json.load(f).get("parsed", {}).get("queries", {})
+        if not isinstance(prior, dict) or not prior:
+            return {}
+
         pkg = "data_transformation_2022_spark"
         changed = [
             p for p in _git("diff", "--name-only", commit).splitlines()
@@ -148,6 +152,36 @@ def _band_suspects(timings: dict[str, float], qs: dict) -> dict[str, dict]:
         old_queries_src = (
             _git("show", f"{commit}:{pkg}/queries.py") if queries_changed else ""
         )
+        # a changed FOUNDATION module (session/readers/ordering/text
+        # helpers) feeds queries that never name it — a regression there
+        # must not be auto-excused as band
+        foundation = sorted(stems & {"session", "readers", "order", "text", "steps"})
+
+        def _module_src(stem: str) -> str:
+            import glob as _g
+
+            for p in _g.glob(os.path.join(REPO, pkg, "*", f"{stem}.py")) + _g.glob(
+                os.path.join(REPO, pkg, f"{stem}.py")
+            ):
+                try:
+                    with open(p) as fh:
+                        return fh.read()
+                except OSError:
+                    pass
+            return ""
+
+        def _imports_of(src: str) -> set[str]:
+            """Module stems a source body IMPORTS (relative imports and
+            dotted package references) — not raw substrings, so a stem
+            mentioned in a comment/docstring never counts."""
+            mods = set(re.findall(r"from\s+\.[\w.]*?(\w+)\s+import", src))
+            mods |= set(
+                re.findall(
+                    r"(?:operators|functions|streaming|plans|ml|sources)\.(\w+)",
+                    src,
+                )
+            )
+            return mods
 
         out: dict[str, dict] = {}
         for name, v in timings.items():
@@ -158,7 +192,17 @@ def _band_suspects(timings: dict[str, float], qs: dict) -> dict[str, dict]:
                 src = inspect.getsource(qs[name])
             except Exception:
                 src = ""
-            overlap = sorted(s for s in stems if s and s in src)
+            imported = _imports_of(src)
+            overlap = sorted(stems & imported)
+            # one level transitive over the import graph: a query
+            # importing operators/dedup regresses when functions/text
+            # changed, without 'text' in the query function itself
+            for mod in sorted(imported - stems):
+                for s in sorted(stems & _imports_of(_module_src(mod))):
+                    tag = f"{s} (via {mod})"
+                    if s not in overlap and tag not in overlap:
+                        overlap.append(tag)
+            overlap.extend(f"{s} (foundation)" for s in foundation if s not in overlap)
             if queries_changed and src and src not in old_queries_src:
                 overlap.append("queries(fn changed)")
             out[name] = {

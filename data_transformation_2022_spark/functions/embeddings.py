@@ -59,6 +59,8 @@ def cooccurrence_pairs(
     symmetric direction is the same rows swapped."""
     from ..sources.readers import fan_out
 
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     toked = fan_out(df).select(
         tokens_ws(F.lower(F.col(text_col))).alias("__toks")
     )
@@ -123,11 +125,16 @@ def train_ppmi_svd(
     """
     from ..sources.readers import fan_out
 
-    toks = fan_out(df).select(
-        F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok")
-    )
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    # ONE tokenized frame feeds both passes (vocabulary count + pair
+    # count) — persisted so the corpus is scanned and tokenized once
+    toked = fan_out(df).select(
+        tokens_ws(F.lower(F.col(text_col))).alias("__toks")
+    ).persist()
     vocab_rows = (
-        toks.groupBy("tok")
+        toked.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .orderBy(F.col("c").desc(), "tok")
@@ -136,6 +143,7 @@ def train_ppmi_svd(
     )
     vocab = [r["tok"] for r in vocab_rows]
     if len(vocab) < 2:
+        toked.unpersist()
         return {}
     idx = {t: i for i, t in enumerate(vocab)}
     # Pair counting for TRAINING runs as an Arrow partial-Counter pass
@@ -147,11 +155,6 @@ def train_ppmi_svd(
     # (pytest-pinned), which stays the declarative, oracle-replayable
     # form the corpus_cooccurrence_topk query uses.
     vset = frozenset(vocab)
-    from ..sources.readers import fan_out
-
-    toked_p = fan_out(df).select(
-        tokens_ws(F.lower(F.col(text_col))).alias("__toks")
-    )
 
     def pair_counts(batches):
         from collections import Counter
@@ -179,13 +182,14 @@ def train_ppmi_svd(
                 )
 
     trips = (
-        toked_p.mapInPandas(
+        toked.mapInPandas(
             pair_counts, schema="center string, context string, n long"
         )
         .groupBy("center", "context")
         .agg(F.sum("n").alias("n"))
         .collect()  # ≤ vocab² triplets — metadata-sized by construction
     )
+    toked.unpersist()
     V = len(vocab)
     M = np.zeros((V, V), dtype=np.float64)
     for r in trips:

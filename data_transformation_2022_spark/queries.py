@@ -3910,6 +3910,9 @@ def q_corpus_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = train_ppmi_svd(
         _t(spark, sf_dir, "documents"), "text", vocab_size=500, dim=32
     )
+    schema = "token string, neighbor string, cos_sim double"
+    if len(vecs) < 2:  # degenerate corpus: no trainable vocabulary
+        return spark.createDataFrame([], schema)
     toks = sorted(vecs)
     mat = np.vstack([vecs[t] for t in toks])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -3921,7 +3924,7 @@ def q_corpus_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         j = int(sims[i].argmax())
         rows.append((t, toks[j], round(float(sims[i, j]), 6)))
     return spark.createDataFrame(
-        rows, "token string, neighbor string, cos_sim double"
+        rows, schema
     )
 
 

@@ -648,6 +648,11 @@ def _streaming_band_rows(
         shingles_of_tokens,
     )
 
+    if sig_impl not in ("arrow", "catalyst"):
+        # a typo must not silently select the ~10x-slower legacy form
+        raise ValueError(
+            f"sig_impl must be 'arrow' or 'catalyst', got {sig_impl!r}"
+        )
     n = DEFAULT_SHINGLE if shingle is None else shingle
     A, B = _uh_constants(k)
     toked = docs.select(
