@@ -1,0 +1,95 @@
+"""Gates for the bench harness's self-adjudication tooling.
+
+bench.py's band_suspect labeling is the round-over-round honesty
+record (BENCH_NOTES r11): a >2x regression vs the newest COMMITTED
+BENCH_r*.json on code git shows unchanged is the VM stall band's
+signature and must be labeled as such — while a regression on any
+query whose import graph reaches a changed module must NOT be
+auto-excused. These tests pin that logic against the real repo state
+(git history + the committed BENCH_r10.json record), so they also fail
+if the record format drifts.
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench_mod():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def prior_record():
+    files = sorted(
+        f for f in os.listdir(REPO)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if not files:
+        pytest.skip("no committed BENCH_r*.json in this checkout")
+    newest_committed = None
+    for f in reversed(files):
+        c = subprocess.run(
+            ["git", "-C", REPO, "log", "-1", "--format=%H", "--", f],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if c:
+            newest_committed = f
+            break
+    if newest_committed is None:
+        pytest.skip("no BENCH_r*.json known to git")
+    with open(os.path.join(REPO, newest_committed)) as fh:
+        rec = json.load(fh).get("parsed", {}).get("queries", {})
+    if not rec:
+        pytest.skip("prior record carries no inline queries")
+    return newest_committed, rec
+
+
+def test_band_suspects_label_and_attribution(bench_mod, prior_record):
+    from data_transformation_2022_spark import queries as q
+
+    fname, prior = prior_record
+    qs = {n: d.spark for n, d in q.REGISTRY.items()}
+    usable = [n for n in prior if n in qs and prior[n] and prior[n] > 0]
+    if len(usable) < 2:
+        pytest.skip("prior record too thin to exercise")
+    # every usable entry regressed 3x: each must either be flagged
+    # band_suspect or carry a NON-EMPTY changed-code overlap — never
+    # silently dropped, never flagged with an overlap present
+    timings = {n: round(prior[n] * 3.0, 3) for n in usable}
+    out = bench_mod._band_suspects(timings, qs)
+    assert set(out) == set(usable)
+    for n, d in out.items():
+        assert d["prior"] == prior[n]
+        assert d["prior_file"] == fname
+        assert d["band_suspect"] == (not d["changed_overlap"]), n
+
+    # within-2x moves and improvements are never labeled
+    ok = {n: prior[n] * 1.5 for n in usable}
+    ok.update({usable[0]: prior[usable[0]] * 0.5})
+    assert bench_mod._band_suspects(ok, qs) == {}
+
+    # entries git can't attribute (absent from the prior record) are
+    # skipped rather than guessed at
+    ghost = {"no_such_query_xyz": 99.0}
+    assert bench_mod._band_suspects(ghost, qs) == {}
+
+
+def test_band_suspects_never_raises(bench_mod):
+    """The bench must not die on adjudication: garbage inputs return
+    {} (the documented degrade path), never an exception."""
+    assert bench_mod._band_suspects({}, {}) == {}
+    assert bench_mod._band_suspects({"x": float("inf")}, {}) == {}
+    assert bench_mod._band_suspects({"x": -1.0}, {"x": None}) == {}
