@@ -55,18 +55,38 @@ Honesty rules (so round-over-round comparison stays meaningful):
   run 1 and lands in "single_run"); past SPARK_GRAFT_BENCH_BUDGET
   remaining entries record -2.0 ("skipped"). Per-run hangs are
   cancelled after SPARK_GRAFT_QUERY_BUDGET and record -1.0.
-* Band-suspect self-labeling (round 11): every entry whose reported
-  min exceeds the newest committed BENCH_r*.json figure by >2x is
-  checked against the git diff since that bench's commit. If no
-  package .py file plausibly feeding the query changed (file-stem ∩
-  query-function source; queries.py itself via verbatim function-
-  source membership in the old blob), the regression CANNOT be a code
-  change and the entry is labeled "band_suspect" — this VM's roaming
-  stall bands (BENCH_NOTES variance tables) are the only remaining
-  explanation. Entries with overlapping code changes are listed with
-  the overlap instead, for human adjudication. Details in
-  BENCH_LOCAL.json "band_suspects"; the stdout line carries the names
-  + prior figures.
+* Band-suspect self-labeling (round 11, function-level since round
+  12): every entry whose reported min exceeds the newest committed
+  BENCH_r*.json figure by >2x is checked against the git diff since
+  that bench's commit. If NO KNOWN CODE PATH feeding the query
+  changed, the entry is labeled "band_suspect" — this VM's roaming
+  stall bands (BENCH_NOTES variance tables) are the best remaining
+  explanation (session/env config drift is outside what git can see,
+  which is why the label is "suspect", not proof). Attribution is
+  function-level for package modules (round 12: an untouched query
+  in a touched FILE no longer blocks on the file — the changed
+  top-level defs are diffed via ast and intersected with the names
+  the query's source transitively reaches; module-level code changes
+  fall back to whole-file attribution), verbatim function-source
+  membership for queries.py, file-level for foundation modules
+  (session/readers/order/text/steps — they feed queries that never
+  name them), and includes UNTRACKED package modules. Measurement-
+  machinery drift (bench.py's own timing path, the __spark_entry__
+  shim) is scanned too and reported in "harness_changed" — it
+  applies to every entry at once, so it is recorded alongside the
+  per-entry labels rather than nulling them. Entries whose reached
+  code DID change are listed with the overlap instead, for human
+  adjudication; function-level exonerations are recorded per entry
+  under "exonerated". Details in BENCH_LOCAL.json "band_suspects";
+  the stdout line carries the names + prior figures.
+* Streaming entries get a RESERVED repeat budget (round 12): the
+  eight stream_* queries sit late in registry order and were the
+  only entries ever degraded to single-run by the repeat budget —
+  exactly the entries whose single-run figures caused the r10
+  (stream_lsh 61.6 s) and r11 (stream_stream_join 6.55 s)
+  adjudication debt, since one streaming drain straddling a stall
+  band has no second run to outvote it. They now run min-of-2 up to
+  SPARK_GRAFT_STREAM_RESERVE (default 240 s) past each budget line.
 """
 
 from __future__ import annotations
@@ -104,16 +124,99 @@ SOFT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
 # -2.0, and visibly tagged in "single_run".
 REPEAT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_REPEAT_BUDGET", "780"))
 
+# Streaming entries sit late in registry order, so the repeat/soft
+# budgets historically degraded exactly them to single-run — the one
+# mode this VM's stall bands can't be outvoted in. They get this many
+# extra seconds past BOTH budget lines before degrading (see module
+# docstring).
+STREAM_RESERVE_S = float(os.environ.get("SPARK_GRAFT_STREAM_RESERVE", "240"))
+
 RID_TABLES = ("lineitem", "orders", "documents", "embeddings", "events")
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _band_suspects(timings: dict[str, float], qs: dict) -> dict[str, dict]:
+def _top_level_map(src: str):
+    """Parse a module source into (name -> source segment incl.
+    decorators) for top-level defs/classes, plus the module-level
+    residue (everything else, minus the docstring and comment/blank
+    lines). Returns None when the source does not parse — callers fall
+    back to file-level attribution."""
+    import ast
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    lines = src.splitlines()
+    segs: dict[str, str] = {}
+    covered: set[int] = set()
+    body = tree.body
+    if (
+        body
+        and isinstance(body[0], ast.Expr)
+        and isinstance(getattr(body[0], "value", None), ast.Constant)
+        and isinstance(body[0].value.value, str)
+    ):
+        covered.update(range(body[0].lineno - 1, body[0].end_lineno))
+    for node in body:
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            segs[node.name] = "\n".join(lines[start - 1 : node.end_lineno])
+            covered.update(range(start - 1, node.end_lineno))
+    residue = "\n".join(
+        ln
+        for i, ln in enumerate(lines)
+        if i not in covered and ln.strip() and not ln.lstrip().startswith("#")
+    )
+    return segs, residue
+
+
+def _changed_fn_map(old_src: str, new_src: str):
+    """Function-level diff of two module sources: (changed top-level
+    def/class names, module-level-code-changed flag), or None when
+    either side fails to parse (caller falls back to file-level)."""
+    o = _top_level_map(old_src)
+    n = _top_level_map(new_src)
+    if o is None or n is None:
+        return None
+    oseg, ores = o
+    nseg, nres = n
+    changed = {k for k in set(oseg) | set(nseg) if oseg.get(k) != nseg.get(k)}
+    return changed, ores != nres
+
+
+def _reach_names(seed_src: str, segs: dict[str, str]) -> set[str]:
+    """Top-level names of a module transitively referenced starting
+    from ``seed_src`` (word-boundary matches, expanded through the
+    reached definitions' own sources to a fixpoint). Over-approximates
+    on name collisions — the safe direction: a real code change is
+    never exonerated by a too-small reach set."""
+    hit: set[str] = set()
+    frontier = seed_src
+    while True:
+        new = {
+            n
+            for n in segs
+            if n not in hit and re.search(rf"\b{re.escape(n)}\b", frontier)
+        }
+        if not new:
+            return hit
+        hit |= new
+        frontier = "\n".join(segs[n] for n in sorted(new))
+
+
+def _band_suspects(timings: dict[str, float], qs: dict) -> dict:
     """Label >2x regressions vs the newest committed BENCH_r*.json as
-    band_suspect when git shows the query's code unchanged since that
-    bench (see module docstring). Never raises — a bench must not die
-    on a git/IO hiccup; on any failure it returns {}."""
+    band_suspect when no known code path feeding the query changed
+    since that bench (function-level attribution — see module
+    docstring). Returns {"suspects": {name: {...}}, "harness_changed":
+    [...]}. Never raises — a bench must not die on a git/IO hiccup; on
+    any failure it returns {}."""
     import glob
     import inspect
     import subprocess
@@ -142,33 +245,70 @@ def _band_suspects(timings: dict[str, float], qs: dict) -> dict[str, dict]:
             return {}
 
         pkg = "data_transformation_2022_spark"
-        changed = [
+        changed_paths = [
             p for p in _git("diff", "--name-only", commit).splitlines()
             if p.startswith(pkg + "/") and p.endswith(".py")
         ]
-        stems = {os.path.splitext(os.path.basename(p))[0] for p in changed}
+        # untracked package modules are code the prior bench never ran
+        changed_paths += [
+            ln[3:]
+            for ln in _git("status", "--porcelain", "-uall").splitlines()
+            if ln.startswith("?? ")
+            and ln[3:].startswith(pkg + "/")
+            and ln[3:].endswith(".py")
+        ]
+
+        def _read(path: str) -> str:
+            try:
+                with open(os.path.join(REPO, path)) as fh:
+                    return fh.read()
+            except OSError:
+                return ""
+
+        # function-level diff per changed module (None → file-level)
+        fn_changes: dict[str, tuple | None] = {}
+        for p in changed_paths:
+            stem = os.path.splitext(os.path.basename(p))[0]
+            fn_changes[stem] = _changed_fn_map(
+                _git("show", f"{commit}:{p}"), _read(p)
+            )
+        stems = set(fn_changes)
         queries_changed = "queries" in stems
         stems.discard("queries")
+        fc_queries = fn_changes.pop("queries", None)
         old_queries_src = (
             _git("show", f"{commit}:{pkg}/queries.py") if queries_changed else ""
         )
         # a changed FOUNDATION module (session/readers/ordering/text
-        # helpers) feeds queries that never name it — a regression there
-        # must not be auto-excused as band
+        # helpers) feeds queries that never name it — reach can't be
+        # established from the query source, so these stay file-level
+        # and are never auto-excused
         foundation = sorted(stems & {"session", "readers", "order", "text", "steps"})
 
         def _module_src(stem: str) -> str:
             import glob as _g
 
-            for p in _g.glob(os.path.join(REPO, pkg, "*", f"{stem}.py")) + _g.glob(
-                os.path.join(REPO, pkg, f"{stem}.py")
-            ):
+            globs = (
+                [os.path.join(REPO, pkg, "queries.py")]
+                if stem == "queries"
+                else _g.glob(os.path.join(REPO, pkg, "*", f"{stem}.py"))
+                + _g.glob(os.path.join(REPO, pkg, f"{stem}.py"))
+            )
+            for p in globs:
                 try:
                     with open(p) as fh:
                         return fh.read()
                 except OSError:
                     pass
             return ""
+
+        seg_cache: dict[str, dict | None] = {}
+
+        def _segs(stem: str) -> dict | None:
+            if stem not in seg_cache:
+                m = _top_level_map(_module_src(stem))
+                seg_cache[stem] = m[0] if m else None
+            return seg_cache[stem]
 
         def _imports_of(src: str) -> set[str]:
             """Module stems a source body IMPORTS (relative imports and
@@ -183,6 +323,38 @@ def _band_suspects(timings: dict[str, float], qs: dict) -> dict[str, dict]:
             )
             return mods
 
+        def _attribute(stem: str, seed_src: str, via: str | None):
+            """Overlap entry string when the seed's reach into ``stem``
+            touches a changed definition (or attribution must stay
+            file-level); None when function-level analysis exonerates
+            the stem for this seed."""
+            label = stem if via is None else f"{stem} (via {via})"
+            fc = fn_changes.get(stem)
+            segs = _segs(stem)
+            if fc is None or fc[1] or segs is None or not seed_src:
+                return label  # file-level: module-level code changed
+                # since the prior bench, or a side failed to parse
+            hit = sorted(_reach_names(seed_src, segs) & fc[0])
+            if hit:
+                return f"{label}: {','.join(hit)}"
+            return None
+
+        # measurement-machinery drift applies to every entry at once,
+        # so it is reported once, beside (not instead of) the labels
+        harness_changed: list[str] = []
+        fcb = _changed_fn_map(_git("show", f"{commit}:bench.py"), _read("bench.py"))
+        if fcb is None:
+            harness_changed.append("bench.py")
+        else:
+            if fcb[1]:
+                harness_changed.append("bench.py (module level)")
+            harness_changed += [
+                f"bench.py:{n}"
+                for n in sorted(fcb[0] & {"_run_once", "_min_of_2", "main"})
+            ]
+        if _git("diff", "--name-only", commit, "--", "__spark_entry__.py").strip():
+            harness_changed.append("__spark_entry__.py")
+
         out: dict[str, dict] = {}
         for name, v in timings.items():
             p = prior.get(name)
@@ -193,26 +365,71 @@ def _band_suspects(timings: dict[str, float], qs: dict) -> dict[str, dict]:
             except Exception:
                 src = ""
             imported = _imports_of(src)
-            overlap = sorted(stems & imported)
+            overlap: list[str] = []
+            exonerated: list[str] = []
+
+            def _add(stem: str, seed: str, via: str | None = None) -> None:
+                e = _attribute(stem, seed, via)
+                label = stem if via is None else f"{stem} (via {via})"
+                tgt, ent = (overlap, e) if e is not None else (exonerated, label)
+                if ent not in tgt:
+                    tgt.append(ent)
+
+            direct = sorted(stems & imported)
+            for s in direct:
+                _add(s, src)
             # one level transitive over the import graph: a query
             # importing operators/dedup regresses when functions/text
-            # changed, without 'text' in the query function itself
+            # changed, without 'text' in the query function itself.
+            # The reach seed is what the query touches IN the
+            # intermediate module (whole module when nothing resolves —
+            # the conservative direction).
             for mod in sorted(imported - stems):
-                for s in sorted(stems & _imports_of(_module_src(mod))):
-                    tag = f"{s} (via {mod})"
-                    if s not in overlap and tag not in overlap:
-                        overlap.append(tag)
-            overlap.extend(f"{s} (foundation)" for s in foundation if s not in overlap)
-            if queries_changed and src and src not in old_queries_src:
-                overlap.append("queries(fn changed)")
+                msrc = _module_src(mod)
+                for s in sorted(stems & _imports_of(msrc)):
+                    if s in direct:
+                        continue
+                    msegs = _segs(mod)
+                    reached = _reach_names(src, msegs) if msegs else set()
+                    seed = (
+                        "\n".join(msegs[n] for n in sorted(reached))
+                        if reached
+                        else msrc
+                    )
+                    _add(s, seed, via=mod)
+            for s in foundation:
+                if not any(o.split(" ")[0].split(":")[0] == s for o in overlap):
+                    overlap.append(f"{s} (foundation)")
+            if queries_changed:
+                if src and src not in old_queries_src:
+                    overlap.append("queries(fn changed)")
+                elif fc_queries and src:
+                    # helper-level reach within queries.py (module-level
+                    # residue there is oracle-SQL templates + the
+                    # attestation-prefix list — Spark-timing-neutral by
+                    # construction, so residue changes alone don't force
+                    # file-level)
+                    qsegs = _segs("queries")
+                    if qsegs is None:
+                        overlap.append("queries (unparseable)")
+                    else:
+                        own = getattr(qs[name], "__name__", "")
+                        hit = sorted(
+                            (_reach_names(src, qsegs) & fc_queries[0]) - {own}
+                        )
+                        if hit:
+                            overlap.append(f"queries: {','.join(hit)}")
+                        else:
+                            exonerated.append("queries (helpers unchanged)")
             out[name] = {
                 "prior": p,
                 "prior_file": os.path.basename(pf),
                 "min": v,
                 "changed_overlap": overlap,
+                "exonerated": exonerated,
                 "band_suspect": not overlap,
             }
-        return out
+        return {"suspects": out, "harness_changed": harness_changed}
     except Exception:
         return {}
 
@@ -280,15 +497,21 @@ def main() -> None:
             return float("inf"), err[0]
         return time.time() - t0, None
 
-    def _min_of_2(name: str, fn, start: float) -> None:
+    def _min_of_2(name: str, fn, start: float, reserve: bool = False) -> None:
         """Two adjacent executions, record the min; degrade visibly on
-        error/timeout/budget (see module docstring)."""
+        error/timeout/budget (see module docstring). ``reserve``
+        (streaming entries) extends the repeat budget by
+        STREAM_RESERVE_S so late-in-suite streaming drains are never
+        degraded to single-run — the one mode a stall band can't be
+        outvoted in (r10 stream_lsh 61.6 s, r11 stream_stream_join
+        6.55 s)."""
+        repeat_budget = REPEAT_BUDGET_S + (STREAM_RESERVE_S if reserve else 0)
         r1, e1 = _run_once(fn, f"{name}#1")
         if e1 is not None:
             timings[name] = -1.0
             print(f"BENCH_ERROR {name}: {e1[:200]}", file=sys.stderr)
             return
-        if time.time() - start > REPEAT_BUDGET_S:
+        if time.time() - start > repeat_budget:
             timings[name] = round(r1, 3)
             runs[name] = [round(r1, 3)]
             single_run.append(name)
@@ -303,7 +526,7 @@ def main() -> None:
             # 61.6s, run 2 timeout → published single-run), and a third
             # attempt usually lands outside the stall. Only if IT also
             # fails does the entry degrade to single_run.
-            if time.time() - start <= REPEAT_BUDGET_S:
+            if time.time() - start <= repeat_budget:
                 r2, e2 = _run_once(fn, f"{name}#2retry")
             if e2 is not None:
                 timings[name] = round(r1, 3)
@@ -323,7 +546,7 @@ def main() -> None:
         if (
             max(rs) / min(rs) > 2.0
             and min(rs) > 0
-            and time.time() - start <= REPEAT_BUDGET_S
+            and time.time() - start <= repeat_budget
         ):
             r3, e3 = _run_once(fn, f"{name}#3")
             if e3 is None:
@@ -374,20 +597,35 @@ def main() -> None:
     print(f"BENCH_OK ingest_rid_tables: {timings['ingest_rid_tables']}s",
           file=sys.stderr)
 
+    # streaming entries sit late in registry order; they carry the
+    # reserved repeat budget (module docstring)
+    try:
+        from data_transformation_2022_spark.queries import REGISTRY
+
+        reserve_names = {
+            n for n, qd in REGISTRY.items() if "streaming" in qd.tags
+        }
+    except Exception:
+        reserve_names = {n for n in qs if n.startswith("stream_")}
+
     start = time.time()  # query-loop budget clock starts AFTER setup
     for name in qs:
-        if time.time() - start > SOFT_BUDGET_S:
+        reserve = name in reserve_names
+        soft = SOFT_BUDGET_S + (STREAM_RESERVE_S if reserve else 0)
+        if time.time() - start > soft:
             timings[name] = -2.0
-            print(f"BENCH_SKIP {name}: out of {SOFT_BUDGET_S}s budget",
+            print(f"BENCH_SKIP {name}: out of {soft}s budget",
                   file=sys.stderr)
             continue
 
         def _fn(name=name):
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-        _min_of_2(name, _fn, start)
+        _min_of_2(name, _fn, start, reserve=reserve)
 
-    band_suspects = _band_suspects(timings, qs)
+    band_out = _band_suspects(timings, qs)
+    band_suspects = band_out.get("suspects", {})
+    harness_changed = band_out.get("harness_changed", [])
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     n_ok = sum(1 for v in timings.values() if v >= 0)
     n_error = sum(1 for v in timings.values() if v == -1.0)
@@ -416,6 +654,7 @@ def main() -> None:
         "n_min2": n_min2,
         "single_run": single_run,
         "band_suspects": band_suspects,
+        "harness_changed": harness_changed,
         "spreads": spreads,
         "spread_flags": sorted(spread_flags),
         "spread_stats": spread_stats,
