@@ -658,9 +658,10 @@ def main() -> None:
         "spreads": spreads,
         "spread_flags": sorted(spread_flags),
         "spread_stats": spread_stats,
-        # Self-describing record (ADVICE r9): these entries share the
-        # (data, rule, params)-memoized classifier fit
-        # (functions/text._FIT_CACHE), so any run after the first fit —
+        # Self-describing record (ADVICE r9): these entries share a
+        # (data, rule, params)-memoized model fit (the classifier's
+        # functions/text._FIT_CACHE; since r12 also the PPMI-SVD
+        # embeddings' _PPMI_CACHE), so any run after the first fit —
         # including run 2 of min-of-2 and every later consumer — is a
         # warm-fit measurement, not comparable to pre-round-9 cold-fit
         # numbers for the fit-bearing entry.
@@ -671,6 +672,7 @@ def main() -> None:
                 "corpus_quality_classifier",
                 "corpus_classifier_eval",
                 "pipeline_curate_corpus",
+                "corpus_embedding_neighbors",
             )
             if q in timings
         ),

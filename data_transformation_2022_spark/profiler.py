@@ -856,11 +856,24 @@ def char_ngram_cosine(a: str, b: str, n: int = 3) -> float:
     return dot / (na * nb) if na > 0 and nb > 0 else 0.0
 
 
+# DBSCAN eps for the EMBEDDER path: euclidean distance between
+# L2-normalized vectors is sqrt(2·(1−cos)), so eps=1.0 admits pairs
+# with cosine similarity ≥ 0.5 — a moderate synonymy threshold.
+# Reusing the reference's raw-vector eps=0.5 here would demand
+# cos ≥ 0.875 (ADVICE r11), a far stricter gate than the reference's
+# DBSCAN over UN-normalized GoogleNews vectors (whose norms are ~2-5,
+# where eps=0.5 spans a much wider cosine band), systematically
+# shrinking clusters. Expect granularity to differ from the
+# reference's regardless: normalization changes the metric, and the
+# vectors themselves are corpus-trained, not GoogleNews.
+EMBED_CLUSTER_EPS = 1.0
+
+
 def semantic_name_clusters(
-    cols: list[str], eps: float = 0.5, min_samples: int = 5
+    cols: list[str], eps: float | None = None, min_samples: int = 5
 ) -> list[list[str]]:
-    """Header-semantics clusters: DBSCAN (same eps=0.5/min_samples=5 as
-    the reference's w2v clustering, spreadsheet.py:239-246). With a
+    """Header-semantics clusters: DBSCAN (same min_samples=5 as the
+    reference's w2v clustering, spreadsheet.py:239-246). With a
     NameEmbedder installed (functions/embeddings) the distance matrix
     is euclidean between L2-NORMALIZED name embeddings — the
     reference's DBSCAN(metric='euclidean') over w2v vectors, up to the
@@ -868,7 +881,12 @@ def semantic_name_clusters(
     character-ngram cosine distance stand-in, which recovers morphology
     families the substring pass can miss and keeps unrelated stems
     apart — e.g. ie19's exp0..exp9 vs imp0..imp9 land in two separate
-    clusters (reference test corpus, FIXTURES.md)."""
+    clusters (reference test corpus, FIXTURES.md).
+
+    ``eps=None`` resolves per geometry: the reference's 0.5 for the
+    char-ngram cosine stand-in (golden-pinned), EMBED_CLUSTER_EPS for
+    the normalized-embedding path (see the constant's note on why 0.5
+    verbatim would be systematically stricter than the reference)."""
     from .functions.embeddings import get_name_embedder
 
     named = [c for c in cols if char_ngrams(c)]
@@ -877,6 +895,8 @@ def semantic_name_clusters(
     n = len(named)
     dist = np.zeros((n, n))
     emb = get_name_embedder()
+    if eps is None:
+        eps = EMBED_CLUSTER_EPS if emb is not None else 0.5
     if emb is not None:
         vs = np.vstack([emb.embed(c) for c in named])
         norms = np.linalg.norm(vs, axis=1, keepdims=True)

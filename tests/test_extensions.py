@@ -2712,3 +2712,41 @@ def test_embeddings_save_load_and_env_tier(spark, tmp_path, monkeypatch):
         monkeypatch.delenv(E.NAME_EMB_ENV, raising=False)
         E.set_name_embedder(None)
         E._ENV_TRIED = True  # leave the suite in the no-env default
+
+
+def test_ppmi_fit_cache_hygiene(spark, monkeypatch):
+    """train_ppmi_svd with a fit_key memoizes the trained table (one
+    train job per (data, params) per process — the classifier
+    _FIT_CACHE convention, ADVICE r11/verdict r12): a repeat call and
+    a same-key call return the cached dict without retraining; a
+    DIFFERENT param tuple or key refits; clear_ppmi_cache() refits;
+    and no fit_key means no caching."""
+    import data_transformation_2022_spark.functions.embeddings as E
+
+    E.clear_ppmi_cache()
+    calls = {"n": 0}
+    real = E._train_ppmi_svd_impl
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(E, "_train_ppmi_svd_impl", counting)
+    docs = _topic_corpus(spark)
+    key = ("test-corpus", 0, "ppmi")
+
+    v1 = E.train_ppmi_svd(docs, "text", vocab_size=50, dim=8, fit_key=key)
+    v2 = E.train_ppmi_svd(docs, "text", vocab_size=50, dim=8, fit_key=key)
+    assert calls["n"] == 1 and v2 is v1
+
+    E.train_ppmi_svd(docs, "text", vocab_size=50, dim=6, fit_key=key)
+    assert calls["n"] == 2, "different params must refit"
+
+    E.clear_ppmi_cache()
+    E.train_ppmi_svd(docs, "text", vocab_size=50, dim=8, fit_key=key)
+    assert calls["n"] == 3, "cleared cache must refit"
+
+    E.train_ppmi_svd(docs, "text", vocab_size=50, dim=8)
+    E.train_ppmi_svd(docs, "text", vocab_size=50, dim=8)
+    assert calls["n"] == 5, "no fit_key → no caching"
+    E.clear_ppmi_cache()
