@@ -954,6 +954,17 @@ def test_bpe_merges_match_naive(spark, sf_dir):
     assert got == expect
     assert len(got) == 6  # corpus is repetitive enough to sustain 6 merges
 
+    # periodic fold-in (ADVICE r11): folding pending merges into the
+    # checkpointed base every 2 rounds is semantics-free — the merge
+    # table is identical to the unfolded run and to the naive replay
+    folded = [
+        (r.step, r.w1, r.w2, int(r.pair_count), r.merged)
+        for r in bpe_train_merges(docs, "text", n_merges=6, fold_every=2)
+        .orderBy("step")
+        .collect()
+    ]
+    assert folded == expect
+
 
 def test_bpe_encode_applies_learned_merges(spark):
     """Encoding with a learned merge list shrinks sequences by exactly
