@@ -58,6 +58,16 @@ MAX_PER_TYPE = {
 MAX_SERIES = 3  # lines/bars per chart (reference config.py:33-34)
 NOT_CALCU_DMT = True  # skip DM core-Ts on arithmetic paths (config.py:19)
 
+# toPandas dtype for each Spark type — outer joins / grouping-set
+# Expand unions promote ints to float64 whenever nulls appear in a
+# column, and pandas infer_objects cannot demote non-object dtypes
+# back; consumers restore the declared type when the slice is null-free
+_PD_BY_SPARK = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "boolean": "bool",
+}
+
 
 @dataclass
 class ChartCandidate:
@@ -248,12 +258,16 @@ class Executor:
         fill the memo tables with a thread pool — Spark schedules the
         resulting jobs concurrently on idle executor slots.
 
-        Bar aggregates are BATCHED: every y-candidate sharing the same
-        (derived base, x column) folds into one groupBy job computing
-        the union of their sum columns (+ the count_bar COUNT), then the
-        combined frame is sliced back into the per-candidate memo
-        entries. 40 one-agg jobs become ~#bases × #x jobs with identical
-        memo contents."""
+        Bar aggregates are BATCHED per derived base: every bar job
+        sharing the same base — ALL its x columns and every
+        y-candidate's sum columns (+ the count_bar COUNT) — folds into
+        ONE aggregation job, a GROUPING SETS pass with one set per x
+        column (single scan + Expand, one shuffle), then the combined
+        frame is sliced back per (x, candidate) into the memo entries.
+        40 one-agg jobs become ~#bases jobs with identical memo
+        contents (r12; r8-r11 batched per (base, x) — still ~#bases×#x
+        scheduler round-trips, the dominant term of the bar pool's
+        4.5 s at sf0.1)."""
         import os
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
@@ -276,49 +290,98 @@ class Executor:
             key = (x_col, y_cand.signature() if y_cand is not None else None, agg)
             uniq_bars[key] = (x_col, y_cand, agg)
 
-        # group bar jobs by (base, x) and build one combined agg per group
-        grouped: dict[tuple, list[tuple[tuple, str, Candidate | None, str]]] = {}
+        # group bar jobs by derived base; within a base, by x column —
+        # one GROUPING SETS job per base covers every x
+        grouped: dict[tuple, dict[str, list]] = {}
         for key, (x_col, y_cand, agg) in uniq_bars.items():
             derive_key = _chain_key(
                 s
                 for s in (y_cand.steps if (agg == "sum" and y_cand) else [])
                 if s.o_type == "append"
             )
-            grouped.setdefault((derive_key, x_col), []).append(
+            grouped.setdefault(derive_key, {}).setdefault(x_col, []).append(
                 (key, x_col, y_cand, agg)
             )
 
-        def _batched_bars(entries) -> None:
-            _, x_col, some_y, _ = entries[0]
+        def _batched_bars(by_x: dict[str, list]) -> None:
             try:
                 aggs: dict[str, F.Column] = {}
-                per_entry: list[tuple[tuple, list[str]]] = []
+                per_entry: list[tuple[tuple, str, list[str]]] = []
                 base = self.df
-                for key, _x, y_cand, agg in entries:
-                    if agg == "count":
-                        aggs.setdefault("COUNT", F.count(F.lit(1)).alias("COUNT"))
-                        per_entry.append((key, ["COUNT"]))
-                    else:
-                        base = self._derived_base(
-                            [s for s in y_cand.steps if s.o_type == "append"]
+                for x_col, entries in by_x.items():
+                    for key, _x, y_cand, agg in entries:
+                        if agg == "count":
+                            aggs.setdefault(
+                                "COUNT", F.count(F.lit(1)).alias("COUNT")
+                            )
+                            per_entry.append((key, x_col, ["COUNT"]))
+                        else:
+                            base = self._derived_base(
+                                [s for s in y_cand.steps if s.o_type == "append"]
+                            )
+                            ys = _prefer_derived(y_cand)[:MAX_SERIES]
+                            names = []
+                            for c in ys:
+                                alias = f"SUM({c})"
+                                aggs.setdefault(
+                                    alias, F.sum(F.col(c)).alias(alias)
+                                )
+                                names.append(alias)
+                            per_entry.append((key, x_col, names))
+                xs = sorted(by_x)
+                if len(xs) == 1:
+                    combined = base.groupBy(xs[0]).agg(*aggs.values()).toPandas()
+                    frames = {xs[0]: combined}
+                else:
+                    # one scan + Expand + one shuffle for ALL x columns
+                    # of this base; grouping_id bit j (from the LEFT of
+                    # the cols list) is set when xs[j] is aggregated
+                    # away, so the set {xs[i]} has id = all-ones ^ the
+                    # bit for i
+                    k = len(xs)
+                    combined = (
+                        base.groupingSets(
+                            [[F.col(x)] for x in xs], *[F.col(x) for x in xs]
                         )
-                        ys = _prefer_derived(y_cand)[:MAX_SERIES]
-                        names = []
-                        for c in ys:
-                            alias = f"SUM({c})"
-                            aggs.setdefault(alias, F.sum(F.col(c)).alias(alias))
-                            names.append(alias)
-                        per_entry.append((key, names))
-                combined = base.groupBy(x_col).agg(*aggs.values()).toPandas()
-                for key, names in per_entry:
-                    self._bar_frames[key] = combined[[x_col] + names].copy()
+                        .agg(F.grouping_id().alias("__gid"), *aggs.values())
+                        .toPandas()
+                    )
+                    frames = {}
+                    for i, x in enumerate(xs):
+                        gid = ((1 << k) - 1) ^ (1 << (k - 1 - i))
+                        fr = (
+                            combined.loc[combined["__gid"] == gid]
+                            .drop(columns="__gid")
+                            .reset_index(drop=True)
+                        )
+                        # the Expand union nulls every other set's x
+                        # column, which promotes pandas ints to float64
+                        # for the WHOLE column — restore this slice's x
+                        # dtype (same convention as _batch_step_frames;
+                        # genuine null groups keep the promoted dtype)
+                        want = _PD_BY_SPARK.get(
+                            base.schema[x].dataType.simpleString()
+                        )
+                        if (
+                            want is not None
+                            and str(fr[x].dtype) != want
+                            and not fr[x].isna().any()
+                        ):
+                            try:
+                                fr[x] = fr[x].astype(want)
+                            except (ValueError, TypeError):
+                                pass
+                        frames[x] = fr
+                for key, x_col, names in per_entry:
+                    self._bar_frames[key] = frames[x_col][[x_col] + names].copy()
             except Exception:
                 # isolate failures: replay each entry through the
                 # original one-agg path so a single bad candidate can't
                 # null its whole batch
-                for key, _x, y_cand, agg in entries:
-                    self._bar_frames.pop(key, None)
-                    self.bar_aggregate(_x, y_cand, agg)
+                for entries in by_x.values():
+                    for key, _x, y_cand, agg in entries:
+                        self._bar_frames.pop(key, None)
+                        self.bar_aggregate(_x, y_cand, agg)
 
         # Two independent sides run CONCURRENTLY (r8: the table side's
         # first base materialization — a full-table rank chain, the
@@ -429,11 +492,11 @@ class Executor:
                         lvl = L
                 return lvl
 
-            early = [e for (dk, _x), e in grouped.items() if not dk]
+            early = [bx for dk, bx in grouped.items() if not dk]
             late_by_level: dict[int, list] = {}
-            for (dk, _x), e in grouped.items():
+            for dk, bx in grouped.items():
                 if dk:
-                    late_by_level.setdefault(_ready_level(dk), []).append(e)
+                    late_by_level.setdefault(_ready_level(dk), []).append(bx)
             with ThreadPoolExecutor(max(workers, 16)) as bpool:
                 # level-0 derived groups have no persisted base to wait
                 # for; each later group queues as soon as ITS base's
@@ -457,7 +520,8 @@ class Executor:
                     ]
                 for f in futs:
                     f.result()
-            _tr(f"bar pool done ({len(grouped)} bar groups, {len(early)} early)")
+            _tr(f"bar pool done ({len(grouped)} base jobs / "
+                f"{len(uniq_bars)} bar entries, {len(early)} early)")
 
         with ThreadPoolExecutor(2) as sides:
             for f in [sides.submit(_sample_side), sides.submit(_table_side)]:
@@ -498,6 +562,20 @@ class Executor:
         execution-time failure abandons the whole batch — either way the
         per-frame path re-runs whatever is still missing."""
         import functools
+        import os
+        import time as _time
+
+        _trace = bool(os.environ.get("SPARK_GRAFT_ENGINE_TRACE"))
+        _t0 = _time.time()
+
+        def _tr(msg: str) -> None:
+            if _trace:
+                import sys as _sys
+
+                print(
+                    f"ENGINE_TRACE bsf {msg}: {_time.time() - _t0:.2f}s",
+                    file=_sys.stderr,
+                )
 
         pieces, meta = [], []
         for i, (key, (cand, _)) in enumerate(jobs.items()):
@@ -519,18 +597,11 @@ class Executor:
             # so dtypes can be restored after the outer join promotes them
             col_types = [f.dataType.simpleString() for f in sel.schema.fields[2:]]
             meta.append((key, list(cand.out_cols), i, col_types))
+        _tr(f"build ({len(pieces)} pieces)")
         if not pieces:
             return
 
-        # toPandas dtype for each Spark type the sample frames carry —
-        # the outer join promotes ints to float64 whenever ANY frame in
-        # the chunk dropped rows (nulls appear), and pandas infer_objects
-        # cannot demote non-object dtypes back
-        pd_by_spark = {
-            "tinyint": "int8", "smallint": "int16", "int": "int32",
-            "bigint": "int64", "float": "float32", "double": "float64",
-            "boolean": "bool",
-        }
+        pd_by_spark = _PD_BY_SPARK
 
         def _consume(pdf, group_meta) -> None:
             for key, out_cols, i, col_types in group_meta:
@@ -575,7 +646,9 @@ class Executor:
                 joined = functools.reduce(
                     lambda a, b: a.join(b, RID, "outer"), group
                 )
-                _consume(joined.toPandas(), gmeta)
+                pdf = joined.toPandas()
+                _tr(f"chunk@{lo} toPandas")
+                _consume(pdf, gmeta)
             except Exception:
                 return  # group falls through to the per-frame pool path
 
