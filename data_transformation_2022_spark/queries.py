@@ -6453,82 +6453,85 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The correctness driver attests the first 50 registry entries per round.
-# Union across rounds 1-10: every exact-oracle query attested (164/164,
-# none staler than r07 entering round 11 — scripts/attestation_audit.py).
-# The round-11 prefix (4 + 24 + 22 = 50):
-#   (1) every exact query whose engine code is NEW or changed this
-#       round ("attested" must mean attested for the code that ships):
-#       corpus_cooccurrence_topk (new — the PPMI-SVD embedding
-#       substrate), sim_semantic_dedup (find_candidates now pairs per
-#       length class in ragged clusters — ADVICE r10),
-#       dedup_exact_substring + corpus_substring_scrub (the Karp-Rabin
-#       anchor stage gained the 2^32-token-per-batch overflow guard —
-#       ADVICE r10; values unchanged, re-attested anyway);
-#   (2) all 24 queries whose newest attestation is r07 — the final
-#       band of the r9 verdict's planned rotation;
-#   (3) backfill to 50 with the 22 alphabetically-first r08-cohort
-#       entries (incl. corpus_decontaminate_fuzzy, this round's
-#       band-adjudication target). The remaining 25 r08 entries are
-#       round 12's rotation.
-# Everything displaced holds an r08-r10 attestation, so union coverage
+# Union across rounds 1-11: every exact-oracle query attested (165/165,
+# none staler than r08 entering round 12 — scripts/attestation_audit.py).
+# The round-12 prefix (1 + 25 + 24 = 50):
+#   (1) the exact query whose VALUES-FEEDING plan changed this round
+#       ("attested" must mean attested for the code that ships):
+#       corpus_cooccurrence_topk (cooccurrence_pairs rewritten as one
+#       concat-then-explode scan — ADVICE r11; hash-exact re-verified
+#       locally). The round's other diffs are value-neutral to their
+#       exact queries (fit-cache memo, bar-batching with golden-pinned
+#       payloads, BPE fold-in with the bench entry at n_merges=8 <
+#       fold_every) or touch rows-only entries;
+#   (2) all 25 queries whose newest attestation is r08 — the final
+#       band of the r10 verdict's planned rotation (incl.
+#       stream_lsh_neardup, whose band-row stage changed in r11 and
+#       re-attests here first);
+#   (3) backfill to 50 with the 24 alphabetically-first r09-cohort
+#       entries (incl. corpus_bpe_encode — bpe.py changed this round;
+#       its encoder path did not, re-attested anyway — and
+#       corpus_bigram_fluency, this round's band-adjudication target).
+#       The remaining 19 r09 entries are round 13's rotation.
+# Everything displaced holds an r09-r11 attestation, so union coverage
 # is unaffected; after this round no exact query's newest attestation
-# is older than r08.
+# is older than r09.
 
 _PRIORITY: list[str] = [
-    # Round-11 attestation prefix - exactly 50 entries.
-    # --- (1) code new or changed in round 11 (4) ---
+    # Round-12 attestation prefix - exactly 50 entries.
+    # --- (1) exact query whose plan changed in round 12 (1) ---
     "corpus_cooccurrence_topk",
-    "sim_semantic_dedup",
-    "dedup_exact_substring",
-    "corpus_substring_scrub",
-    # --- (2) every r07-stale exact query (24, r10 audit list) ---
-    "io_schema_evolution",
-    "io_zorder_cluster3",
-    "join_3way_topk",
-    "join_bloom_pruned",
-    "join_broadcast_dims",
-    "join_full_outer_reconcile",
-    "join_range_cooccur",
-    "join_skew_salted",
-    "profile_outliers",
-    "set_intersect_except",
-    "set_union_all",
-    "stream_static_enrich",
-    "text_fuzzy_name_pairs",
-    "topk_by_value",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q16_notin",
-    "tpch_q22_antijoin",
-    "tpch_q2_corr_min",
-    "tpch_q3",
-    "tpch_q4_exists",
-    "tpch_q5",
-    "tpch_q6",
-    "window_range_frame",
-    # --- (3) r08 backfill (next-stalest, alphabetical, 22) to fill 50 ---
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "basic_astype",
-    "basic_div",
-    "basic_hmul",
-    "basic_hsum",
-    "corpus_decontaminate_fuzzy",
-    "dedup_components",
-    "dedup_keep_best",
-    "dedup_keep_list",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "events_hourly_rollup",
-    "io_bucketed_join",
-    "multimodal_audio_meta",
-    "pipeline_build_corpus",
-    "sample_hash_bernoulli",
-    "sample_stratified",
-    "scoring_cdm",
+    # --- (2) every r08-stale exact query (25, r11 audit list) ---
+    "scoring_correlation",
+    "scoring_hist2d",
+    "scoring_moments",
+    "sig_linearness_fstat",
+    "sig_outstanding1_fstat",
+    "sim_hybrid_rrf",
+    "stream_dedup_keys",
+    "stream_hourly_rollup",
+    "stream_lsh_neardup",
+    "stream_sessionize",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_token_counts",
+    "tpch_q1",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lines",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q7",
+    "tpch_q8_mktshare",
+    "tpch_q9_profit",
+    "window_moving_avg",
+    # --- (3) r09 backfill (next-stalest, alphabetical, 24) to fill 50 ---
+    "agg_incremental_rollup",
+    "basic_filter",
+    "basic_nominalize",
+    "basic_rank",
+    "basic_select_like",
+    "basic_sub",
+    "coret_kmeans",
+    "coret_lida",
+    "coret_pca",
+    "corpus_balance_languages",
+    "corpus_bigram_fluency",
+    "corpus_boilerplate_scrub",
+    "corpus_bpe_encode",
+    "corpus_clean_text",
+    "corpus_decontaminate",
+    "corpus_dsir_weights",
+    "corpus_dup_stats",
+    "corpus_gopher_rules",
+    "corpus_language_stats",
+    "corpus_segment_dedup",
+    "corpus_tfidf_topk",
+    "corpus_token_budget",
+    "dates_multi_format_parse",
+    "dedup_exact_text",
 ]
 
 def _reorder_registry() -> None:
