@@ -65,9 +65,10 @@ Honesty rules (so round-over-round comparison stays meaningful):
   which is why the label is "suspect", not proof). Attribution is
   function-level for package modules (round 12: an untouched query
   in a touched FILE no longer blocks on the file — the changed
-  top-level defs are diffed via ast and intersected with the names
-  the query's source transitively reaches; module-level code changes
-  fall back to whole-file attribution), verbatim function-source
+  top-level defs AND single-name module constants are diffed via ast
+  and intersected with the names the query's source transitively
+  reaches; non-named module-level code changes fall back to
+  whole-file attribution), verbatim function-source
   membership for queries.py, file-level for foundation modules
   (session/readers/order/text/steps — they feed queries that never
   name them), and includes UNTRACKED package modules. Measurement-
@@ -138,10 +139,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 def _top_level_map(src: str):
     """Parse a module source into (name -> source segment incl.
-    decorators) for top-level defs/classes, plus the module-level
-    residue (everything else, minus the docstring and comment/blank
-    lines). Returns None when the source does not parse — callers fall
-    back to file-level attribution."""
+    decorators) for top-level defs/classes AND single-name module
+    constants (``NAME = ...`` / annotated form — named so a changed
+    constant attributes per-reach like a changed function instead of
+    forcing whole-file fallback), plus the module-level residue
+    (everything else, minus the docstring and comment/blank lines).
+    Returns None when the source does not parse — callers fall back to
+    file-level attribution."""
     import ast
 
     try:
@@ -160,13 +164,30 @@ def _top_level_map(src: str):
     ):
         covered.update(range(body[0].lineno - 1, body[0].end_lineno))
     for node in body:
+        name = None
         if isinstance(
             node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
         ):
+            name = node.name
+        elif (
+            isinstance(node, ast.Assign)
+            and len(node.targets) == 1
+            and isinstance(node.targets[0], ast.Name)
+        ):
+            name = node.targets[0].id
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            name = node.target.id
+        if name is not None:
             start = min(
-                [node.lineno] + [d.lineno for d in node.decorator_list]
+                [node.lineno]
+                + [d.lineno for d in getattr(node, "decorator_list", [])]
             )
-            segs[node.name] = "\n".join(lines[start - 1 : node.end_lineno])
+            seg = "\n".join(lines[start - 1 : node.end_lineno])
+            # re-assigned names concatenate so no occurrence's change
+            # can hide behind the last one
+            segs[name] = (segs[name] + "\n" + seg) if name in segs else seg
             covered.update(range(start - 1, node.end_lineno))
     residue = "\n".join(
         ln
@@ -350,7 +371,14 @@ def _band_suspects(timings: dict[str, float], qs: dict) -> dict:
                 harness_changed.append("bench.py (module level)")
             harness_changed += [
                 f"bench.py:{n}"
-                for n in sorted(fcb[0] & {"_run_once", "_min_of_2", "main"})
+                for n in sorted(
+                    fcb[0]
+                    & {
+                        "_run_once", "_min_of_2", "main",
+                        "QUERY_TIMEOUT_S", "SOFT_BUDGET_S",
+                        "REPEAT_BUDGET_S", "STREAM_RESERVE_S", "RID_TABLES",
+                    }
+                )
             ]
         if _git("diff", "--name-only", commit, "--", "__spark_entry__.py").strip():
             harness_changed.append("__spark_entry__.py")

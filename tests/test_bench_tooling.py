@@ -114,26 +114,32 @@ def gamma(c):
 
 
 def test_changed_fn_map_function_level(bench_mod):
-    """ast-level module diff: docstring-only and comment-only edits are
-    invisible; a single changed def names exactly itself; module-level
-    code changes raise the residue flag (file-level fallback)."""
+    """ast-level module diff: docstring-only and full-line-comment
+    edits are invisible; a changed def or single-name constant names
+    exactly itself (so reach-level attribution applies); non-named
+    module-level code changes raise the residue flag (file-level
+    fallback)."""
     doc_only = OLD_MOD.replace('"""doc."""', '"""other doc."""')
     assert bench_mod._changed_fn_map(OLD_MOD, doc_only) == (set(), False)
-    comment_only = OLD_MOD.replace("X = 1", "X = 1  # noqa")
-    # inline comments live on a code line — that counts as residue;
-    # full-line comments do not
     full_line = OLD_MOD.replace("X = 1", "# a comment\nX = 1")
     assert bench_mod._changed_fn_map(OLD_MOD, full_line) == (set(), False)
-    assert bench_mod._changed_fn_map(OLD_MOD, comment_only)[1] is True
+    # an inline comment lives on the constant's own segment line
+    comment_only = OLD_MOD.replace("X = 1", "X = 1  # noqa")
+    assert bench_mod._changed_fn_map(OLD_MOD, comment_only) == ({"X"}, False)
 
     one_fn = OLD_MOD.replace("return c - 1", "return c - 2")
     assert bench_mod._changed_fn_map(OLD_MOD, one_fn) == ({"gamma"}, False)
 
+    # single-name constants are NAMED changes, not file-level residue
     const = OLD_MOD.replace("X = 1", "X = 2")
-    assert bench_mod._changed_fn_map(OLD_MOD, const) == (set(), True)
+    assert bench_mod._changed_fn_map(OLD_MOD, const) == ({"X"}, False)
 
     added = OLD_MOD + "\ndef delta(d):\n    return d\n"
     assert bench_mod._changed_fn_map(OLD_MOD, added) == ({"delta"}, False)
+
+    # non-named module-level code → residue flag (file-level fallback)
+    loose = OLD_MOD + "\nprint(alpha(X))\n"
+    assert bench_mod._changed_fn_map(OLD_MOD, loose)[1] is True
 
     # unparseable side → None (caller falls back to file-level)
     assert bench_mod._changed_fn_map(OLD_MOD, "def broken(:") is None
@@ -141,10 +147,11 @@ def test_changed_fn_map_function_level(bench_mod):
 
 def test_reach_names_transitive(bench_mod):
     """Reach expands through reached definitions to a fixpoint: a seed
-    naming beta reaches alpha (beta calls it) but not gamma."""
+    naming beta reaches alpha (beta calls it) and the constant X
+    (alpha reads it), but never gamma."""
     segs = bench_mod._top_level_map(OLD_MOD)[0]
-    assert set(segs) == {"alpha", "beta", "gamma"}
-    assert bench_mod._reach_names("y = beta(3)", segs) == {"beta", "alpha"}
+    assert set(segs) == {"X", "alpha", "beta", "gamma"}
+    assert bench_mod._reach_names("y = beta(3)", segs) == {"beta", "alpha", "X"}
     assert bench_mod._reach_names("y = gamma(3)", segs) == {"gamma"}
     assert bench_mod._reach_names("nothing here", segs) == set()
 
