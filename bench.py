@@ -262,7 +262,25 @@ def _band_suspects(timings: dict[str, float], qs: dict) -> dict:
             return {}
         with open(pf) as f:
             prior = json.load(f).get("parsed", {}).get("queries", {})
-        if not isinstance(prior, dict) or not prior:
+        if not isinstance(prior, dict):
+            prior = {}
+        prior_src = {k: os.path.basename(pf) for k in prior}
+        # the driver record's stdout line inlines only the slowest
+        # entries when it overflows — most queries would never be able
+        # to self-flag. Fall back to the full committed record
+        # (BENCH_LOCAL.json as of the same commit) for the rest.
+        try:
+            local = json.loads(_git("show", f"{commit}:BENCH_LOCAL.json")).get(
+                "queries", {}
+            )
+        except Exception:
+            local = {}
+        if isinstance(local, dict):
+            for k, v2 in local.items():
+                if k not in prior:
+                    prior[k] = v2
+                    prior_src[k] = "BENCH_LOCAL.json@" + commit[:8]
+        if not prior:
             return {}
 
         pkg = "data_transformation_2022_spark"
@@ -451,7 +469,7 @@ def _band_suspects(timings: dict[str, float], qs: dict) -> dict:
                             exonerated.append("queries (helpers unchanged)")
             out[name] = {
                 "prior": p,
-                "prior_file": os.path.basename(pf),
+                "prior_file": prior_src.get(name, os.path.basename(pf)),
                 "min": v,
                 "changed_overlap": overlap,
                 "exonerated": exonerated,
