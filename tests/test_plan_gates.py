@@ -285,3 +285,35 @@ def test_streaming_plan_shape_gates(spark):
     assert sum(
         1 for n in plan if n.get("class", "").endswith("EventTimeWatermark")
     ) == 2
+
+
+def test_bar_grouping_sets_prunes_scan(spark, sf_dir):
+    """The engine's batched bar job (one GROUPING SETS aggregation per
+    derived base, engine.Executor.prefetch r12) must keep column
+    pruning through the Expand node: the parquet scan reads ONLY the
+    grouping x columns + the aggregated sum inputs, never the full
+    table width — the property that makes one multi-set pass strictly
+    better than per-(base,x) jobs at 100 TB. Pins Catalyst behavior
+    against Spark upgrades."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    gdf = li.groupingSets(
+        [[F.col("l_returnflag")], [F.col("l_linestatus")]],
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    ).agg(
+        F.grouping_id().alias("__gid"),
+        F.sum("l_quantity").alias("SUM(l_quantity)"),
+    )
+    plan = gdf._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"l_returnflag", "l_linestatus", "l_quantity"}, read_cols
+    # and the slice ids the engine computes match what Spark emits
+    rows = gdf.collect()
+    gids = {r["__gid"] for r in rows}
+    assert gids == {0b01, 0b10}, gids
