@@ -307,7 +307,7 @@ class Executor:
             try:
                 aggs: dict[str, F.Column] = {}
                 per_entry: list[tuple[tuple, str, list[str]]] = []
-                base = self.df
+                chains: dict[tuple, list] = {}
                 for x_col, entries in by_x.items():
                     for key, _x, y_cand, agg in entries:
                         if agg == "count":
@@ -316,9 +316,11 @@ class Executor:
                             )
                             per_entry.append((key, x_col, ["COUNT"]))
                         else:
-                            base = self._derived_base(
-                                [s for s in y_cand.steps if s.o_type == "append"]
-                            )
+                            chain = [
+                                s for s in y_cand.steps if s.o_type == "append"
+                            ]
+                            if chain:
+                                chains[_chain_key(chain)] = chain
                             ys = _prefer_derived(y_cand)[:MAX_SERIES]
                             names = []
                             for c in ys:
@@ -328,6 +330,24 @@ class Executor:
                                 )
                                 names.append(alias)
                             per_entry.append((key, x_col, names))
+                # one base serves the whole merged group: sibling chains
+                # share their persisted prefix (scheduler invariant), and
+                # arithmetic tails are content-addressed per-row
+                # projections, so any chain's missing derived columns
+                # graft onto the first chain's base as lazy projections —
+                # the merged job scans the shared prefix ONCE for every
+                # chain instead of once per chain
+                chain_list = list(chains.values())
+                if not chain_list:
+                    base = self.df
+                else:
+                    base = self._derived_base(chain_list[0])
+                    for ch in chain_list[1:]:
+                        for s in ch:
+                            if any(
+                                c not in base.columns for c in (s.index or [])
+                            ):
+                                base = apply_tpath(base, [s])
                 xs = sorted(by_x)
                 if len(xs) == 1:
                     combined = base.groupBy(xs[0]).agg(*aggs.values()).toPandas()
@@ -492,19 +512,25 @@ class Executor:
                         lvl = L
                 return lvl
 
-            early = [bx for dk, bx in grouped.items() if not dk]
-            late_by_level: dict[int, list] = {}
+            # merge chain groups by (ready level, persisted prefix):
+            # chains sharing a materialized prefix differ only in their
+            # lazy arithmetic tails, so one grouping-sets job covers
+            # them all; level-0 groups (no persisted base) merge with
+            # the underived/count group over self.df
+            merged: dict[tuple, dict[str, list]] = {}
             for dk, bx in grouped.items():
-                if dk:
-                    late_by_level.setdefault(_ready_level(dk), []).append(bx)
+                lvl = _ready_level(dk) if dk else 0
+                tgt = merged.setdefault((lvl, dk[:lvl]), {})
+                for x, es in bx.items():
+                    tgt.setdefault(x, []).extend(es)
+            sched: dict[int, list] = {}
+            for (lvl, _pk), bx in merged.items():
+                sched.setdefault(lvl, []).append(bx)
             with ThreadPoolExecutor(max(workers, 16)) as bpool:
-                # level-0 derived groups have no persisted base to wait
-                # for; each later group queues as soon as ITS base's
-                # level finishes materializing, not after all levels
-                futs = [
-                    bpool.submit(_batched_bars, e)
-                    for e in early + late_by_level.pop(0, [])
-                ]
+                # level-0 groups have no persisted base to wait for;
+                # each later group queues as soon as ITS base's level
+                # finishes materializing, not after all levels
+                futs = [bpool.submit(_batched_bars, e) for e in sched.pop(0, [])]
                 for level in sorted(by_level):
                     group = by_level[level]
                     with ThreadPoolExecutor(min(8, len(group))) as mpool:
@@ -512,16 +538,14 @@ class Executor:
                     _tr(f"level {level}: {len(group)} bases materialized")
                     futs += [
                         bpool.submit(_batched_bars, e)
-                        for e in late_by_level.pop(level, [])
+                        for e in sched.pop(level, [])
                     ]
-                for lvl in sorted(late_by_level):  # defensive flush
-                    futs += [
-                        bpool.submit(_batched_bars, e) for e in late_by_level[lvl]
-                    ]
+                for lvl in sorted(sched):  # defensive flush
+                    futs += [bpool.submit(_batched_bars, e) for e in sched[lvl]]
                 for f in futs:
                     f.result()
-            _tr(f"bar pool done ({len(grouped)} base jobs / "
-                f"{len(uniq_bars)} bar entries, {len(early)} early)")
+            _tr(f"bar pool done ({len(merged)} base jobs / "
+                f"{len(uniq_bars)} bar entries)")
 
         with ThreadPoolExecutor(2) as sides:
             for f in [sides.submit(_sample_side), sides.submit(_table_side)]:
