@@ -5310,18 +5310,16 @@ def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("clean_text"))
         .persist()
     )
-    flu = bigram_fluency(clean, "doc_id", "clean_text").select("doc_id", "fluency")
-    base = (
-        flu.join(
-            clean.select(
-                "doc_id",
-                F.size(tokens_ws(F.lower(F.col("clean_text")))).alias("n_tokens"),
-            ),
-            "doc_id",
-        )
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .persist()
+    # n_tokens = n_bigrams + 1 for every fluency row: a doc reaches the
+    # fluency aggregate only with >= 2 tokens, each bigram position
+    # joins exactly one corpus-count row (the counts come from the same
+    # corpus), so COUNT(*) per doc == len(tokens) - 1. Deriving it here
+    # drops a whole re-tokenize + join branch over the cleaned corpus
+    # (the oracle keeps computing len(tokens) — values identical).
+    flu = bigram_fluency(clean, "doc_id", "clean_text").select(
+        "doc_id", "fluency", (F.col("n_bigrams") + 1).alias("n_tokens")
     )
+    base = flu.join(docs.select("doc_id", "lang"), "doc_id").persist()
     bal = balance_by_quota(base, ["doc_id"], "lang", quota=100)
     sel = select_by_token_budget(
         bal.withColumn("__negflu", -F.col("fluency")),
