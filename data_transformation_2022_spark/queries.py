@@ -6453,32 +6453,35 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver attests the first 50 registry entries per round.
 # Union across rounds 1-11: every exact-oracle query attested (165/165,
 # none staler than r08 entering round 12 — scripts/attestation_audit.py).
-# The round-12 prefix (1 + 25 + 24 = 50):
-#   (1) the exact query whose VALUES-FEEDING plan changed this round
+# The round-12 prefix (2 + 25 + 23 = 50):
+#   (1) the exact queries whose VALUES-FEEDING plan changed this round
 #       ("attested" must mean attested for the code that ships):
 #       corpus_cooccurrence_topk (cooccurrence_pairs rewritten as one
-#       concat-then-explode scan — ADVICE r11; hash-exact re-verified
-#       locally). The round's other diffs are value-neutral to their
-#       exact queries (fit-cache memo, bar-batching with golden-pinned
-#       payloads, BPE fold-in with the bench entry at n_merges=8 <
-#       fold_every) or touch rows-only entries;
+#       concat-then-explode scan — ADVICE r11) and
+#       pipeline_curate_corpus (n_tokens now derived from the fluency
+#       aggregate instead of a re-tokenize join); both hash-exact
+#       re-verified locally. The round's other diffs are value-neutral
+#       to their exact queries (fit-cache memo, bar-batching with
+#       golden-pinned payloads, BPE fold-in with the bench entry at
+#       n_merges=8 < fold_every) or touch rows-only entries;
 #   (2) all 25 queries whose newest attestation is r08 — the final
 #       band of the r10 verdict's planned rotation (incl.
 #       stream_lsh_neardup, whose band-row stage changed in r11 and
 #       re-attests here first);
-#   (3) backfill to 50 with the 24 alphabetically-first r09-cohort
+#   (3) backfill to 50 with the 23 alphabetically-first r09-cohort
 #       entries (incl. corpus_bpe_encode — bpe.py changed this round;
 #       its encoder path did not, re-attested anyway — and
 #       corpus_bigram_fluency, this round's band-adjudication target).
-#       The remaining 19 r09 entries are round 13's rotation.
+#       The remaining 20 r09 entries are round 13's rotation.
 # Everything displaced holds an r09-r11 attestation, so union coverage
 # is unaffected; after this round no exact query's newest attestation
 # is older than r09.
 
 _PRIORITY: list[str] = [
     # Round-12 attestation prefix - exactly 50 entries.
-    # --- (1) exact query whose plan changed in round 12 (1) ---
+    # --- (1) exact queries whose plan changed in round 12 (2) ---
     "corpus_cooccurrence_topk",
+    "pipeline_curate_corpus",
     # --- (2) every r08-stale exact query (25, r11 audit list) ---
     "scoring_correlation",
     "scoring_hist2d",
@@ -6505,7 +6508,7 @@ _PRIORITY: list[str] = [
     "tpch_q8_mktshare",
     "tpch_q9_profit",
     "window_moving_avg",
-    # --- (3) r09 backfill (next-stalest, alphabetical, 24) to fill 50 ---
+    # --- (3) r09 backfill (next-stalest, alphabetical, 23) to fill 50 ---
     "agg_incremental_rollup",
     "basic_filter",
     "basic_nominalize",
@@ -6529,7 +6532,6 @@ _PRIORITY: list[str] = [
     "corpus_tfidf_topk",
     "corpus_token_budget",
     "dates_multi_format_parse",
-    "dedup_exact_text",
 ]
 
 def _reorder_registry() -> None:
