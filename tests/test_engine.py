@@ -254,3 +254,170 @@ def test_dynamic_selector_over_pruned_prefix_rebuilds(spark):
     assert g == w, (g, w)
     ex.release()
     ex2.release()
+
+
+def test_bar_prefetch_name_collision_split(spark):
+    """r12 verdict "What's wrong" #1 regression (live-repro template):
+    two DISTINCT clusters whose derived columns collide in name —
+    {temp_min,temp_max} and {temp_avg,temp_std} both emit
+    "sub: (temp)" via common_suffix_name — land in one merged bar
+    group, and the pre-fix graft (output-name presence) silently
+    aggregated candidate A's expression for candidate B. The prefetch
+    memo must equal per-candidate bar_aggregate ground truth for BOTH
+    candidates, at level 0 (no persisted prefix) and at level 1
+    (colliding tails over a shared persisted rank prefix)."""
+    from data_transformation_2022_spark.engine import Executor
+    from data_transformation_2022_spark.operators.steps import Step
+    from data_transformation_2022_spark.plans.search import (
+        Candidate,
+        common_suffix_name,
+    )
+
+    name = common_suffix_name("sub", ["temp_min", "temp_max"])
+    assert name == common_suffix_name("sub", ["temp_avg", "temp_std"])
+    assert name == "sub: (temp)"
+
+    df = spark.createDataFrame(
+        [
+            (float(i), float(i) + 1.0, 100.0 * i, 100.0 * i + 27.0, f"g{i % 3}")
+            for i in range(60)
+        ],
+        "temp_min double, temp_max double, temp_avg double, "
+        "temp_std double, g string",
+    )
+
+    def _vals(frame, col):
+        return {r["g"]: r[col] for _, r in frame.iterrows()}
+
+    # --- level 0: arithmetic-only chains, merged with the count group
+    sub_a = Step(t="sub", i_type="==", i=["temp_min", "temp_max"],
+                 o_type="append", index=[name])
+    sub_b = Step(t="sub", i_type="==", i=["temp_avg", "temp_std"],
+                 o_type="append", index=[name])
+    cand_a = Candidate(family="sum_bar", steps=[sub_a],
+                       out_cols=[name], derived=[name])
+    cand_b = Candidate(family="sum_bar", steps=[sub_b],
+                       out_cols=[name], derived=[name])
+    ex = Executor(df, sample_cap=10)
+    ex.prefetch(
+        frame_jobs=[],
+        bar_jobs=[("g", cand_a, "sum"), ("g", cand_b, "sum"),
+                  ("g", None, "count")],
+    )
+    # both entries must have been filled by prefetch (memo, not lazy)
+    assert ("g", cand_a.signature(), "sum") in ex._bar_frames
+    assert ("g", cand_b.signature(), "sum") in ex._bar_frames
+    got_a = ex.bar_aggregate("g", cand_a, "sum")
+    got_b = ex.bar_aggregate("g", cand_b, "sum")
+    truth = Executor(df, sample_cap=10)
+    want_a = truth.bar_aggregate("g", cand_a, "sum")
+    want_b = truth.bar_aggregate("g", cand_b, "sum")
+    col = f"SUM({name})"
+    assert _vals(got_a, col) == _vals(want_a, col)
+    assert _vals(got_b, col) == _vals(want_b, col)
+    # the two candidates genuinely differ — the r12 bug returned A for B
+    assert _vals(want_a, col) != _vals(want_b, col)
+    ex.release()
+    truth.release()
+
+    # --- level 1: colliding tails over a SHARED persisted rank prefix
+    rank = Step(
+        t="rank", i_type="==",
+        i=["temp_min", "temp_max", "temp_avg", "temp_std"],
+        o_type="append",
+        index=["rank temp_min", "rank temp_max",
+               "rank temp_avg", "rank temp_std"],
+    )
+    rname = common_suffix_name("sub", ["rank temp_min", "rank temp_max"])
+    assert rname == common_suffix_name("sub", ["rank temp_avg", "rank temp_std"])
+    rsub_a = Step(t="sub", i_type="==", i=["rank temp_min", "rank temp_max"],
+                  o_type="append", index=[rname])
+    rsub_b = Step(t="sub", i_type="==", i=["rank temp_avg", "rank temp_std"],
+                  o_type="append", index=[rname])
+    rcand_a = Candidate(family="sum_bar", steps=[rank, rsub_a],
+                        out_cols=[rname], derived=[rname])
+    rcand_b = Candidate(family="sum_bar", steps=[rank, rsub_b],
+                        out_cols=[rname], derived=[rname])
+    ex3 = Executor(df, sample_cap=10)
+    ex3.prefetch(
+        frame_jobs=[],
+        bar_jobs=[("g", rcand_a, "sum"), ("g", rcand_b, "sum")],
+    )
+    assert ("g", rcand_a.signature(), "sum") in ex3._bar_frames
+    assert ("g", rcand_b.signature(), "sum") in ex3._bar_frames
+    rgot_a = ex3.bar_aggregate("g", rcand_a, "sum")
+    rgot_b = ex3.bar_aggregate("g", rcand_b, "sum")
+    truth2 = Executor(df, sample_cap=10)
+    rwant_a = truth2.bar_aggregate("g", rcand_a, "sum")
+    rwant_b = truth2.bar_aggregate("g", rcand_b, "sum")
+    rcol = f"SUM({rname})"
+    assert _vals(rgot_a, rcol) == _vals(rwant_a, rcol)
+    assert _vals(rgot_b, rcol) == _vals(rwant_b, rcol)
+    ex3.release()
+    truth2.release()
+
+
+def test_split_name_conflicts_unit():
+    """Pure-python contract of the r13 merged-group splitter: colliding
+    derived names split; distinct non-colliding chains stay merged (the
+    r12 single-job batching); a derived name shadowing an ORIGINAL
+    column another entry reads splits; dynamic-selector chains isolate
+    to their identical chain only."""
+    from data_transformation_2022_spark.engine import _split_name_conflicts
+    from data_transformation_2022_spark.operators.steps import Step
+    from data_transformation_2022_spark.plans.search import Candidate
+
+    def cand(steps, out_cols):
+        return Candidate(family="sum_bar", steps=steps, out_cols=out_cols,
+                         derived=out_cols)
+
+    def entry(x, c, agg="sum"):
+        key = (x, c.signature() if c is not None else None, agg)
+        return (key, x, c, agg)
+
+    sub_a = Step(t="sub", i_type="==", i=["temp_min", "temp_max"],
+                 o_type="append", index=["sub: (temp)"])
+    sub_b = Step(t="sub", i_type="==", i=["temp_avg", "temp_std"],
+                 o_type="append", index=["sub: (temp)"])
+    a = cand([sub_a], ["sub: (temp)"])
+    b = cand([sub_b], ["sub: (temp)"])
+
+    # colliding name, different content → 2 parts
+    parts = _split_name_conflicts({"g": [entry("g", a), entry("g", b)]})
+    assert len(parts) == 2
+
+    # same chain twice (different x) → 1 part
+    parts = _split_name_conflicts(
+        {"g": [entry("g", a)], "h": [entry("h", a)]}
+    )
+    assert len(parts) == 1
+
+    # distinct chains, distinct names → 1 part (batching preserved)
+    sub_c = Step(t="sub", i_type="==", i=["p_one", "p_two"],
+                 o_type="append", index=["sub: (p)"])
+    c = cand([sub_c], ["sub: (p)"])
+    parts = _split_name_conflicts(
+        {"g": [entry("g", a), entry("g", c), entry("g", None, "count")]}
+    )
+    assert len(parts) == 1
+
+    # derived name shadowing an original column another entry sums → split
+    shadow = Step(t="sub", i_type="==", i=["p_one", "p_two"],
+                  o_type="append", index=["temp_min"])
+    d = cand([shadow], ["temp_min"])
+    plain = cand([], ["temp_min"])  # sums the ORIGINAL temp_min
+    parts = _split_name_conflicts({"g": [entry("g", d), entry("g", plain)]})
+    assert len(parts) == 2
+
+    # dynamic-selector chains merge only with their identical chain
+    hsum = Step(t="sum", i_type="num", i=[], o_type="append",
+                index=["SUM over num"])
+    dyn = cand([hsum], ["SUM over num"])
+    parts = _split_name_conflicts(
+        {"g": [entry("g", dyn), entry("g", c)]}
+    )
+    assert len(parts) == 2
+    parts = _split_name_conflicts(
+        {"g": [entry("g", dyn)], "h": [entry("h", dyn)]}
+    )
+    assert len(parts) == 1
