@@ -391,8 +391,12 @@ def _band_suspects(timings: dict[str, float], qs: dict) -> dict:
                 f"bench.py:{n}"
                 for n in sorted(
                     fcb[0]
+                    # top-level names only: _run_once/_min_of_2 are nested
+                    # inside main(), so _changed_fn_map can never report
+                    # them — drift in them surfaces as "bench.py:main"
+                    # (ADVICE r12: the nested entries were dead)
                     & {
-                        "_run_once", "_min_of_2", "main",
+                        "main",
                         "QUERY_TIMEOUT_S", "SOFT_BUDGET_S",
                         "REPEAT_BUDGET_S", "STREAM_RESERVE_S", "RID_TABLES",
                     }
