@@ -155,7 +155,11 @@ def train_ppmi_svd(
     if cache_key is not None:
         cached = _PPMI_CACHE.get(cache_key)
         if cached is not None:
-            return cached
+            # shallow copy: the dict is the consumer's to reshape, the
+            # arrays stay shared but are frozen below, so an in-place
+            # normalize can't corrupt later cache hits (ADVICE r12 —
+            # "READ-ONLY" is now enforced, not just documented)
+            return dict(cached)
     # ONE tokenized frame feeds both passes (vocabulary count + pair
     # count) — persisted so the corpus is scanned and tokenized once;
     # try/finally so a failed collect/job can't leak the persisted
@@ -168,7 +172,10 @@ def train_ppmi_svd(
     finally:
         toked.unpersist()
     if cache_key is not None:
+        for arr in vecs.values():
+            arr.flags.writeable = False
         _PPMI_CACHE[cache_key] = vecs
+        return dict(vecs)
     return vecs
 
 

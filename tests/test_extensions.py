@@ -2748,7 +2748,18 @@ def test_ppmi_fit_cache_hygiene(spark, monkeypatch):
 
     v1 = E.train_ppmi_svd(docs, "text", vocab_size=50, dim=8, fit_key=key)
     v2 = E.train_ppmi_svd(docs, "text", vocab_size=50, dim=8, fit_key=key)
-    assert calls["n"] == 1 and v2 is v1
+    assert calls["n"] == 1
+    # read-only contract is ENFORCED, not just documented (ADVICE r12):
+    # each hit gets its own dict (reshaping it can't corrupt the cache)
+    # over frozen shared arrays (in-place normalize raises)
+    assert v2 is not v1 and v2.keys() == v1.keys()
+    tok = next(iter(v1))
+    assert v2[tok] is v1[tok]
+    with pytest.raises(ValueError):
+        v1[tok] *= 2.0
+    v2.pop(tok)
+    assert tok in E.train_ppmi_svd(docs, "text", vocab_size=50, dim=8, fit_key=key)
+    assert calls["n"] == 1
 
     E.train_ppmi_svd(docs, "text", vocab_size=50, dim=6, fit_key=key)
     assert calls["n"] == 2, "different params must refit"
