@@ -262,3 +262,31 @@ def test_embedder_tier_end_to_end_ie19(spark):
         ), derived_inputs
     finally:
         set_name_embedder(None)
+
+
+def test_collide_temp_unit_groups_golden(spark):
+    """F8 (r13, in-repo): two unit groups sharing a name token —
+    temp a(C)/temp b(C) and temp c(F)/temp d(F) — whose 2-col
+    arithmetic candidates all derive the SAME display name
+    ("sub: (temp)" etc. via common_suffix_name), the colliding-cluster
+    shape of the r12 merged-bar-prefetch defect. The golden pins the
+    full recommend payload of the FIXED engine byte-stably (the chart
+    values are aggregates of each cluster's own expression)."""
+    import os as _os
+
+    fix = _os.path.join(_os.path.dirname(__file__), "fixtures",
+                        "collide_temp.csv")
+    s = EngineSession(spark, sample_cap=400)
+    ing = s.ingest_path(fix)
+    types = {r[0]: r[1] for r in ing["columns"]["body"]}
+    assert types["station"] == "str" and types["grp"] == "nominal"
+    # both unit groups profile as dim clusters
+    dim_sets = [set(c) for c in ing["dim_clusters"]]
+    assert any({"temp a(C)", "temp b(C)"} <= g for g in dim_sets)
+    assert any({"temp c(F)", "temp d(F)"} <= g for g in dim_sets)
+    # the collision is real: both clusters share the 'temp' token
+    from data_transformation_2022_spark.plans.search import common_suffix_name
+
+    assert common_suffix_name("sub", ["temp a(C)", "temp b(C)"]) == \
+        common_suffix_name("sub", ["temp c(F)", "temp d(F)"])
+    _assert_golden("recommend_collide_temp.json", s.search({}))
