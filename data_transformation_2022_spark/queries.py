@@ -6478,60 +6478,60 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is older than r09.
 
 _PRIORITY: list[str] = [
-    # Round-12 attestation prefix - exactly 50 entries.
-    # --- (1) exact queries whose plan changed in round 12 (2) ---
-    "corpus_cooccurrence_topk",
-    "pipeline_curate_corpus",
-    # --- (2) every r08-stale exact query (25, r11 audit list) ---
-    "scoring_correlation",
-    "scoring_hist2d",
-    "scoring_moments",
-    "sig_linearness_fstat",
-    "sig_outstanding1_fstat",
-    "sim_hybrid_rrf",
-    "stream_dedup_keys",
-    "stream_hourly_rollup",
-    "stream_lsh_neardup",
-    "stream_sessionize",
-    "text_fingerprint",
-    "text_quality_score",
-    "text_token_counts",
-    "tpch_q1",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_lines",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q7",
-    "tpch_q8_mktshare",
-    "tpch_q9_profit",
-    "window_moving_avg",
-    # --- (3) r09 backfill (next-stalest, alphabetical, 23) to fill 50 ---
-    "agg_incremental_rollup",
-    "basic_filter",
-    "basic_nominalize",
-    "basic_rank",
-    "basic_select_like",
-    "basic_sub",
-    "coret_kmeans",
-    "coret_lida",
-    "coret_pca",
-    "corpus_balance_languages",
-    "corpus_bigram_fluency",
-    "corpus_boilerplate_scrub",
-    "corpus_bpe_encode",
-    "corpus_clean_text",
-    "corpus_decontaminate",
-    "corpus_dsir_weights",
-    "corpus_dup_stats",
-    "corpus_gopher_rules",
-    "corpus_language_stats",
-    "corpus_segment_dedup",
-    "corpus_tfidf_topk",
-    "corpus_token_budget",
-    "dates_multi_format_parse",
+    # Round-13 attestation prefix - exactly 50 entries.
+    # --- (1) the full r09-stale band (20, r12 verdict item 4) ---
+    "dedup_exact_text",
+    "dedup_simhash_pairs",
+    "emb_centroid_by_bucket",
+    "io_json_roundtrip",
+    "io_partitioned_pruning",
+    "join_asof",
+    "join_semi_anti",
+    "multimodal_frame_sample",
+    "multimodal_image_meta",
+    "profile_key_detection",
+    "profile_wasserstein",
+    "sample_alpha_temperature",
+    "sort_with_position",
+    "stream_sink_parquet",
+    "text_langid",
+    "text_repetition_filter",
+    "tpch_q18",
+    "tpch_q19",
+    "window_cume_ntile",
+    "window_lag_delta",
+    # --- (2) r10 backfill (next-stalest, alphabetical, 30) to fill
+    #     50; the 16 remaining r10 entries rotate in round 14 ---
+    "agg_group_count",
+    "agg_group_sum",
+    "agg_median_mode",
+    "agg_unpivot",
+    "basic_replace_mode",
+    "basic_rid_concat",
+    "corpus_chunk_documents",
+    "corpus_classifier_eval",
+    "corpus_pack_sequences",
+    "corpus_ppl_buckets",
+    "corpus_ppl_buckets_sketch",
+    "corpus_quality_classifier",
+    "corpus_shuffle_deterministic",
+    "corpus_source_quality",
+    "corpus_topk_docs_per_lang",
+    "corpus_vocab_topk",
+    "dedup_incremental_lsh",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "delta_upsert_merge",
+    "distinct_domain",
+    "emb_neardup_pairs",
+    "emb_pq_codes",
+    "emb_quantize_int8",
+    "events_funnel_ordered",
+    "events_json_extract",
+    "events_resample_ffill",
+    "events_retention_cohort",
+    "events_sessionize",
+    "events_variant_agg",
 ]
 
 def _reorder_registry() -> None:
