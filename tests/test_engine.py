@@ -421,3 +421,25 @@ def test_split_name_conflicts_unit():
         {"g": [entry("g", dyn)], "h": [entry("h", dyn)]}
     )
     assert len(parts) == 1
+
+
+def test_release_joined_before_next_executor(spark):
+    """ADVICE r12: CacheManager uncaches by analyzed-plan equality, so a
+    delayed async release() could evict a NEW executor's plan-identical
+    fresh persist. A new Executor must join pending release threads
+    before persisting anything."""
+    import data_transformation_2022_spark.engine as eng
+
+    df = spark.createDataFrame(
+        [(float(i), f"g{i % 2}") for i in range(20)], "a double, g string"
+    )
+    ex = eng.Executor(df, sample_cap=10)
+    ex.release()
+    assert len(eng._PENDING_RELEASES) == 1
+    pending = eng._PENDING_RELEASES[0]
+    ex2 = eng.Executor(df, sample_cap=10)  # same df → plan-identical sample
+    assert eng._PENDING_RELEASES == [] and not pending.is_alive()
+    ex2.release()
+    # drain so this test leaves no cross-test state
+    while eng._PENDING_RELEASES:
+        eng._PENDING_RELEASES.pop().join(timeout=60)

@@ -588,6 +588,19 @@ def test_ivf_index_reuse_and_invalidation(spark, sf_dir, tmp_path):
     ivf_build_index(e, "vec_id", "embedding", path, n_lists=8)
     assert os.path.getmtime(f"{path}/lists/_SUCCESS") > built_at
     assert json.load(open(f"{path}/meta.json"))["n_lists"] == 8
+    # bounded output files (r13): the pre-repartition write fanned every
+    # input task across every list directory (tasks x lists small files);
+    # now <= n_lists x shards_per_list data files total
+    import glob
+
+    n_files = len(glob.glob(f"{path}/lists/**/*.parquet", recursive=True))
+    assert 0 < n_files <= 8, n_files
+    ivf_build_index(
+        e, "vec_id", "embedding", path, n_lists=4, shards_per_list=2,
+        force_rebuild=True,
+    )
+    n_files = len(glob.glob(f"{path}/lists/**/*.parquet", recursive=True))
+    assert 0 < n_files <= 8, n_files
 
 
 def test_keep_best_per_cluster_semantics(spark):
