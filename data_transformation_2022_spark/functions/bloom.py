@@ -44,6 +44,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import small_df
+
 log = logging.getLogger(__name__)
 
 # Default sizing: 16 bits/key with 6 hashes → ~0.9% false positives.
@@ -151,8 +153,8 @@ def bloom_prune(df: DataFrame, key: Column | str, bloom: BloomFilter) -> DataFra
     """
     key = F.col(key) if isinstance(key, str) else key
     spark = df.sparkSession
-    bits_df = spark.createDataFrame(
-        [(bloom.words,)], "__bloom_bits: array<bigint>"
+    bits_df = small_df(
+        spark, [(bloom.words,)], "__bloom_bits array<bigint>"
     )
     probed = df.withColumn("__bloom_key", key).crossJoin(F.broadcast(bits_df))
     terms = []

@@ -354,7 +354,10 @@ def global_running_sum(
     int_like = dict(df.dtypes).get(value_col, "").split("(")[0] in (
         "tinyint", "smallint", "int", "bigint",
     )
-    off_df = spark.createDataFrame(
+    from ..session import small_df
+
+    off_df = small_df(
+        spark,
         [
             (int(b), int(off) if int_like else float(off))
             for b, off in offsets.items()

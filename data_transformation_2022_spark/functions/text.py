@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..session import small_df
+
 # Fixed stopword list (order matters nowhere; membership only).
 STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
 
@@ -311,8 +313,9 @@ def dsir_weights(
         target_counts, raw_counts, n_buckets, k_smooth
     )
     ratio_df = F.broadcast(
-        spark.createDataFrame(
-            [(b, ratios[b]) for b in sorted(ratios)], "bucket bigint, lr double"
+        small_df(
+            spark, [(b, ratios[b]) for b in sorted(ratios)],
+            "bucket bigint, lr double",
         )
     )
     term = (F.col("c") * F.col("lr")).cast("decimal(28,18)")
@@ -879,8 +882,9 @@ def quality_classifier_scores(
     empty_margin = round(bias, round_digits)
 
     wdf = F.broadcast(
-        spark.createDataFrame(
-            [(b, w[b]) for b in range(n_buckets)], "bucket bigint, w double"
+        small_df(
+            spark, [(b, w[b]) for b in range(n_buckets)],
+            "bucket bigint, w double",
         )
     )
     if binarize:
@@ -979,8 +983,8 @@ def classifier_eval(
     # staying in sync
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    seed_ids = spark.createDataFrame(
-        [(v,) for v in seed_used], f"{id_col} {id_type}"
+    seed_ids = small_df(
+        spark, [(v,) for v in seed_used], f"{id_col} {id_type}"
     )
     hold = scored.join(F.broadcast(seed_ids), id_col, "left_anti").select(
         "margin", "__y"

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import small_df
+
 # Separator for merged symbols. Word tokens are whitespace-split, so no
 # input symbol can contain a space — "w1 w2" is collision-free with any
 # raw token and keeps merged symbols readable.
@@ -225,8 +227,9 @@ def bpe_train_merges(
                 repls.clear()
     finally:
         base.unpersist()
-    return spark.createDataFrame(
-        merges, schema="step int, w1 string, w2 string, pair_count bigint, merged string"
+    return small_df(
+        spark, merges,
+        "step int, w1 string, w2 string, pair_count bigint, merged string",
     )
 
 

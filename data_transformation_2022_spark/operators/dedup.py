@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import small_df
+
 from ..functions.text import fingerprint64, md5_prefix_long, tokens_ws
 from ..sources.readers import fan_out
 
@@ -390,8 +392,8 @@ def connected_components(
         schema = T.StructType(
             [T.StructField("id", node_t), T.StructField("component", node_t)]
         )
-        labeled = raw.sparkSession.createDataFrame(
-            [(n, _find(n)) for n in parent], schema
+        labeled = small_df(
+            raw.sparkSession, [(n, _find(n)) for n in parent], schema
         )
         return _with_isolated(labeled)
     if algo == "star":

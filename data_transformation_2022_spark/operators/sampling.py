@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import small_df
+
 from ..functions.text import md5_prefix_long
 
 # 15 hex digits = 60 bits of hash, still exact int64 arithmetic on any
@@ -290,7 +292,8 @@ def alpha_sample(
     # a hardcoded string here would join a non-string stratum through an
     # implicit cast (or fail outright)
     qdf = F.broadcast(
-        spark.createDataFrame(
+        small_df(
+            spark,
             rows,
             StructType(
                 [

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot_exact, norm_exact
+from ..session import small_df
 from ..sources.fs import (
     fs_exists as _fs_exists,
     fs_read_text as _fs_read_text,
@@ -58,9 +59,10 @@ def _query_probe_plan(
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
     order = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]
-    probes = spark.createDataFrame(
+    probes = small_df(
+        spark,
         [(qid, int(l)) for qid, row in zip(q_ids, order) for l in row],
-        schema="query_id long, list_id int",
+        "query_id long, list_id int",
     )
     bq = spark.sparkContext.broadcast({qid: q_mat[i] for i, qid in enumerate(q_ids)})
     probed = sorted({int(l) for row in order for l in row})
@@ -401,7 +403,8 @@ def ivf_build_index(
         .partitionBy("list_id")
         .parquet(f"{path}/lists")
     )
-    cents_df = spark.createDataFrame(
+    cents_df = small_df(
+        spark,
         [(i, [float(v) for v in row]) for i, row in enumerate(cents)],
         "list_id int, centroid array<double>",
     )
@@ -661,8 +664,8 @@ def ivf_pq_topk(
         qs = q_mat[i].reshape(m, sub)
         lut = ((qs[:, None, :] - bk) ** 2).sum(axis=2)  # (m, n_cent)
         luts.append((qid, [[float(v) for v in row] for row in lut]))
-    lut_df = spark.createDataFrame(
-        luts, schema="query_id long, __lut array<array<double>>"
+    lut_df = small_df(
+        spark, luts, "query_id long, __lut array<array<double>>"
     )
 
     cand = (

@@ -36,6 +36,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .session import small_df
+
 NOMINAL_STD = 0.05  # reference NOMINALSTD (config.py:2)
 POTENTIAL_IDX = ("idx", "index", "epoch", "no", "no.")  # reference config.py:4
 FLOAT_CAN_BE_KEY = False  # reference config.py:14
@@ -520,7 +522,8 @@ def exact_quantile_grid(
     # fresh janino compile per call, which dominates at interactive scale
     # float() on both params: DecimalType columns yield decimal.Decimal
     # min/max, and Decimal arithmetic into a 'double' schema raises
-    params = spark.createDataFrame(
+    params = small_df(
+        spark,
         [
             (
                 c,
@@ -698,8 +701,8 @@ def exact_quantile_grid(
         w = Window.partitionBy("seg").orderBy("value")
         picked = []
         if eq_rows:
-            segs = spark.createDataFrame(eq_rows, "cid string, b int, seg int")
-            tdf = spark.createDataFrame(eq_targets, "seg int, rn int, grank long")
+            segs = small_df(spark, eq_rows, "cid string, b int, seg int")
+            tdf = small_df(spark, eq_targets, "seg int, rn int, grank long")
             picked += (
                 long_df.join(F.broadcast(segs), ["cid", "b"])
                 .select("cid", "seg", "value")
@@ -709,10 +712,10 @@ def exact_quantile_grid(
                 .collect()
             )
         if rg_rows:
-            segs = spark.createDataFrame(
-                rg_rows, "cid string, seg int, slo double, shi double"
+            segs = small_df(
+                spark, rg_rows, "cid string, seg int, slo double, shi double"
             )
-            tdf = spark.createDataFrame(rg_targets, "seg int, rn int, grank long")
+            tdf = small_df(spark, rg_targets, "seg int, rn int, grank long")
             picked += (
                 long_df.join(
                     F.broadcast(segs),

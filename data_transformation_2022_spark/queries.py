@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .session import small_df
+
 from .operators.relational import group_count, group_sum, nominalize, rid_concat, top_k
 from .operators.steps import RID, Step, apply_tpath
 from .sources.readers import load_table, with_rid
@@ -2394,7 +2396,7 @@ def q_profile_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((f"{a}|{b}", diff))
     n = len(_W1_PROBS)
     return (
-        spark.createDataFrame(rows, "pair string, d double")
+        small_df(spark, rows, "pair string, d double")
         .select("pair", F.round(F.col("d") / float(n), 6).alias("w1"))
     )
 
@@ -2516,7 +2518,9 @@ def q_engine_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in res.charts
     ]
-    return spark.createDataFrame(rows, "chart_type string, score double, channels string")
+    return small_df(
+        spark, rows, "chart_type string, score double, channels string"
+    )
 
 
 @register("sim_ann_topk_fast", None, tags=("similarity", "approx"))
@@ -3929,9 +3933,7 @@ def q_corpus_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, t in enumerate(toks[:20]):
         j = int(sims[i].argmax())
         rows.append((t, toks[j], round(float(sims[i, j]), 6)))
-    return spark.createDataFrame(
-        rows, schema
-    )
+    return small_df(spark, rows, schema)
 
 
 @register(

@@ -443,3 +443,37 @@ def test_release_joined_before_next_executor(spark):
     # drain so this test leaves no cross-test state
     while eng._PENDING_RELEASES:
         eng._PENDING_RELEASES.pop().join(timeout=60)
+
+
+def test_small_df_value_identity(spark):
+    """small_df (r13): Arrow-batched literal frames must be
+    value-identical to the python-list createDataFrame path — same
+    schema, same rows — for the metadata shapes the package ships
+    (offsets, centroids/arrays, string keys), including empty input and
+    StructType schemas; un-representable rows fall back to the list
+    path rather than failing."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from data_transformation_2022_spark.session import small_df
+
+    cases = [
+        ([(0, 10), (1, 20)], "b int, off bigint"),
+        ([(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id int, v array<double>"),
+        ([("a", 0.5), ("b", -1.5)], "k string, x double"),
+        ([], "b int, off bigint"),
+        (
+            [("s", 1)],
+            StructType(
+                [StructField("k", StringType()), StructField("n", IntegerType())]
+            ),
+        ),
+    ]
+    for rows, schema in cases:
+        got = small_df(spark, rows, schema)
+        want = spark.createDataFrame(rows, schema)
+        assert got.schema == want.schema, (rows, schema)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), (rows, schema)
