@@ -79,9 +79,11 @@ def small_df(spark: SparkSession, rows, schema):
     import pandas as pd
     from pyspark.sql.types import StructType
 
+    rows = list(rows)  # BEFORE the try: a generator consumed by a failed
+    # Arrow attempt would leave the fallback a silently EMPTY frame
     try:
         st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
-        pdf = pd.DataFrame(list(rows), columns=st.names)
+        pdf = pd.DataFrame(rows, columns=st.names)
         return spark.createDataFrame(pdf, st)
     except Exception:
         return spark.createDataFrame(rows, schema)

@@ -477,3 +477,24 @@ def test_small_df_value_identity(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), (rows, schema)
+
+
+def test_small_df_generator_safe(spark, monkeypatch):
+    """A generator input must survive a failed Arrow attempt intact:
+    rows are materialized BEFORE the try, so the fallback path sees the
+    full data, never an exhausted iterator."""
+    import pandas as pd
+
+    from data_transformation_2022_spark.session import small_df
+
+    out = small_df(spark, ((i, float(i)) for i in range(5)), "a int, b double")
+    assert out.count() == 5
+    # force the Arrow attempt to fail mid-conversion; the generator's
+    # rows must still all reach the fallback list path
+    class Boom:  # a real type: pyspark's isinstance checks must not break
+        def __init__(self, *a, **k):
+            raise RuntimeError("forced arrow failure")
+
+    monkeypatch.setattr(pd, "DataFrame", Boom)
+    got = small_df(spark, ((i, float(i)) for i in range(4)), "a int, b double")
+    assert got.count() == 4
