@@ -265,7 +265,7 @@ def test_embedder_tier_end_to_end_ie19(spark):
 
 
 def test_collide_temp_unit_groups_golden(spark):
-    """F8 (r13, in-repo): two unit groups sharing a name token —
+    """F9 (r13, in-repo): two unit groups sharing a name token —
     temp a(C)/temp b(C) and temp c(F)/temp d(F) — whose 2-col
     arithmetic candidates all derive the SAME display name
     ("sub: (temp)" etc. via common_suffix_name), the colliding-cluster
