@@ -425,3 +425,82 @@ class TestRound4Properties:
             assert packed[i][0] == n
             assert packed[i][1] == cum // budget, (i, budget)
             cum += n
+
+
+# ---------------------------------------------------------------------------
+# r13: merged-bar-group splitter (engine._split_name_conflicts)
+# ---------------------------------------------------------------------------
+
+_name_pool = st.sampled_from(["sub: (t)", "div: (t)", "d1", "d2", "m1", "m2"])
+_col_pool = st.sampled_from(["a", "b", "c", "d"])
+
+
+def _mk_entry(x, in_cols, out_name, agg):
+    """Bar-prefetch entry shaped like prefetch's uniq_bars values."""
+    from data_transformation_2022_spark.operators.steps import Step
+    from data_transformation_2022_spark.plans.search import Candidate
+
+    if agg == "count":
+        return ((x, None, "count"), x, None, "count")
+    steps = [
+        Step(t="sub", i_type="==", i=list(in_cols), o_type="append",
+             index=[out_name])
+    ]
+    cand = Candidate(family="sum_bar", steps=steps, out_cols=[out_name],
+                     derived=[out_name])
+    return ((x, cand.signature(), agg), x, cand, agg)
+
+
+_entries = st.lists(
+    st.tuples(
+        st.sampled_from(["g", "h"]),
+        st.lists(_col_pool, min_size=2, max_size=2, unique=True),
+        _name_pool,
+        st.sampled_from(["sum", "sum", "sum", "count"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(_entries)
+@settings(max_examples=60, deadline=None)
+def test_split_name_conflicts_properties(specs):
+    """Partition property: every input entry lands in exactly one part;
+    within a part every derived output name maps to exactly one step
+    content; and when the input has no colliding names at all, the
+    split preserves the single-job batching (one part)."""
+    from data_transformation_2022_spark.engine import (
+        _entry_name_contents,
+        _split_name_conflicts,
+    )
+
+    by_x: dict[str, list] = {}
+    for x, in_cols, out_name, agg in specs:
+        by_x.setdefault(x, []).append(_mk_entry(x, in_cols, out_name, agg))
+    parts = _split_name_conflicts(by_x)
+
+    # exhaustive, disjoint: same multiset of entry keys in and out
+    flat = [e[0] for p in parts for es in p.values() for e in es]
+    orig = [e[0] for es in by_x.values() for e in es]
+    assert sorted(map(repr, flat)) == sorted(map(repr, orig))
+
+    # each part internally content-consistent
+    for p in parts:
+        seen: dict = {}
+        for x_col, es in p.items():
+            for _k, _x, cand, agg in es:
+                named = _entry_name_contents(x_col, cand, agg)
+                for n, v in named.items():
+                    assert seen.setdefault(n, v) == v, (n, v, seen[n])
+
+    # no-collision inputs stay one part (the r12 batching preserved)
+    global_map: dict = {}
+    collision = False
+    for x_col, es in by_x.items():
+        for _k, _x, cand, agg in es:
+            for n, v in _entry_name_contents(x_col, cand, agg).items():
+                if global_map.setdefault(n, v) != v:
+                    collision = True
+    if not collision:
+        assert len(parts) == 1
