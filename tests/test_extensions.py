@@ -601,6 +601,20 @@ def test_ivf_index_reuse_and_invalidation(spark, sf_dir, tmp_path):
     )
     n_files = len(glob.glob(f"{path}/lists/**/*.parquet", recursive=True))
     assert 0 < n_files <= 8, n_files
+    # sharding changes the FILE layout only: the sharded index serves
+    # the same neighbors as the live path at full probe
+    from data_transformation_2022_spark.operators.similarity import (
+        ivf_query_index,
+        ivf_topk,
+    )
+
+    q = e.filter(F.col("vec_id") < 3)
+    got = ivf_query_index(spark, path, q, "vec_id", "embedding", k=3, n_probe=4)
+    live = ivf_topk(e, q, "vec_id", "embedding", k=3, n_lists=4, n_probe=4)
+    pick = lambda df: sorted(
+        map(tuple, df.select("query_id", "cand_id", "rank").collect())
+    )
+    assert pick(got) == pick(live)
 
 
 def test_keep_best_per_cluster_semantics(spark):
