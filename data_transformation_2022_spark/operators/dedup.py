@@ -670,6 +670,61 @@ def contamination_flags(
     )
 
 
+def contamination_containment(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Graded train/test-overlap report: per corpus document, the
+    CONTAINMENT of its distinct word-n-gram set in the benchmark's
+    union shingle set — |A ∩ B| / |A| in [0, 1]. The binary
+    ``contamination_flags`` answers "scrub or keep"; this is the
+    threshold-free score a contamination AUDIT publishes (the GPT-3
+    appendix-C / PaLM-style overlap reports), asymmetric on purpose:
+    a short benchmark prompt fully contained in a long document scores
+    that document
+    by the document's own shingle mass, not the pair union.
+
+    Same 100 TB shape as ``contamination_flags``: both sides reduce to
+    (id, 60-bit md5 shingle hash) rows, the benchmark side collapses
+    to a tiny DISTINCT broadcast set, and the two per-document counts
+    are output-bounded groupBys over the same corpus-side shingle
+    frame — the corpus is never shuffled by the join. Documents with
+    fewer than ``n`` tokens have no shingles (containment undefined)
+    and are excluded. The score is ONE IEEE double quotient of two
+    exact BIGINTs, rounded — a SQL oracle replays it bit-for-bit."""
+    c_sh = _shingle_rows(corpus, id_col, text_col, n).select(
+        F.col(id_col), md5_prefix_long(F.col("sh"), 15).alias("sh")
+    )
+    b_sh = (
+        _shingle_rows(bench, id_col, text_col, n)
+        .select(md5_prefix_long(F.col("sh"), 15).alias("sh"))
+        .distinct()
+    )
+    totals = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))  # shingles are distinct per doc
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            n_hits.alias("n_hits"),
+            F.round(
+                n_hits.cast("double") / F.col("n_shingles").cast("double"),
+                round_digits,
+            ).alias("containment"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1469,6 +1469,48 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_decontaminate_containment",
+    f"""WITH toks AS (
+          SELECT doc_id, {_DD_TOKS.format(t='text')} AS w FROM documents
+        ), sh AS (
+          SELECT doc_id, UNNEST({_dd_shingles_n('w', 8)}) AS s FROM toks
+        ), h AS (
+          SELECT doc_id, {_dd_md5_long('s', 15)} AS sh FROM sh
+        ), bench_ids AS (
+          SELECT doc_id FROM documents WHERE {_DECON_BENCH_PRED}
+        ), b AS (
+          SELECT DISTINCT h2.sh FROM h h2 JOIN bench_ids USING (doc_id)
+        ), totals AS (
+          SELECT doc_id, COUNT(*) AS n_shingles FROM h GROUP BY doc_id
+        ), hits AS (
+          SELECT h.doc_id, COUNT(*) AS n_hits
+          FROM h JOIN b ON h.sh = b.sh GROUP BY h.doc_id
+        )
+        SELECT totals.doc_id, totals.n_shingles,
+               COALESCE(hits.n_hits, 0) AS n_hits,
+               ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
+                     / CAST(totals.n_shingles AS DOUBLE), 6) AS containment
+        FROM totals LEFT JOIN hits USING (doc_id)""",
+    tags=("dedup", "pipeline", "decontamination"),
+)
+def q_corpus_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination AUDIT (r13): per document, the containment
+    |A ∩ B| / |A| of its distinct word-8-gram set in the benchmark's
+    shingle set — the threshold-free overlap score a release report
+    publishes alongside the binary scrub decision
+    (operators.dedup.contamination_containment; same broadcast-set
+    shape as corpus_decontaminate, same deterministic 2% hash-sample
+    standing in for the benchmark). One IEEE quotient of two exact
+    BIGINTs, so the oracle is hash-exact."""
+    from .operators.dedup import contamination_containment
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = hash_sample(docs, ["doc_id"], 0.02, salt="bench")
+    return contamination_containment(docs, bench, "doc_id", "text", n=8)
+
+
+@register(
     "dedup_exact_text",
     f"""WITH fp AS (
           SELECT doc_id,
@@ -6481,7 +6523,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRIORITY: list[str] = [
     # Round-13 attestation prefix - exactly 50 entries.
-    # --- (1) the full r09-stale band (20, r12 verdict item 4) ---
+    # --- (1) the new exact query this round (must be attested) ---
+    "corpus_decontaminate_containment",
+    # --- (2) the full r09-stale band (20, r12 verdict item 4) ---
     "dedup_exact_text",
     "dedup_simhash_pairs",
     "emb_centroid_by_bucket",
@@ -6502,8 +6546,8 @@ _PRIORITY: list[str] = [
     "tpch_q19",
     "window_cume_ntile",
     "window_lag_delta",
-    # --- (2) r10 backfill (next-stalest, alphabetical, 30) to fill
-    #     50; the 16 remaining r10 entries rotate in round 14 ---
+    # --- (3) r10 backfill (next-stalest, alphabetical, 29) to fill
+    #     50; the 17 remaining r10 entries rotate in round 14 ---
     "agg_group_count",
     "agg_group_sum",
     "agg_median_mode",
@@ -6533,7 +6577,6 @@ _PRIORITY: list[str] = [
     "events_resample_ffill",
     "events_retention_cohort",
     "events_sessionize",
-    "events_variant_agg",
 ]
 
 def _reorder_registry() -> None:

@@ -2799,3 +2799,34 @@ def test_ppmi_fit_cache_hygiene(spark, monkeypatch):
     E.train_ppmi_svd(docs, "text", vocab_size=50, dim=8)
     assert calls["n"] == 5, "no fit_key → no caching"
     E.clear_ppmi_cache()
+
+
+def test_contamination_containment_semantics(spark):
+    """Containment = |A∩B|/|A| per document: a benchmark member scores
+    1.0 against itself; a doc sharing half its shingles scores by ITS
+    OWN shingle mass (asymmetric); sub-n-token docs have no shingles
+    and are excluded; zero-overlap docs score 0.0."""
+    from data_transformation_2022_spark.operators.dedup import (
+        contamination_containment,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # 3 distinct 3-grams: abc bcd cde
+            (2, "a b c x y"),        # 3-grams: abc bcx cxy -> 1 of 3 in bench
+            (3, "p q"),              # < n tokens: excluded
+            (4, "z z z z"),          # 3-grams: {zzz} -> 0 hits
+        ],
+        "doc_id int, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"], r["containment"])
+        for r in contamination_containment(
+            docs, bench, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert out[1] == (3, 3, 1.0)
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert 3 not in out
+    assert out[4] == (1, 0, 0.0)
