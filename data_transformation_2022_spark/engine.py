@@ -69,6 +69,33 @@ _PD_BY_SPARK = {
 }
 
 
+def _merge_rid(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Inner merge on RID, fast-pathed for chart assembly's dominant
+    case: both frames carry the IDENTICAL RID sequence (every channel
+    frame is a RID-sorted projection of the same bounded sample) and
+    disjoint payload columns — then the merge IS a positional column
+    concat, and pandas' hash-join machinery (~2.5 ms per call, ~670
+    calls per recommend at the bench shape ≈ 1.7 s of driver time,
+    cProfile) is skipped. Any mismatch — differing RID sets (a core-T
+    path that dropped rows) or a payload-name collision (merge would
+    suffix _x/_y) — falls back to the real merge, so the output is
+    bit-identical either way (byte-stable recommend goldens +
+    tests/test_engine.py pin this)."""
+    lv = left[RID].to_numpy()
+    rv = right[RID].to_numpy()
+    if lv.shape == rv.shape and (lv == rv).all():
+        rcols = [c for c in right.columns if c != RID]
+        if not any(c in left.columns for c in rcols):
+            return pd.concat(
+                [
+                    left.reset_index(drop=True),
+                    right[rcols].reset_index(drop=True),
+                ],
+                axis=1,
+            )
+    return left.merge(right, on=RID)
+
+
 @dataclass
 class ChartCandidate:
     chart_type: str
@@ -603,10 +630,18 @@ class Executor:
 
         sample = self.sample
         derived = list(self._derived_bases.values())
-        samples = list(self._sample_bases.values())
         self._derived_bases.clear()
         self._persisted_base_keys.clear()
         self._pruned_base_keys.clear()
+        # _sample_bases (localCheckpoint blocks, ≤sample_cap rows each)
+        # are NOT explicitly unpersisted: each ``.rdd`` access re-runs
+        # physical planning — 37 frames × ~25 ms of py4j round trips
+        # measured ~0.8 s of the ~1.1 s drop, which the NEXT Executor's
+        # release-join then waits out (r13 opt). Clearing the memo drops
+        # the only references; ContextCleaner (reference tracking, on by
+        # default) reclaims the blocks after GC. Unlike the
+        # CacheManager entries below, RDD blocks have no analyzed-plan
+        # identity, so delayed cleanup cannot evict a successor's cache.
         self._sample_bases.clear()
 
         def _drop() -> None:
@@ -617,11 +652,6 @@ class Executor:
             for base in derived:
                 try:
                     base.unpersist()
-                except Exception:
-                    pass
-            for base in samples:
-                try:  # best-effort: free the localCheckpoint block storage
-                    base.rdd.unpersist()
                 except Exception:
                     pass
 
@@ -1064,7 +1094,7 @@ def recommend(
                     col_f = ex.channel_frame(ccand, ccoret)
                     if col_f is None:
                         continue
-                    merged = xy.merge(col_f, on=RID)
+                    merged = _merge_rid(xy, col_f)
                     ccol = [c for c in col_f.columns if c != RID][0]
                     charts.append(
                         _score_scatter(
@@ -1078,7 +1108,7 @@ def recommend(
                     col_f = ex.channel_frame(ccand, ccoret)
                     if col_f is None:
                         continue
-                    merged = xy.merge(col_f, on=RID)
+                    merged = _merge_rid(xy, col_f)
                     ccol = [c for c in col_f.columns if c != RID][0]
                     charts.append(
                         _score_scatter(
@@ -1102,7 +1132,7 @@ def recommend(
                 ycols = [c for c in _prefer_derived(yc) if c in yf.columns and c != xcol][:MAX_SERIES]
                 if not ycols:
                     continue
-                merged = xf.merge(yf[[RID] + ycols], on=RID).sort_values(xcol)
+                merged = _merge_rid(xf, yf[[RID] + ycols]).sort_values(xcol)
                 sc = {}
                 if slist.get("linearness"):
                     sc["linearness"] = float(
@@ -1168,7 +1198,7 @@ def recommend(
                         xcol = [c for c in xf.columns if c != RID][0]
                         if xcol == ycol:
                             continue
-                        merged = xf.merge(yf, on=RID).merge(gf, on=RID).sort_values(xcol)
+                        merged = _merge_rid(_merge_rid(xf, yf), gf).sort_values(xcol)
                         series = [
                             merged.loc[merged[gcol] == cat, ycol].to_numpy() for cat in cats
                         ]
@@ -1191,7 +1221,7 @@ def recommend(
                             )
                         )
                 if "ord_cat_line" in chart_types:
-                    merged = yf.merge(gf, on=RID).sort_values(RID)
+                    merged = _merge_rid(yf, gf).sort_values(RID)
                     series = [merged.loc[merged[gcol] == cat, ycol].to_numpy() for cat in cats]
                     sc = {}
                     if slist.get("linearness"):
