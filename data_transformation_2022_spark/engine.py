@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .ml.coret import CORE_T_RUNNERS
 from .operators.steps import RID, Step, apply_step, apply_tpath, small_input_mode
+from .operators.steps_local import eval_steps_local
 from .plans.catalog import CORE_T, VLIST
 from .plans.search import Candidate, enumerate_tpaths
 from .profiler import TableProfile, profile_table
@@ -183,9 +184,53 @@ class Executor:
         # is ≤sample_cap rows — materialization is trivial, the saved
         # re-planning is not), so downstream plans start from a leaf.
         self._sample_bases: dict[tuple, DataFrame] = {}
+        # collected-once copy of the bounded sample for the driver-side
+        # step evaluator (steps_local): step-only channel frames are
+        # rank/select/arithmetic over ≤sample_cap rows, and serving them
+        # from pandas skips a Catalyst plan + job round-trip per chain
+        # (r13 opt #3; equivalence contract in operators/steps_local.py,
+        # pinned by tests/test_steps_local.py). SPARK_GRAFT_NO_LOCAL_STEPS
+        # disables it for A/B measurement.
+        import os
         import threading
 
+        self._sample_pdf: pd.DataFrame | None = None
+        self._sample_types: list[tuple[str, str]] | None = None
+        self._local_steps = not os.environ.get("SPARK_GRAFT_NO_LOCAL_STEPS")
         self._sample_lock = threading.Lock()
+
+    def _sample_local(self) -> tuple[pd.DataFrame, list[tuple[str, str]]]:
+        """The sample collected once (RID order) + its Spark types."""
+        if self._sample_pdf is None:
+            with self._sample_lock:
+                if self._sample_pdf is None:
+                    pdf = self.sample.toPandas()
+                    # defensive: the engine's row-order contract is RID
+                    # ascending (the solo path collects orderBy(RID))
+                    pdf = pdf.sort_values(RID, kind="mergesort").reset_index(
+                        drop=True
+                    )
+                    self._sample_types = self.sample.dtypes
+                    self._sample_pdf = pdf
+        return self._sample_pdf, self._sample_types
+
+    def _local_channel_frame(self, cand: Candidate) -> pd.DataFrame | None:
+        """Step-only channel frame served by the driver-side evaluator;
+        None whenever equivalence with the Spark path is not proven
+        (caller falls through to the Spark path)."""
+        if not self._local_steps:
+            return None
+        try:
+            pdf, types = self._sample_local()
+            res = eval_steps_local(pdf, types, cand.steps)
+            if res is None:
+                return None
+            dpdf, _ = res
+            if any(c not in dpdf.columns for c in cand.out_cols):
+                return None
+            return dpdf[[RID, *cand.out_cols]].reset_index(drop=True)
+        except Exception:
+            return None
 
     def _sample_derived(self, steps) -> DataFrame:
         """apply_tpath over the cached sample with shared-prefix memo +
@@ -234,14 +279,25 @@ class Executor:
         out: pd.DataFrame | None
         try:
             with small_input_mode():  # channel frames are sample-bounded
-                derived = self._sample_derived(cand.steps)
                 if coret is None:
-                    # explicit RID order: tpaths ending in rank/nominalize
-                    # come back in window-sort (or stacked-groupBy hash)
-                    # order, and the batch path sorts by RID — both memo
-                    # fillers must yield the same row order
-                    out = derived.select(RID, *cand.out_cols).orderBy(RID).toPandas()
+                    # driver-side evaluator first (r13 opt #3): step-only
+                    # frames are provably-equivalent pandas over the
+                    # collected sample; None → the Spark path below
+                    out = self._local_channel_frame(cand)
+                    if out is None:
+                        derived = self._sample_derived(cand.steps)
+                        # explicit RID order: tpaths ending in
+                        # rank/nominalize come back in window-sort (or
+                        # stacked-groupBy hash) order, and the batch path
+                        # sorts by RID — all memo fillers must yield the
+                        # same row order
+                        out = (
+                            derived.select(RID, *cand.out_cols)
+                            .orderBy(RID)
+                            .toPandas()
+                        )
                 else:
+                    derived = self._sample_derived(cand.steps)
                     if NOT_CALCU_DMT and any(
                         s.t in ("sum", "sub", "mul", "div") for s in cand.steps
                     ):
@@ -491,6 +547,14 @@ class Executor:
                 for k, v in uniq_frames.items()
                 if v[1] is None and k not in self._frames
             }
+            # driver-side evaluator first (r13 opt #3): whatever it can
+            # prove equivalent never touches Spark at all; only the
+            # leftovers go through the batched outer-join job
+            for k in list(null_frames):
+                out = self._local_channel_frame(null_frames[k][0])
+                if out is not None:
+                    self._frames[k] = out
+                    del null_frames[k]
             if len(null_frames) > 1:
                 self._batch_step_frames(null_frames)
             _tr("batch_step_frames done")
