@@ -401,20 +401,38 @@ def numpy_tsne(
 
     d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
     p = np.zeros((n, n))
+    # binary-search work buffers allocated once (same ufuncs, same
+    # operand order as the allocating forms — bit-identical; see the
+    # gradient-loop note below): ~n·25 inner iterations each built 5
+    # fresh (n-1)-vectors before this
+    wbuf = np.empty(n - 1)
+    lbuf = np.empty(n - 1)
     for i in range(n):
         di = np.delete(d2[i], i)
         beta, beta_lo, beta_hi = 1.0, 0.0, np.inf
         pn = np.full(n - 1, 1.0 / (n - 1))
         for _ in range(64):
-            w = np.exp(-di * beta)
+            np.multiply(di, -beta, out=wbuf)  # == (-di)·beta: IEEE
+            # multiplication is commutative and sign-exact, so
+            # di·(-beta) carries the identical bits
+            w = np.exp(wbuf, out=wbuf)
             s = w.sum()
             if s <= 1e-300:
                 h = 0.0
                 pn = np.zeros_like(w)
             else:
                 pn = w / s
-                nz = pn > 0
-                h = -(pn[nz] * np.log(pn[nz])).sum()
+                if pn.all():
+                    # all-positive fast path: pn[nz] with nz all-True is
+                    # a same-length contiguous copy, so the masked form's
+                    # multiply+pairwise-sum sees the same values in the
+                    # same layout — identical bits, no mask/compaction
+                    np.log(pn, out=lbuf)
+                    np.multiply(pn, lbuf, out=lbuf)
+                    h = -lbuf.sum()
+                else:
+                    nz = pn > 0
+                    h = -(pn[nz] * np.log(pn[nz])).sum()
             if abs(h - target_h) < 1e-6:
                 break
             if h > target_h:  # too flat → sharpen
@@ -445,21 +463,46 @@ def numpy_tsne(
     # hoisted out of the loop (same multiply, so bit-identical results;
     # saves one n² allocation per exaggerated iteration)
     p_ex = p * early_exaggeration
+    # n×n work buffers allocated ONCE: every loop line below runs the
+    # SAME ufunc on the SAME operands in the SAME order as the
+    # allocating form (np.subtract(a, b, out=buf) computes exactly
+    # a - b), so results stay bit-identical (pinned by
+    # tests/test_coret_numpy_identity + the capture/compare harness)
+    # while the ~8 fresh n² temporaries per iteration — the measured
+    # majority of the 500-iteration loop's cost at n=400 — disappear
+    dy0 = np.empty((n, n))
+    dy1 = np.empty((n, n))
+    num = np.empty((n, n))
+    q = np.empty((n, n))
+    pq = np.empty((n, n))
+    # zeros ONCE: only the diagonal is rewritten each iteration, the
+    # off-diagonal zeros persist (nothing below writes to diagm)
+    diagm = np.zeros((n, n))
+    sub = np.empty((n, n))
     for it in range(n_iter):
         pe = p_ex if it < exaggeration_until else p
         # pairwise distances per output dimension instead of the 3-D
         # broadcast + sum(-1): the subtractions, squares and the d0+d1
         # add are the same scalar ops in the same order, so the result
-        # is bit-identical (pinned by tests/test_coret_numpy_identity),
-        # while the n×n×2 temporaries disappear — measured ~2× on the
-        # gradient loop's dominant line at n=400
-        dy0 = y[:, 0, None] - y[None, :, 0]
-        dy1 = y[:, 1, None] - y[None, :, 1]
-        num = 1.0 / (1.0 + (dy0 * dy0 + dy1 * dy1))
+        # is bit-identical, while the n×n×2 temporaries disappear —
+        # measured ~2× on the gradient loop's dominant line at n=400
+        np.subtract(y[:, 0, None], y[None, :, 0], out=dy0)
+        np.multiply(dy0, dy0, out=dy0)
+        np.subtract(y[:, 1, None], y[None, :, 1], out=dy1)
+        np.multiply(dy1, dy1, out=dy1)
+        np.add(dy0, dy1, out=num)
+        np.add(num, 1.0, out=num)  # IEEE addition is commutative
+        np.divide(1.0, num, out=num)
         np.fill_diagonal(num, 0.0)
-        q = np.maximum(num / num.sum(), 1e-12)
-        pq = (pe - q) * num
-        grad = 4.0 * ((np.diag(pq.sum(axis=1)) - pq) @ y)
+        np.divide(num, num.sum(), out=q)
+        np.maximum(q, 1e-12, out=q)
+        np.subtract(pe, q, out=pq)
+        np.multiply(pq, num, out=pq)
+        # np.diag(rowsum) - pq without the per-iteration n² zeros alloc
+        # (off-diagonal zeros persist; only the diagonal is refreshed)
+        diagm.flat[:: n + 1] = pq.sum(axis=1)
+        np.subtract(diagm, pq, out=sub)
+        grad = 4.0 * (sub @ y)
         momentum = 0.5 if it < exaggeration_until else 0.8
         gains = np.where(np.sign(grad) != np.sign(update), gains + 0.2, gains * 0.8)
         gains = np.maximum(gains, 0.01)
