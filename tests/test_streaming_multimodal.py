@@ -227,3 +227,24 @@ def test_state_partitions_out_of_order_exit(spark):
         assert spark.conf.get(key) == before
     finally:
         spark.conf.set(key, before)
+
+
+def test_drained_row_count_condition():
+    """r13: _drained with a known static row count drains as soon as the
+    cumulative committed input reaches it (no empty-batch wait), while
+    the legacy data-then-empty inference still works standalone and as
+    the belt-and-braces OR."""
+    from data_transformation_2022_spark.streaming.pipelines import _drained
+
+    # row-count condition: exact, order-independent, multi-batch-safe
+    assert _drained([{"numInputRows": 60}, {"numInputRows": 40}], 100)
+    assert not _drained([{"numInputRows": 60}, {"numInputRows": 39}], 100)
+    assert _drained([{"numInputRows": 100}], 100)
+    assert not _drained([{"numInputRows": 0}], 100)
+    # legacy inference unchanged when no count is supplied
+    assert _drained([{"numInputRows": 100}, {"numInputRows": 0}])
+    assert not _drained([{"numInputRows": 100}])
+    assert not _drained([{"numInputRows": 0}])
+    # OR composition: an empty batch after data still drains even when
+    # the supplied count was never reached (conservative fallback)
+    assert _drained([{"numInputRows": 50}, {"numInputRows": 0}], 100)
