@@ -197,6 +197,12 @@ class Executor:
         self._sample_pdf: pd.DataFrame | None = None
         self._sample_types: list[tuple[str, str]] | None = None
         self._local_steps = not os.environ.get("SPARK_GRAFT_NO_LOCAL_STEPS")
+        # core-T twin (r14): SPARK_GRAFT_NO_LOCAL_CORET disables just the
+        # coret_local evaluator (for marginal A/Bs); NO_LOCAL_STEPS
+        # disables both (the coret twin consumes the step twin's frames)
+        self._local_coret = self._local_steps and not os.environ.get(
+            "SPARK_GRAFT_NO_LOCAL_CORET"
+        )
         self._sample_lock = threading.Lock()
 
     def _sample_local(self) -> tuple[pd.DataFrame, list[tuple[str, str]]]:
@@ -229,6 +235,37 @@ class Executor:
             if any(c not in dpdf.columns for c in cand.out_cols):
                 return None
             return dpdf[[RID, *cand.out_cols]].reset_index(drop=True)
+        except Exception:
+            return None
+
+    def _local_coret_frame(
+        self, cand: Candidate, coret: str
+    ) -> pd.DataFrame | None:
+        """Core-T channel frame served by the driver-side evaluator
+        (ml/coret_local): the step chain is evaluated by the proven
+        steps_local contract, then the runner math — driver numpy in
+        both paths — runs directly on the pandas prefix. None whenever
+        equivalence with the Spark path is not proven (caller falls
+        through to the Spark runner). Row-order note: pca/kmeans emit in
+        the derived frame's own order, so coret_local only serves them
+        for chains with no rank/nominalize step (where that order is
+        provably RID — the same invariant _batch_step_frames relies on);
+        the sample-bound transforms (mds/tsne/umap/dbscan) re-sort by
+        RID internally and serve for any provable chain."""
+        if not self._local_coret:
+            return None
+        try:
+            from .ml.coret_local import eval_coret_local
+
+            pdf, types = self._sample_local()
+            res = eval_steps_local(pdf, types, cand.steps)
+            if res is None:
+                return None
+            dpdf, dtypes = res
+            rid_order = not any(
+                s.t in ("rank", "nominalize") for s in cand.steps
+            )
+            return eval_coret_local(dpdf, dtypes, coret, rid_order=rid_order)
         except Exception:
             return None
 
@@ -297,14 +334,21 @@ class Executor:
                             .toPandas()
                         )
                 else:
-                    derived = self._sample_derived(cand.steps)
                     if NOT_CALCU_DMT and any(
                         s.t in ("sum", "sub", "mul", "div") for s in cand.steps
                     ):
                         out = None  # reference Tengine.py:58-64
                     else:
-                        res = CORE_T_RUNNERS[coret](derived)
-                        out = res.toPandas() if res is not None else None
+                        # driver-side core-T evaluator first (r14 opt,
+                        # VERDICT r13 #1): the runner math is driver
+                        # numpy either way — serve it from the proven
+                        # pandas sample prefix and skip the 2-3 bounded
+                        # Spark jobs per frame; None → the Spark path
+                        out = self._local_coret_frame(cand, coret)
+                        if out is None:
+                            derived = self._sample_derived(cand.steps)
+                            res = CORE_T_RUNNERS[coret](derived)
+                            out = res.toPandas() if res is not None else None
         except Exception:
             out = None
         self._frames[key] = out
@@ -611,6 +655,7 @@ class Executor:
 
             for chain in chains.values():
                 self._derived_base(chain, keep_fn=keep_fn)
+            _tr(f"table side: {len(chains)} chains registered")
             by_level: dict[int, list[DataFrame]] = {}
             for key, base in self._derived_bases.items():
                 if key not in self._persisted_base_keys:
@@ -1239,6 +1284,12 @@ def recommend(
     # ---- category-split lines (reference rel_cat_line/ord_cat_line,
     # search.py:1588-1719): one numeric y per nominal category series ----
     if "rel_cat_line" in chart_types or "ord_cat_line" in chart_types:
+        # the inner (x, y) merge repeats VERBATIM for every grouping
+        # candidate g — memoize it per frame-identity pair (_merge_rid is
+        # pure; channel frames are memoized objects, so ids are stable
+        # for the life of this call). Loop and chart-append order are
+        # untouched (dedup keep-first + provenance ids depend on them).
+        _xy_memo: dict[tuple[int, int], pd.DataFrame] = {}
         for gt, gc, _ in m1:
             gf = ex.channel_frame(gc, None)
             if gf is None:
@@ -1262,9 +1313,18 @@ def recommend(
                         xcol = [c for c in xf.columns if c != RID][0]
                         if xcol == ycol:
                             continue
-                        merged = _merge_rid(_merge_rid(xf, yf), gf).sort_values(xcol)
+                        _mk = (id(xf), id(yf))
+                        _xy = _xy_memo.get(_mk)
+                        if _xy is None:
+                            _xy = _xy_memo[_mk] = _merge_rid(xf, yf)
+                        merged = _merge_rid(_xy, gf).sort_values(xcol)
+                        # pandas == for the mask (None/NA semantics),
+                        # numpy for the slice — same rows in the same
+                        # order as merged.loc[mask, ycol].to_numpy()
+                        _gs = merged[gcol]
+                        _yv = merged[ycol].to_numpy()
                         series = [
-                            merged.loc[merged[gcol] == cat, ycol].to_numpy() for cat in cats
+                            _yv[(_gs == cat).to_numpy()] for cat in cats
                         ]
                         sc = {}
                         if slist.get("linearness"):
@@ -1286,7 +1346,9 @@ def recommend(
                         )
                 if "ord_cat_line" in chart_types:
                     merged = _merge_rid(yf, gf).sort_values(RID)
-                    series = [merged.loc[merged[gcol] == cat, ycol].to_numpy() for cat in cats]
+                    _gs = merged[gcol]
+                    _yv = merged[ycol].to_numpy()
+                    series = [_yv[(_gs == cat).to_numpy()] for cat in cats]
                     sc = {}
                     if slist.get("linearness"):
                         sc["linearness"] = float(
