@@ -87,13 +87,18 @@ def _merge_rid(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     if lv.shape == rv.shape and (lv == rv).all():
         rcols = [c for c in right.columns if c != RID]
         if not any(c in left.columns for c in rcols):
-            return pd.concat(
-                [
-                    left.reset_index(drop=True),
-                    right[rcols].reset_index(drop=True),
-                ],
-                axis=1,
-            )
+            # positional column concat without pd.concat's block
+            # manager (measured ~5x cheaper per call): dict-of-arrays
+            # construction preserves dtypes, column order and the
+            # RangeIndex the concat+reset_index form produced. The
+            # arrays may VIEW the inputs (copy=False) — safe because
+            # memoized channel frames are read-only by contract (every
+            # downstream consumer copies: sort_values, [[...]] slices,
+            # to_numpy).
+            data = {c: left[c].to_numpy() for c in left.columns}
+            for c in rcols:
+                data[c] = right[c].to_numpy()
+            return pd.DataFrame(data, copy=False)
     return left.merge(right, on=RID)
 
 

@@ -362,16 +362,27 @@ def bigram_fluency(df, id_col: str, text_col: str, k_smooth: int = 1):
     bi = word_bigrams(df, id_col, text_col)
     counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
     rowtot = counts.groupBy("w1").agg(F.sum("__c").alias("__rt"))
-    vocab = (
+    # vocabulary size joins in as a broadcast 1-row aggregate instead of
+    # an EAGER .count() (r14): the eager form cost every caller a build-
+    # time driver job — plus a full re-analysis of the upstream plan —
+    # before the query even ran. As a column, __v is the same bigint, so
+    # (__rt + k·__v) and the one double division are bit-identical and
+    # the oracle stays hash-exact; the optimizer evaluates the 1-row
+    # side as a broadcast stage inside the same DAG.
+    vocab_df = (
         bi.select(F.col("w1").alias("w"))
         .union(bi.select(F.col("w2").alias("w")))
         .distinct()
-        .count()
-    )  # one scalar: metadata-sized driver value
-    p = (F.col("__c") + F.lit(k_smooth)) / (
-        F.col("__rt") + F.lit(k_smooth * vocab)
+        .agg(F.count(F.lit(1)).alias("__v"))
     )
-    scored = bi.join(counts, ["w1", "w2"]).join(rowtot, "w1")
+    p = (F.col("__c") + F.lit(k_smooth)) / (
+        F.col("__rt") + F.lit(k_smooth) * F.col("__v")
+    )
+    scored = (
+        bi.join(counts, ["w1", "w2"])
+        .join(rowtot, "w1")
+        .join(F.broadcast(vocab_df))
+    )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(

@@ -5365,6 +5365,20 @@ def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = flu.join(docs.select("doc_id", "lang"), "doc_id").persist()
     bal = balance_by_quota(base, ["doc_id"], "lang", quota=100)
+    # lineage neck (r14): bal is consumed by THREE actions (the prefix
+    # sum's boundary + per-bucket-sum driver jobs, then the final
+    # window pass), and its logical tree embeds the whole upstream
+    # pipeline — every one of those actions re-ANALYZED a ~1000-node
+    # plan (468 Exchanges in the r13 dump; ~0.4-0.5 s of pure driver
+    # planning per action, measured) to move a quota-bounded frame.
+    # Truncating lineage here makes each downstream action plan over a
+    # leaf. clean/base keep their persist() — CacheManager plan-identity
+    # reuse across builds is untouched, and the checkpoint itself
+    # re-materializes from those caches in one cheap pass. Values are
+    # unchanged (checkpoint executes the same plan; oracle hash-exact).
+    from .session import iter_checkpoint
+
+    bal = iter_checkpoint(bal)
     sel = select_by_token_budget(
         bal.withColumn("__negflu", -F.col("fluency")),
         ["__negflu", "doc_id"],
@@ -6522,61 +6536,68 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is older than r09.
 
 _PRIORITY: list[str] = [
-    # Round-13 attestation prefix - exactly 50 entries.
-    # --- (1) the new exact query this round (must be attested) ---
-    "corpus_decontaminate_containment",
-    # --- (2) the full r09-stale band (20, r12 verdict item 4) ---
-    "dedup_exact_text",
-    "dedup_simhash_pairs",
-    "emb_centroid_by_bucket",
-    "io_json_roundtrip",
-    "io_partitioned_pruning",
-    "join_asof",
-    "join_semi_anti",
-    "multimodal_frame_sample",
-    "multimodal_image_meta",
-    "profile_key_detection",
-    "profile_wasserstein",
-    "sample_alpha_temperature",
-    "sort_with_position",
-    "stream_sink_parquet",
-    "text_langid",
-    "text_repetition_filter",
-    "tpch_q18",
-    "tpch_q19",
-    "window_cume_ntile",
-    "window_lag_delta",
-    # --- (3) r10 backfill (next-stalest, alphabetical, 29) to fill
-    #     50; the 17 remaining r10 entries rotate in round 14 ---
-    "agg_group_count",
-    "agg_group_sum",
-    "agg_median_mode",
-    "agg_unpivot",
-    "basic_replace_mode",
-    "basic_rid_concat",
-    "corpus_chunk_documents",
-    "corpus_classifier_eval",
-    "corpus_pack_sequences",
+    # Round-14 attestation prefix - exactly 50 entries.
+    # --- (1) exact queries whose VALUES-FEEDING plan changed this
+    #     round ("attested" must mean attested for the code that
+    #     ships): bigram_fluency's vocabulary size now joins in as a
+    #     broadcast 1-row aggregate instead of an eager count (same
+    #     bigint arithmetic, hash-exact re-verified locally), and
+    #     pipeline_curate_corpus additionally truncates lineage at the
+    #     quota-bounded selection neck (localCheckpoint; values
+    #     identical, hash-exact re-verified) ---
+    "corpus_bigram_fluency",
     "corpus_ppl_buckets",
     "corpus_ppl_buckets_sketch",
-    "corpus_quality_classifier",
-    "corpus_shuffle_deterministic",
-    "corpus_source_quality",
-    "corpus_topk_docs_per_lang",
-    "corpus_vocab_topk",
-    "dedup_incremental_lsh",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "delta_upsert_merge",
-    "distinct_domain",
-    "emb_neardup_pairs",
-    "emb_pq_codes",
-    "emb_quantize_int8",
-    "events_funnel_ordered",
-    "events_json_extract",
-    "events_resample_ffill",
-    "events_retention_cohort",
-    "events_sessionize",
+    "pipeline_curate_corpus",
+    # --- (2) the full r10-stale band (17, oldest attestations) ---
+    "events_variant_agg",
+    "io_compact_small_files",
+    "io_csv_roundtrip",
+    "io_dynamic_pruning",
+    "io_orc_roundtrip",
+    "io_zorder_cluster",
+    "profile_column_stats",
+    "profile_skew_report",
+    "sample_weighted_priority",
+    "sim_cosine_topk",
+    "sim_ivf_full_probe",
+    "sketch_cms_topk",
+    "sketch_hist_quantile",
+    "sketch_kmv_distinct",
+    "sketch_kmv_join_card",
+    "sketch_kmv_union",
+    "stream_stream_join",
+    # --- (3) r11 backfill (next-stalest, alphabetical, 29) to fill
+    #     50; the 20 remaining r11 entries rotate next round ---
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "basic_astype",
+    "basic_div",
+    "basic_hmul",
+    "basic_hsum",
+    "corpus_decontaminate_fuzzy",
+    "corpus_substring_scrub",
+    "dedup_components",
+    "dedup_exact_substring",
+    "dedup_keep_best",
+    "dedup_keep_list",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "events_hourly_rollup",
+    "io_bucketed_join",
+    "io_schema_evolution",
+    "io_zorder_cluster3",
+    "join_3way_topk",
+    "join_bloom_pruned",
+    "join_broadcast_dims",
+    "join_full_outer_reconcile",
+    "join_range_cooccur",
+    "join_skew_salted",
+    "multimodal_audio_meta",
+    "pipeline_build_corpus",
 ]
 
 def _reorder_registry() -> None:

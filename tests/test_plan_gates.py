@@ -76,8 +76,12 @@ WHITELIST: dict[str, tuple[int, str]] = {
 # data×data cartesian. query -> max such nodes; the shared bound is
 # "one side is a 1-row aggregate or a ≤k-row sketch/synopsis frame".
 CROSSJOIN_WHITELIST: dict[str, int] = {
+    "corpus_bigram_fluency": 1,    # 1-row vocabulary-size aggregate
+                                   # (bigram_fluency's broadcast __v)
     "corpus_classifier_eval": 1,   # 1-row confusion/AUC scalar frames
-    "corpus_ppl_buckets_sketch": 6,  # histogram-sketch threshold rows
+    "corpus_ppl_buckets": 1,       # 1-row vocab frame via bigram_fluency
+    "corpus_ppl_buckets_sketch": 7,  # histogram-sketch threshold rows
+                                     # + the 1-row vocab frame
     "emb_neardup_pairs": 1,        # the GUARDED all-pairs oracle anchor:
                                    # cosine_neardup_pairs refuses inputs
                                    # beyond max_rows instead of launching
