@@ -1,8 +1,10 @@
-"""Dump .explain("formatted") for registry queries to plans/r13/.
+"""Dump .explain("formatted") for registry queries to plans/<round>/
+(round from SPARK_GRAFT_PLANS_ROUND, default r14).
 
 Usage: python scripts/dump_plans.py <tag> <query_name> [<query_name> ...]
 
-Writes plans/r13/<name>_<tag>.txt for each query. The plan is taken
+Writes plans/r<round>/ (SPARK_GRAFT_PLANS_ROUND, default r14)
+<name>_<tag>.txt for each query. The plan is taken
 from the DataFrame the registry callable returns; queries that do their
 heavy compute at build time (engine_recommend, pipeline_*) return a
 literal result frame, and their file records that fact plus the plan of
@@ -27,7 +29,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump_plans")
     qs = queries()
