@@ -33,6 +33,19 @@ def pack_sequences(
     toks = df.select(
         F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
     )
+    # Materialize the (id, n_tokens) proxy once (r14): the prefix sum
+    # downstream is THREE actions (quantile boundaries, per-bucket sums,
+    # the final window pass), and each one would otherwise re-execute
+    # this operator's full input lineage — for the corpus-build pipeline
+    # that is three scans of the document text (plus the dedup join) to
+    # move ~16 bytes/doc of metadata. Guide §8: decide on the
+    # lightweight proxy, touch the heavy payload once. Values are
+    # unchanged (the checkpoint executes the same plan; pack oracles
+    # stay hash-exact); SPARK_GRAFT_CHECKPOINT_DIR upgrades it to a
+    # reliable checkpoint on a fleet, like every iterative operator.
+    from ..session import iter_checkpoint
+
+    toks = iter_checkpoint(toks)
     summed = global_running_sum(toks, [id_col], "n_tokens", "__cum")
     return summed.select(
         F.col(id_col),
