@@ -445,6 +445,47 @@ def test_release_joined_before_next_executor(spark):
         eng._PENDING_RELEASES.pop().join(timeout=60)
 
 
+def test_release_reclaims_spark_storage(spark):
+    """r13 VERDICT watch-list #2: release() trades the explicit
+    localCheckpoint unpersists for ContextCleaner (reference-tracked,
+    GC-driven) reclamation. A serving loop must therefore return the
+    Spark-side storage to its pre-loop level once references drop and a
+    GC cycle runs — this pins that the memo-clear really releases the
+    last references (a kept reference would float blocks forever)."""
+    import gc
+    import time
+
+    import data_transformation_2022_spark.engine as eng
+
+    def cached_rdds() -> int:
+        return sum(
+            1
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if info.numCachedPartitions() > 0
+        )
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2), float(i % 7), f"g{i % 3}") for i in range(40)],
+        "a double, b double, c double, g string",
+    )
+    base = cached_rdds()
+    for _ in range(2):
+        res = recommend(df, dm_ts=["pca", "kmeans"], sample_cap=20)
+        assert res.charts is not None
+    while eng._PENDING_RELEASES:
+        eng._PENDING_RELEASES.pop().join(timeout=60)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if cached_rdds() <= base:
+            break
+        time.sleep(1.0)
+    assert cached_rdds() <= base, (
+        f"serving loop leaked cached RDDs: {cached_rdds()} > baseline {base}"
+    )
+
+
 def test_small_df_value_identity(spark):
     """small_df (r13): Arrow-batched literal frames must be
     value-identical to the python-list createDataFrame path — same
