@@ -348,9 +348,17 @@ class Executor:
                         # VERDICT r13 #1): the runner math is driver
                         # numpy either way — serve it from the proven
                         # pandas sample prefix and skip the 2-3 bounded
-                        # Spark jobs per frame; None → the Spark path
+                        # Spark jobs per frame. PROVEN_NONE = the
+                        # runner's numeric-column guard provably fails
+                        # (the only sample-side Spark job left in the
+                        # bench shape built a rank prefix solely to
+                        # produce that None); None → the Spark path
+                        from .ml.coret_local import PROVEN_NONE
+
                         out = self._local_coret_frame(cand, coret)
-                        if out is None:
+                        if out is PROVEN_NONE:
+                            out = None
+                        elif out is None:
                             derived = self._sample_derived(cand.steps)
                             res = CORE_T_RUNNERS[coret](derived)
                             out = res.toPandas() if res is not None else None

@@ -61,6 +61,15 @@ _DEC_Q = Decimal(1).scaleb(-30)  # decimal(38,30) quantum
 _ORDER_BOUND = {"pca", "kmeans"}
 # runners that re-sort by RID internally (_collect_sample) — order-safe
 _ORDER_FREE = {"mds", "tsne", "umap", "dbscan"}
+# runners whose FIRST act is the numeric-column guard (_guard_cols:
+# < MIN_NUMERIC_COLS numeric columns → the runner returns None) — for
+# these the None result is provable from the tracked schema alone
+_GUARDED = _ORDER_BOUND | _ORDER_FREE | {"lda"}
+
+# Sentinel: "the Spark runner would PROVABLY return None" — callers
+# treat it as the final None result (skip the Spark path entirely),
+# unlike a plain None return, which means "fall back to Spark".
+PROVEN_NONE = object()
 
 
 def _base(t: str) -> str:
@@ -92,17 +101,20 @@ def eval_coret_local(
     """Evaluate a core-T runner on the proven-equivalent pandas sample;
     return exactly ``CORE_T_RUNNERS[coret](derived).toPandas()`` or
     ``None`` when equivalence cannot be proven (caller uses Spark)."""
+    tmap = dict(dtypes)
+    cols = _numeric_cols(dtypes)
+    if coret in _GUARDED and len(cols) < _coret.MIN_NUMERIC_COLS:
+        # the runner's own _guard_cols would return None; the tracked
+        # types ARE the derived schema (steps_local contract), so the
+        # None result is proven without building the Spark derivation —
+        # order-independent, hence checked before the rid_order gate
+        return PROVEN_NONE
     if coret in _ORDER_BOUND and not rid_order:
         return None
     if coret not in _ORDER_BOUND and coret not in _ORDER_FREE:
         return None  # lda (distributed MLlib), lida, unknown
     if RID not in dpdf.columns:
         return None
-    tmap = dict(dtypes)
-    cols = _numeric_cols(dtypes)
-    if len(cols) < _coret.MIN_NUMERIC_COLS:
-        return None  # Spark runner returns None (guard) — cheap enough
-        # to let the Spark path produce it; keeps this module total
     if coret in _ORDER_FREE:
         return _sample_transform_local(dpdf, cols, coret)
     # pca/kmeans: aggregate-fit paths, null/NaN- and decimal-sensitive

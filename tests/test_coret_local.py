@@ -138,12 +138,23 @@ def test_fallback_on_decimal(spark, coret):
     assert isinstance(dpdf["e"].iloc[0], Decimal)
 
 
-def test_fallback_lda_and_guard(spark):
+def test_fallback_lda_and_proven_none_guard(spark):
+    from data_transformation_2022_spark.ml.coret_local import PROVEN_NONE
+
     pdf = _base_pdf()
     sdf = spark.createDataFrame(pdf)
     _assert_fallback(pdf, sdf.dtypes, "lda")
+    # < MIN_NUMERIC_COLS: the None result is PROVEN from the schema —
+    # and it must agree with the live Spark runner's guard
     narrow = pdf[[RID, "a", "b"]]
-    _assert_fallback(narrow, [(RID, "bigint"), ("a", "bigint"), ("b", "double")], "pca")
+    ntypes = [(RID, "bigint"), ("a", "bigint"), ("b", "double")]
+    for t in ("pca", "kmeans", "mds", "dbscan", "tsne", "umap", "lda"):
+        assert eval_coret_local(narrow, ntypes, t, rid_order=True) is PROVEN_NONE
+        assert eval_coret_local(narrow, ntypes, t, rid_order=False) is PROVEN_NONE
+    nsdf = spark.createDataFrame(narrow)
+    with small_input_mode():
+        assert CORE_T_RUNNERS["pca"](nsdf) is None
+        assert CORE_T_RUNNERS["mds"](nsdf) is None
 
 
 def test_pca_wide_path_byte_equal(spark):
